@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Loaders for the driver testdata (`/root/testdata/sf*`; see TESTDATA.md).
+  *
+  * All tables are plain parquet. The one wrinkle: `events.ts` is written as
+  * parquet TIMESTAMP(NANOS,false), which Spark's vectorized reader rejects
+  * ([PARQUET_TYPE_ILLEGAL]). We read it via the documented escape hatch
+  * `spark.sql.legacy.parquet.nanosAsLong` and convert ns→µs ourselves, as a
+  * TIMESTAMP_NTZ so it round-trips bit-identically with DuckDB's
+  * `CAST(ts AS TIMESTAMP)` (naive µs truncation) on the oracle side.
+  */
+object Tables {
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events with `ts` as TIMESTAMP_NTZ (µs, UTC wall clock). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The reference pipeline's semantics (bronze projection / DQ / clean-silver —
+  * reference `spark_jobs/batch_etl.py:42-62`, `dq_checks.py:50-59,103-108`)
+  * re-expressed over the driver `events` table as oracle-checkable queries,
+  * plus the streaming-shaped windowed aggregation (`window()` tumbling buckets
+  * via date_trunc so the same SQL runs in DuckDB) and JSON prop extraction.
+  *
+  * DQ rules (events-shaped analog of dq_checks.py:50-53):
+  *   R1 value < 0 OR value IS NULL      (negative/null fare)
+  *   R2 user_id IS NULL                 (missing key)
+  *   R3 value > 400                     (outlier, cf. trip_distance > 200)
+  *   R4 event_type = 'error'            (domain violation)
+  *
+  * The four counts run as ONE pass (sum(when)) instead of the reference's
+  * four separate count() jobs — same semantics, 4 scans → 1 (SURVEY §2.3 A2).
+  */
+object EventQueries {
+
+  private val r1 = col("value") < 0 || col("value").isNull
+  private val r2 = col("user_id").isNull
+  private val r3 = col("value") > 400
+  private val r4 = col("event_type") === "error"
+
+  private def cnt(p: org.apache.spark.sql.Column) =
+    sum(when(p, 1L).otherwise(0L))
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q18_events_bronze",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_id"), col("user_id"), col("event_type"), col("value"),
+            to_date(col("ts")).as("event_date"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, event_type, value,
+             |  CAST(ts AS DATE) AS event_date
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "bronze projection: ns-timestamp ingest + derived partition date (batch_etl.py:46-54)"),
+
+    Q(
+      "q19_events_dq_summary",
+      (s, d) =>
+        events(s, d).agg(
+          cnt(r1).as("n_negative_value"),
+          cnt(r2).as("n_null_user"),
+          cnt(r3).as("n_outlier_value"),
+          cnt(r4).as("n_error_type"),
+          count(lit(1)).as("n_total")),
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE value < 0 OR value IS NULL) AS BIGINT) AS n_negative_value,
+             |  CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS n_null_user,
+             |  CAST(count(*) FILTER (WHERE value > 400) AS BIGINT) AS n_outlier_value,
+             |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error_type,
+             |  count(*) AS n_total
+             |FROM events""".stripMargin),
+      "single-pass DQ metrics (dq_checks.py:56-59, 4 jobs → 1 agg)"),
+
+    Q(
+      "q20_events_clean",
+      (s, d) =>
+        events(s, d)
+          .filter(!r1 && !r2 && !r3 && !r4)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events
+             |WHERE NOT (value < 0 OR value IS NULL) AND user_id IS NOT NULL
+             |  AND NOT (value > 400) AND event_type <> 'error'
+             |ORDER BY event_id""".stripMargin),
+      "clean-silver conjunctive-negation filter (dq_checks.py:103-108)"),
+
+    Q(
+      "q21_events_daily_dq",
+      (s, d) =>
+        events(s, d)
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            cnt(r3).as("n_outlier"),
+            cnt(r4).as("n_error"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_date")),
+      Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_total,
+             |  CAST(count(*) FILTER (WHERE value > 400) AS BIGINT) AS n_outlier,
+             |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY CAST(ts AS DATE)
+             |ORDER BY event_date""".stripMargin),
+      "grouped DQ rollup per partition date — the natural generalization of A2"),
+
+    Q(
+      "q22_events_hourly",
+      (s, d) =>
+        events(s, d)
+          .groupBy(
+            date_trunc("hour", col("ts")).as("bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+             |ORDER BY bucket, event_type""".stripMargin),
+      "tumbling event-time buckets — batch twin of the streaming windowed agg (ST3)"),
+
+    Q(
+      "q23_events_props",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "semi-structured extraction from the props JSON string (FIXTURES.md B)"))
+}
