@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+
+  private def tmpCfg(): PipelineConfig = {
+    val base = Files.createTempDirectory("graft_pipe").toString
+    PipelineConfig(
+      rawPath = sf0001,
+      bronzePath = s"$base/bronze",
+      silverPath = s"$base/silver",
+      artifactsDir = s"$base/artifacts",
+      logsDir = s"$base/logs",
+      targetPartitions = 4,
+      shufflePartitions = 4,
+      silverPartitions = 2)
+  }
+
+  test("normalizeName matches reference semantics (batch_etl.py:43)") {
+    assert(BronzeIngest.normalizeName("  Tpep Pickup Datetime ") == "tpep_pickup_datetime")
+    assert(BronzeIngest.normalizeName("already_ok") == "already_ok")
+  }
+
+  test("deriveDate falls back and enforces the contract (batch_etl.py:46-54)") {
+    import spark.implicits._
+    val withTs = Seq(("2024-01-02 03:04:05")).toDF("ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val d1 = BronzeIngest.deriveDate("ts", "event_date")(withTs)
+    assert(d1.select("event_date").collect()(0).getDate(0).toString == "2024-01-02")
+
+    val withDate = Seq("2024-01-02").toDF("event_date")
+    val d2 = BronzeIngest.deriveDate("ts", "event_date")(withDate)
+    assert(d2.schema("event_date").dataType.typeName == "date")
+
+    val neither = Seq(1).toDF("x")
+    intercept[IllegalArgumentException] {
+      BronzeIngest.deriveDate("ts", "event_date")(neither)
+    }
+  }
+
+  test("bronze write produces hive partition dirs (batch_etl.py:76-81)") {
+    val cfg = tmpCfg()
+    val raw = graft.Tables.events(spark, cfg.rawPath)
+    val metrics = BronzeIngest.run(raw, cfg)
+    assert(metrics("rows") == 1000L)
+    val dirs = new java.io.File(cfg.bronzePath).listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("event_date=")) > 5)
+    // round-trip: partition column survives and rows are intact
+    val back = spark.read.parquet(cfg.bronzePath)
+    assert(back.count() == 1000L)
+    assert(back.columns.contains("event_date"))
+  }
+
+  test("silver trims strings, drops _cols, adds audit (write_silver.py:26-36)") {
+    import spark.implicits._
+    val df = Seq((" padded ", 1, "x")).toDF("s", "n", "_tmp")
+    val out = SilverClean.transform(df)
+    assert(out.columns.toSet == Set("s", "n", "silver_loaded_at"))
+    assert(out.select("s").as[String].collect()(0) == "padded")
+  }
+
+  test("DQ single-pass counts equal per-rule filter counts (dq_checks.py:56-59)") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val rules = DqChecks.eventRules(DqThresholds())
+    val report = DqChecks.evaluate(ev, rules)
+    rules.foreach { r =>
+      val direct = ev.filter(r.predicate).count()
+      assert(report.results.find(_.name == r.name).get.violations == direct,
+        s"rule ${r.name}")
+    }
+    assert(report.total == 1000L)
+  }
+
+  test("clean + distinct violations partition the input (F6 algebra)") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val rules = DqChecks.eventRules(DqThresholds())
+    val anyViolation = rules.map(_.predicate).reduce(_ || _)
+    val nClean = DqChecks.clean(ev, rules).count()
+    val nViol = ev.filter(anyViolation).count()
+    assert(nClean + nViol == 1000L)
+  }
+
+  test("full runner: stages, logs, artifact, exit codes (run_full_pipeline.ps1)") {
+    val cfg = tmpCfg().copy(writeSilver = true,
+      thresholds = DqThresholds(earlyDropoff = 0, longDistance = 0,
+        negativeValues = 0, invalidPassengers = 0))
+    val outcome = Runner.run(spark, cfg)
+    assert(outcome.stages.map(_.name) == Seq("bronze", "silver", "dq"))
+    assert(outcome.failedStage.isEmpty)
+    // events has 'error' rows, so rule error_events(threshold=0) must fail
+    assert(outcome.dqReport.exists(!_.passed))
+    assert(outcome.exitCode(warnOnly = false) == 2) // dq_checks.py:119-120
+    assert(outcome.exitCode(warnOnly = true) == 0)
+    // per-stage logs exist (run_full_pipeline.ps1:116-124)
+    val logs = new java.io.File(cfg.logsDir).listFiles().map(_.getName)
+    assert(Seq("bronze", "silver", "dq").forall(s => logs.exists(_.startsWith(s"step_$s"))))
+    // artifact exists and is valid-ish JSON (dq_checks.py:80-99)
+    val arts = new java.io.File(cfg.artifactsDir).listFiles()
+    assert(arts.nonEmpty)
+    val body = new String(Files.readAllBytes(arts.head.toPath))
+    assert(body.contains("\"status\": \"FAILED\""))
+    // cleaned silver written behind the flag (dq_checks.py:102-114)
+    assert(new java.io.File(cfg.silverPath + "_clean").exists())
+  }
+}

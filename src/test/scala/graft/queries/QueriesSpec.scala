@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, sf0001}
+
+/** Sanity per-query checks at sf0.001. The real correctness gate is the
+  * DuckDB oracle at sf0.01 (tools/check_oracle.py); this suite guards the
+  * basics cheaply in sbt test: every query runs, is non-empty where it must
+  * be, and a few hand-computed values hold.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  test("every registered query executes at sf0.001") {
+    Registry.all.foreach { q =>
+      val n = q.fn(spark, sf0001).count()
+      assert(n >= 0, s"${q.name} failed to run")
+    }
+  }
+
+  test("every oracle-bearing query has deterministic output (run twice, same rows)") {
+    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      val a = q.fn(spark, sf0001).collect().map(_.toString).toSeq
+      val b = q.fn(spark, sf0001).collect().map(_.toString).toSeq
+      assert(a == b, s"${q.name} nondeterministic")
+    }
+  }
+
+  test("q19 DQ summary counts are internally consistent") {
+    val row = Registry.byName("q19_events_dq_summary").fn(spark, sf0001).collect()(0)
+    val total = row.getAs[Long]("n_total")
+    assert(total == 1000L)
+    assert(row.getAs[Long]("n_error_type") > 0)
+    assert(row.getAs[Long]("n_negative_value") == 0)
+  }
+
+  test("q24 exact dedup: keep_id count equals distinct texts") {
+    val dedup = Registry.byName("q24_docs_dedup_exact").fn(spark, sf0001)
+    val distinctTexts = graft.Tables.documents(spark, sf0001)
+      .select("text").distinct().count()
+    assert(dedup.count() == distinctTexts)
+  }
+
+  test("q29 cosine top-k returns 10 neighbors with sims in [-1,1] descending") {
+    val rows = Registry.byName("q29_cosine_topk").fn(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+}
