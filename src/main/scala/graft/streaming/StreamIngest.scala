@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.pipeline.{DqChecks, DqThresholds}
+
+/** The consumer the reference omits (SURVEY §2.7 ST2–ST4): a genuine
+  * Structured Streaming job over the CSV inbox that `InboxGenerator` (or the
+  * reference's `simulate_stream.py`) fills.
+  *
+  *  - ST2: file source with an explicit schema (a stream can't infer), the
+  *    same 3-column-plus shape the reference's batches carry.
+  *  - ST3: event-time processing — watermark, tumbling / sliding /
+  *    session windows. Late rows beyond the watermark are dropped from
+  *    append-mode output, which is the semantics a 100 TB ingest needs to
+  *    bound state.
+  *  - ST4: streaming DQ via `foreachBatch`, reusing the batch `DqChecks`
+  *    operator verbatim — one DQ definition for both planes.
+  *
+  * `Trigger.AvailableNow` drains whatever is in the inbox then stops, which
+  * makes every entry point below usable both as a real stream and as a
+  * deterministic test/batch-backfill run.
+  */
+object StreamIngest {
+
+  /** Schema of inbox CSV batches (event_id + the reference's 3-column
+    * projection shape, `simulate_stream.py:17-19`).
+    */
+  val inboxSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** ST2: streaming scan of the inbox directory. */
+  def readInbox(spark: SparkSession, inbox: String): DataFrame =
+    spark.readStream
+      .schema(inboxSchema)
+      .option("header", "true")
+      .csv(inbox)
+      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  /** ST3: tumbling event-time window aggregation with a watermark. */
+  def tumblingCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** ST3: sliding window variant. */
+  def slidingCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  /** ST3: session windows per user (gap-based). */
+  def userSessions(events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup bounded by the watermark (the streaming face of
+    * the LLM dedup operator family).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Drain the inbox into a parquet sink via AvailableNow. */
+  def drainToParquet(df: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** ST4: per-micro-batch DQ reusing the batch rules; summaries land in
+    * `artifactsDir` exactly like the batch artifact (`dq_checks.py:80-99`).
+    */
+  def drainWithDq(df: DataFrame, artifactsDir: String, checkpoint: String,
+      thresholds: DqThresholds = DqThresholds()): StreamingQuery = {
+    val rules = Seq(
+      DqChecks.DqRule("negative_or_null_value",
+        col("value") < 0 || col("value").isNull, thresholds.negativeValues),
+      DqChecks.DqRule("null_user", col("user_id").isNull, thresholds.earlyDropoff),
+      DqChecks.DqRule("outlier_value", col("value") > 400, thresholds.longDistance),
+      DqChecks.DqRule("error_events", col("event_type") === "error", thresholds.invalidPassengers))
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val report = DqChecks.evaluate(batch, rules)
+        DqChecks.writeArtifact(report, s"$artifactsDir/batch_$batchId")
+        (): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestSession.{spark, sf0001}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("inbox generator: 5 deterministic batches partition the events table") {
+    val inbox = tmp("graft_inbox")
+    val ev = graft.Tables.events(spark, sf0001)
+    val files = InboxGenerator.generate(ev, inbox, n = 5)
+    assert(files.size == 5)
+    assert(files.forall(f => new java.io.File(f).isFile))
+    // batches are a partition of the input, keyed deterministically
+    val back = spark.read.option("header", "true")
+      .schema(StreamIngest.inboxSchema).csv(inbox)
+    assert(back.count() == 1000L)
+    assert(back.select("event_id").distinct().count() == 1000L)
+    // regenerating yields byte-identical batch contents (W1 determinism fix)
+    val inbox2 = tmp("graft_inbox2")
+    InboxGenerator.generate(ev, inbox2, n = 5)
+    val a = Files.readAllBytes(new java.io.File(s"$inbox/batch_2.csv").toPath)
+    val b = Files.readAllBytes(new java.io.File(s"$inbox2/batch_2.csv").toPath)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("stream consumer drains inbox; windowed agg matches batch computation") {
+    val inbox = tmp("graft_inbox_c")
+    val ev = graft.Tables.events(spark, sf0001)
+    InboxGenerator.generate(ev, inbox, n = 5)
+
+    val out = tmp("graft_stream_out")
+    val q = StreamIngest.drainToParquet(
+      StreamIngest.tumblingCounts(StreamIngest.readInbox(spark, inbox)),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$out/data")
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // watermark may hold back the final window in append mode; every emitted
+    // window must match its batch twin exactly
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.bucket").cast("string") === col("b.bucket").cast("string") &&
+        col("s.event_type") === col("b.event_type"))
+    assert(streamed.count() > 0)
+    assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
+    assert(joined.count() == streamed.count())
+  }
+
+  test("watermark drops rows later than the threshold (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamIngest.tumblingCounts(df, watermark = "10 minutes", window_ = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: rows at 10:00-10:09, then an event at 11:00 advances the
+    // watermark to 10:50 → the 10:00 window can close
+    mem.addData((t("2024-01-01 10:00:00"), "a", 1.0), (t("2024-01-01 10:05:00"), "a", 1.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 11:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE row for the closed 10:00 window — must be dropped
+    mem.addData((t("2024-01-01 10:01:00"), "a", 99.0))
+    q.processAllAvailable()
+    val rows = spark.table("wm_test").collect()
+    q.stop()
+    val w10 = rows.filter(_.getAs[Timestamp]("bucket") == t("2024-01-01 10:00:00"))
+    assert(w10.length == 1)
+    assert(w10.head.getAs[Long]("n") == 2L) // late row NOT counted
+  }
+
+  test("session windows split on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+      .withColumn("event_type", lit("x")).withColumn("event_id", col("user_id"))
+    val q = StreamIngest.userSessions(df, watermark = "1 minute", gap = "5 minutes")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L, 1.0), (t("2024-01-01 10:02:00"), 1L, 1.0),
+      (t("2024-01-01 10:20:00"), 1L, 1.0)) // >5 min gap → second session
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 12:00:00"), 2L, 1.0)) // advance watermark far
+    q.processAllAvailable()
+    val sessions = spark.table("sess_test").filter(col("user_id") === 1).collect()
+    q.stop()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming dedup within watermark removes duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = StreamIngest.dedupWithinWatermark(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (2L, t("2024-01-01 10:00:30"), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 10:01:00"), 1.0)) // duplicate within watermark
+    q.processAllAvailable()
+    val n = spark.table("dedup_test").count()
+    q.stop()
+    assert(n == 2L)
+  }
+
+  test("streaming DQ via foreachBatch writes per-batch artifacts") {
+    val inbox = tmp("graft_inbox_dq")
+    val ev = graft.Tables.events(spark, sf0001)
+    InboxGenerator.generate(ev, inbox, n = 3)
+    val base = tmp("graft_stream_dq")
+    val q = StreamIngest.drainWithDq(
+      StreamIngest.readInbox(spark, inbox), s"$base/artifacts", s"$base/ckpt")
+    q.awaitTermination()
+    val arts = new java.io.File(s"$base/artifacts").listFiles()
+    assert(arts != null && arts.nonEmpty)
+    val body = new String(Files.readAllBytes(
+      arts.head.listFiles().head.toPath))
+    assert(body.contains("error_events"))
+  }
+}
