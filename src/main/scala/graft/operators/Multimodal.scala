@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed per-partition in batches. The Spark-side contract —
+  * schema, partitioning, batch iteration, output shape — is real and
+  * tested; the codec call itself is a clearly-marked deterministic STUB
+  * (`decodeStub`) because no image/audio library ships in this container.
+  * Swapping in a real decoder changes one function and nothing else.
+  *
+  * 100 TB notes: media bytes dominate row size, so the repartition knob
+  * below targets a bytes-per-partition budget (not row count); features
+  * detach from the raw bytes immediately so downstream stages never
+  * re-shuffle the binary payload.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, mime: String, media: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, mime: String, n_bytes: Long,
+      features: Array[Double], feat_norm: Double)
+
+  /** Wrap the documents table as a media table (text bytes as the payload —
+    * stands in for image/audio blobs with identical plumbing).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("media"))
+
+  /** Repartition so each task holds ~`targetBytes` of media (binary rows
+    * are wide — row-count-based sizing underestimates wildly).
+    */
+  def repartitionByBytes(media: DataFrame, totalBytes: Long,
+      targetBytes: Long = 128L << 20): DataFrame =
+    media.repartition(math.max(1, (totalBytes / targetBytes).toInt))
+
+  /** ======= STUB =======
+    * Deterministic fake decoder: a real implementation would decode the
+    * image/audio payload here (JNI/codec call — per-partition imperative
+    * work, hence mapPartitions, the documented last-resort tier for native
+    * boundaries). The fake derives `dim` pseudo-features by hashing byte
+    * chunks, so tests exercise the full pipeline shape with stable values.
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < bytes.length) {
+      val d = i % dim
+      out(d) = (out(d) * 31.0 + (bytes(i) & 0xff)) % 1000003.0
+      i += 1
+    }
+    out.map(_ / 1000003.0)
+  }
+
+  /** Batched per-partition feature extraction over the binary column. */
+  def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val f = decodeStub(r.media, dim)
+          MediaFeatures(r.media_id, r.mime, r.media.length.toLong, f,
+            math.sqrt(f.map(x => x * x).sum))
+        }
+      }
+  }
+}

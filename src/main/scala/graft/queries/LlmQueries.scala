@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data operator inventory (driver mandate): near-dup dedup
+  * (exact Jaccard, MinHash+LSH, SimHash), embedding near-dup + ANN,
+  * language ID, fingerprinting, BPE-ish token counting, and multimodal
+  * plumbing. Queries whose math is engine-portable carry DuckDB oracles;
+  * hash-based operators (xxhash64 has no DuckDB twin) are registered
+  * without oracle — the driver records a rows-only check and ScalaTest
+  * proves them against their exact counterparts instead
+  * (see operators/OperatorsSpec).
+  */
+object LlmQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q30_docs_shingle_jaccard",
+      (s, d) =>
+        Dedup.shingleJaccardPairs(documents(s, d), threshold = 0.8)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id,
+             |         list_distinct(list_transform(range(len(t) - 2),
+             |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
+             |       FROM toks),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+             |      / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+             |FROM pairs WHERE j >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "exact 3-gram Jaccard near-dup pairs: Spark uses an inverted-index join, oracle brute-forces — same answer"),
+
+    Q(
+      "q31_docs_fingerprint",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+             |    (a, b) -> (a * 31 + b) % 1000000000000000) AS fp
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      "order-sensitive polynomial rolling-hash fingerprint, engine-portable mod-1e15 arithmetic"),
+
+    Q(
+      "q32_docs_bpe_tokens",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+            size(split(col("text"), " ")).cast("long").as("n_ws"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(lower(text), '${TextAnalysis.bpePattern}')) AS n_bpe,
+              |  len(string_split(text, ' ')) AS n_ws
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin),
+      "BPE-ish subword counting via shared regex"),
+
+    Q(
+      "q33_emb_neardup_pairs",
+      (s, d) => Similarity.topKPairs(embeddings(s, d), k = 20),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    list_inner_product(a.v, b.v)
+             |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS c
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT vec_a, vec_b, round(c, 6) AS cos_sim
+             |FROM p
+             |ORDER BY c DESC, vec_a, vec_b
+             |LIMIT 20""".stripMargin),
+      "embedding near-dup: top-20 cosine pairs across the corpus (brute-force baseline)"),
+
+    Q(
+      "q34_docs_minhash_neardup",
+      (s, d) =>
+        Dedup.minhashLshPairs(documents(s, d), threshold = 0.8)
+          .orderBy(col("doc_a"), col("doc_b")),
+      None,
+      "MinHash(128)+LSH(32 bands) near-dup pairs with exact-Jaccard verification; ScalaTest proves equality with q30"),
+
+    Q(
+      "q35_docs_simhash",
+      (s, d) =>
+        Dedup.withSimhash(documents(s, d))
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id")),
+      None,
+      "64-bit SimHash fingerprints (xxhash64-based; no DuckDB twin)"),
+
+    Q(
+      "q36_docs_simhash_pairs",
+      (s, d) =>
+        Dedup.simhashPairs(documents(s, d), maxHamming = 3)
+          .orderBy(col("doc_a"), col("doc_b")),
+      None,
+      "SimHash banded Hamming-distance near-dup candidates"),
+
+    Q(
+      "q37_ann_topk",
+      (s, d) => Similarity.annTopK(embeddings(s, d), queryVecId = 0L, k = 10),
+      None,
+      "LSH ANN top-10 (32 tables × 6 hyperplane bits); recall vs exact top-k proven in ScalaTest"),
+
+    Q(
+      "q38_docs_langid",
+      (s, d) =>
+        TextAnalysis.withLangId(documents(s, d))
+          .select(col("doc_id"), col("predicted_lang"), col("lang_score"))
+          .orderBy(col("doc_id")),
+      None,
+      "heuristic stopword-profile language ID"),
+
+    Q(
+      "q39_media_stats",
+      (s, d) =>
+        Multimodal.mediaFromDocuments(documents(s, d))
+          .select(col("media_id"), col("mime"),
+            octet_length(col("media")).cast("long").as("n_bytes"))
+          .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS mime,
+             |  octet_length(CAST(text AS BLOB)) AS n_bytes
+             |FROM documents
+             |ORDER BY media_id""".stripMargin),
+      "multimodal plumbing: binary payload column with byte-level stats"),
+
+    Q(
+      "q40_media_features",
+      (s, d) =>
+        Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(documents(s, d)))
+          .toDF()
+          .select(col("media_id"), col("n_bytes"), round(col("feat_norm"), 6).as("feat_norm"))
+          .orderBy(col("media_id")),
+      None,
+      "per-partition batched feature extraction over binary media (decode STUB, real plumbing)"),
+
+    Q(
+      "q41_docs_sketch",
+      (s, d) =>
+        TextAnalysis.withSketch(documents(s, d))
+          .select(col("doc_id"), col("sketch"))
+          .orderBy(col("doc_id")),
+      None,
+      "winnowing-style min-hash sketch (k smallest 4-gram hashes) per doc"))
+}

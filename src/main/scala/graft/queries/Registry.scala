@@ -20,7 +20,8 @@ final case class Q(
 
 object Registry {
   val all: Seq[Q] =
-    StarQueries.all ++ EventQueries.all ++ DocQueries.all ++ VectorQueries.all
+    StarQueries.all ++ EventQueries.all ++ DocQueries.all ++ VectorQueries.all ++
+      LlmQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

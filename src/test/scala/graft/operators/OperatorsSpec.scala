@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import graft.Tables
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+  private lazy val emb  = Tables.embeddings(spark, sf0001)
+
+  test("minhash-LSH near-dup pairs equal the exact inverted-index Jaccard pairs") {
+    val exact = Dedup.shingleJaccardPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty) // sf0.001 has 28 near-dup pairs at J>=0.8
+    assert(lsh == exact)   // banding at k=128/b=32 catches J>=0.8 w.p. ~1-2e-7
+  }
+
+  test("simhash pairs: near-dup docs collide, fingerprints differ for distinct docs") {
+    val sims = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims.values.toSet.size > 400) // distinct docs get distinct-ish fingerprints
+    val exactPairs = Dedup.shingleJaccardPairs(docs, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hammingOf = exactPairs.map { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b))
+    }
+    // J>=0.95 word-level near-dups are within a few bits in simhash space
+    assert(hammingOf.nonEmpty && hammingOf.forall(_ <= 8))
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // band scheme is exact for hamming<=3: must contain every such pair
+    val within3 = exactPairs.filter { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    }.toSet
+    assert(within3.subsetOf(banded))
+  }
+
+  test("ANN top-k recall vs brute force is usable and candidates are a strict subset") {
+    val exact = graft.queries.Registry.byName("q29_cosine_topk")
+      .fn(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(ann.size == 10)
+    val recall = (ann intersect exact).size / 10.0
+    assert(recall >= 0.5, s"ANN recall too low: $recall") // 32 tables x 6 bits
+  }
+
+  test("language ID identifies hand-written multilingual samples") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the park"),
+      (2L, "el perro esta en la casa y los gatos son de la calle"),
+      (3L, "le chien est dans la maison et les chats sont de la rue"),
+      (4L, "der hund ist in den haus und die katzen sind von der strasse"),
+      (5L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(samples)
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es")
+    assert(got(3L) == "fr"); assert(got(4L) == "de")
+    assert(got(5L) == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+
+  test("multimodal feature extraction: batch shape, determinism, byte counts") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.features.length == 8))
+    val byId = feats.map(f => f.media_id -> f).toMap
+    val expected = docs.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(byId.forall { case (id, f) => f.n_bytes == expected(id) })
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f.feat_norm).toMap
+    assert(byId.forall { case (id, f) => again(id) == f.feat_norm })
+  }
+
+  test("repartitionByBytes sizes partitions by payload, not row count") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val out = Multimodal.repartitionByBytes(media, totalBytes = 1L << 22, targetBytes = 1L << 20)
+    assert(out.rdd.getNumPartitions == 4)
+  }
+}
