@@ -4,49 +4,75 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for LLM training corpora (driver mandate,
-  * BASELINE.json north_star) — four families, all pure built-in expressions
-  * so every step stays inside whole-stage codegen:
+  * BASELINE.json north_star) — four families:
   *
   *  - exact:    hash-groupBy on text (see `queries.DocQueries` q24)
-  *  - n-gram Jaccard: inverted-index join on shingles — the exact method;
+  *  - n-gram Jaccard: inverted-index pair counting — the exact method;
   *  - MinHash + LSH banding: the at-scale approximation whose candidates
   *    are verified with the exact measure;
   *  - SimHash: 64-bit fingerprints + banded Hamming join.
   *
-  * 100 TB notes: the shingle inverted index shuffles |corpus|×|shingles per
-  * doc| rows hashed by shingle — AQE's skew-join split handles hot shingles;
-  * a df-cap (drop shingles appearing in > N docs) is the standard extra
-  * lever, left off here because it changes exact Jaccard results. MinHash
-  * replaces that blowup with k hashes per doc and a band-key shuffle of
-  * |corpus|×bands tiny rows, which is the method of record at web scale;
-  * candidate verification then touches only the candidate pairs.
+  * Everything downstream of tokenization works on the slim
+  * `(doc_id, 64-bit shingle hash)` inverted index from [[shingleIndex]] —
+  * two longs per posting through every shuffle, never shingle strings or
+  * per-doc arrays. (An earlier array-of-shingles formulation hit a Spark
+  * Generate pitfall: exploding a *computed* array re-evaluates the whole
+  * array expression per output row, turning O(m) shingling into O(m²) —
+  * exploding token positions instead keeps the generator trivial.)
+  *
+  * 100 TB notes: the inverted index is |corpus|×|shingles per doc| postings
+  * hashed by shingle — AQE skew-split handles hot shingles; a df-cap (drop
+  * shingles appearing in > N docs) is the standard extra lever, left off
+  * because it changes exact Jaccard results. MinHash replaces the posting
+  * blowup with k hashes per doc and a band-key shuffle of |corpus|×bands
+  * tiny rows — the method of record at web scale; exact verification then
+  * touches only candidate pairs.
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of `text` (space-tokenized). */
-  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws("_", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
-    docs.select(
-      col("doc_id"),
-      when(size(toks) >= n, array_distinct(grams))
-        .otherwise(array().cast("array<string>")).as("shingles"))
+  /** Distinct word n-gram shingles of `text` (space-tokenized), as the slim
+    * inverted index (doc_id, sh) with sh = xxhash64 of the shingle
+    * (collision odds ~2^-65 per shingle pair). The generator explodes an
+    * integer position range — O(1) re-evaluation — and each shingle is
+    * assembled inline from the carried token array.
+    */
+  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame = {
+    val base = Par.fanOut(docs.select(col("doc_id"), split(col("text"), " ").as("t")))
+    base
+      .select(col("doc_id"), col("t"),
+        explode(when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws("_",
+          (0 until n).map(o => element_at(col("t"), col("i") + lit(o))): _*)).as("sh"))
+      .distinct()
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join: only doc
-    * pairs sharing ≥1 shingle are ever materialized (complete for any
-    * threshold > 0), vs the naive |docs|² cross join.
+  /** Per-doc distinct-shingle counts (the |set| term of Jaccard). */
+  def shingleSizes(index: DataFrame): DataFrame =
+    index.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs: only doc pairs sharing ≥1 shingle
+    * are ever materialized (complete for any threshold > 0), vs the naive
+    * |docs|² cross join. Pairs are generated per-shingle from the sorted
+    * posting list (each unordered pair exactly once, doc_a < doc_b by
+    * construction) — no self-join is planned; per-doc set sizes rejoin by
+    * broadcast after pair counting.
     */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh  = shingleSets(docs, n).withColumn("n_sh", size(col("shingles")))
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val a = inv.toDF("doc_a", "na", "sh")
-    val b = inv.toDF("doc_b", "nb", "sh_b")
-    a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+    val index = shingleIndex(docs, n)
+    val sizes = shingleSizes(index)
+    val postings = index.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val pairs = postings.select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+        |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.toDF("doc_a", "na")), "doc_a")
+      .join(broadcast(sizes.toDF("doc_b", "nb")), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))
@@ -54,15 +80,19 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signatures over shingle sets: sig[j] = min over shingles of
-    * xxhash64(j, shingle) — k independent hash families by seeding with j.
+  /** MinHash signatures from the inverted index: sig[j] = min over shingles
+    * of xxhash64(j, sh) — k independent families by seeding with j, computed
+    * as k plain `min` aggregates in ONE hash-agg pass (fully codegen'd; no
+    * per-row array building).
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 128, n: Int = 3): DataFrame =
-    shingleSets(docs, n)
-      .withColumn("n_sh", size(col("shingles")))
-      .withColumn("sig",
-        transform(sequence(lit(0), lit(k - 1)),
-          j => array_min(transform(col("shingles"), s => xxhash64(j, s)))))
+  def minhashSignatures(docs: DataFrame, k: Int = 128, n: Int = 3): DataFrame = {
+    val index = shingleIndex(docs, n)
+    val mins = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+    index.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** Near-dup pairs via LSH banding + exact-Jaccard verification. Bands of
     * r = k/bands rows; two docs collide if any band hashes equal. Collision
@@ -74,22 +104,25 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minhashSignatures(docs, k, n)
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))).as("key"))))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // explode the band index (trivial generator), then slice+hash one band
+    // per row — see withLshBuckets for the computed-array Generate pitfall
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * lit(r) + lit(1), lit(r))).as("key"))
     val cand = banded.toDF("doc_a", "band", "key")
       .join(banded.toDF("doc_b", "band_b", "key_b"),
         col("band") === col("band_b") && col("key") === col("key_b") &&
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // verify candidates with the exact measure (join shingle sets back in)
-    val sh = shingleSets(docs, n)
+    // verify candidates with the exact measure: sorted shingle-hash sets
+    // rejoin by doc_id, intersection on long arrays
+    val sets = shingleIndex(docs, n).groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
     cand
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -99,17 +132,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: bit i is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Nested HOF fold — no
-    * per-row Scala, no shuffle.
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Computed from the
+    * exploded (doc_id, token-hash) rows as 64 conditional-sum aggregates in
+    * one codegen'd hash-agg pass, then folded to a long.
     */
-  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("simhash", expr(
-      s"""aggregate(
-         |  sequence(0, 63), 0L,
-         |  (acc, i) -> acc + if(
-         |    aggregate(split($textCol, ' '), 0L,
-         |      (a, t) -> a + if((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
-         |    shiftleft(1L, i), 0L))""".stripMargin))
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tokens = Par.fanOut(docs.select(col("doc_id"), split(col(textCol), " ").as("t")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")), lit(1)))).as("i"))
+      .select(col("doc_id"), xxhash64(element_at(col("t"), col("i"))).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    docs.join(
+      tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sim.as("simhash")),
+      "doc_id")
+  }
 
   /** Near-dup pairs by SimHash: 4×16-bit band join (pigeonhole: any pair at
     * Hamming distance ≤ 3 agrees exactly on ≥1 of 4 bands), then exact

@@ -60,7 +60,7 @@ object Multimodal {
   def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("mime"), col("media")).as[MediaRow]
+    Par.fanOut(media.select(col("media_id"), col("mime"), col("media"))).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
           val f = decodeStub(r.media, dim)

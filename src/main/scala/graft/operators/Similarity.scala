@@ -22,13 +22,18 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Top-k most-similar pairs by cosine, brute force (baseline/oracle). */
+  /** Top-k most-similar pairs by cosine, brute force (baseline/oracle).
+    * Norms are computed once per vector, not per pair (n vs n² folds), and
+    * the left side of the O(n²) nested-loop join is fanned out so pair
+    * scoring uses every core.
+    */
   def topKPairs(emb: DataFrame, k: Int = 20): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val a = e.toDF("vec_a", "va")
-    val b = e.toDF("vec_b", "vb")
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = Par.fanOut(e.toDF("vec_a", "va", "norm_a"))
+    val b = e.toDF("vec_b", "vb", "norm_b")
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_raw", cosine(col("va"), col("vb")))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .orderBy(col("cos_raw").desc, col("vec_a"), col("vec_b"))
       .limit(k)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
@@ -45,16 +50,19 @@ object Similarity {
     */
   def withLshBuckets(emb: DataFrame, tables: Int = 32, bits: Int = 6,
       dim: Int = 64): DataFrame = {
-    val ps = planes(tables, bits, dim)
-    val keyCols = ps.zipWithIndex.map { case (tablePlanes, t) =>
-      val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
-        when(dot(col("v"), typedlit(p)) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bk", explode(array(keyCols: _*)))
-      .select(col("vec_id"), col("v"), col("bk.table").as("table"), col("bk.bucket").as("bucket"))
+    // Explode the table INDEX (trivial generator) and compute one table's
+    // bucket per emitted row — exploding a precomputed array of all bucket
+    // keys would re-evaluate every table's dot products per output row
+    // (Spark Generate re-evaluates computed-array children per element).
+    val planesLit = typedlit(planes(tables, bits, dim))
+    val tablePlanes = element_at(planesLit, col("table") + 1)
+    val bucket = (0 until bits).map { j =>
+      when(dot(col("v"), element_at(tablePlanes, j + 1)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(tables - 1))).as("table"))
+      .withColumn("bucket", bucket)
   }
 
   /** ANN top-k for one query vector: union of same-bucket candidates over L
@@ -62,14 +70,21 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, queryVecId: Long, k: Int = 10,
       tables: Int = 32, bits: Int = 6): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bucketed = withLshBuckets(emb, tables, bits)
-    val queryBuckets = bucketed.filter(col("vec_id") === queryVecId)
-      .select(col("table").as("q_table"), col("bucket").as("q_bucket"),
-        col("v").as("qv"))
-    bucketed.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("table"), col("bucket")) // slim: no vectors through the shuffle
+    // query buckets from a 1-row filtered input — deriving them from
+    // `bucketed` would run the whole corpus LSH computation a second time
+    val queryBuckets = withLshBuckets(emb.filter(col("vec_id") === queryVecId), tables, bits)
+      .select(col("table").as("q_table"), col("bucket").as("q_bucket"))
+    val queryVec = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val candidates = bucketed.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(queryBuckets),
         col("table") === col("q_table") && col("bucket") === col("q_bucket"))
-      .select(col("vec_id"), col("v"), col("qv")).distinct()
+      .select(col("vec_id")).distinct()
+    candidates
+      .join(e, "vec_id") // fetch vectors only for surviving candidates
+      .crossJoin(broadcast(queryVec))
       .withColumn("cos_raw", cosine(col("v"), col("qv")))
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(k)

@@ -31,7 +31,7 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }: _*)
     val best = element_at(sort_array(scored, asc = false), 1)
-    docs
+    Par.fanOut(docs)
       .withColumn("lang_score", round(best.getField("score"), 4))
       .withColumn("predicted_lang",
         when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")))
@@ -65,6 +65,6 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => xxhash64(concat_ws("_", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
-    docs.withColumn("sketch", slice(array_sort(array_distinct(grams)), 1, k))
+    Par.fanOut(docs).withColumn("sketch", slice(array_sort(array_distinct(grams)), 1, k))
   }
 }

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Second relational batch: the built-in capability families the first
+  * batch didn't reach — UNION, HAVING, CASE WHEN, statistical aggregates,
+  * exact percentiles, batch sessionization (windowed gap detection — the
+  * batch twin of streaming session_window), analytic windows
+  * (ntile/percent_rank/cume_dist/first/last), CUBE, scalar subqueries, and
+  * the IN/BETWEEN/LIKE predicate family.
+  */
+object ExtraQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q42_union_custkeys",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("custkey"))
+          .union(o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("custkey")))
+          .distinct()
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+             |UNION
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY custkey""".stripMargin),
+      "set op: UNION (distinct) of two filtered key sets"),
+
+    Q(
+      "q43_big_customers",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .filter(col("n_orders") >= 15)
+          .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY o_custkey
+             |HAVING count(*) >= 15
+             |ORDER BY o_custkey""".stripMargin),
+      "grouped agg + HAVING-style post-aggregation filter"),
+
+    Q(
+      "q44_price_buckets",
+      (s, d) =>
+        orders(s, d)
+          .withColumn("bucket",
+            when(col("o_totalprice") < 100000, "small")
+              .when(col("o_totalprice") < 300000, "medium")
+              .otherwise("large"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+          .orderBy(col("bucket")),
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+             |            WHEN o_totalprice < 300000 THEN 'medium'
+             |            ELSE 'large' END AS bucket,
+             |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin),
+      "CASE WHEN bucketing as a grouping key"),
+
+    Q(
+      "q45_stats_by_flag",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+            round(var_samp(col("l_quantity")), 2).as("var_qty"),
+            round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+            round(covar_samp(col("l_extendedprice"), col("l_discount")), 2).as("cov_pd"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             |  round(var_samp(l_quantity), 2) AS var_qty,
+             |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+             |  round(covar_samp(l_extendedprice, l_discount), 2) AS cov_pd
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      "statistical aggregate family: stddev/variance/corr/covar"),
+
+    Q(
+      "q46_price_percentiles",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      "exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)"),
+
+    Q(
+      "q47_user_sessions",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("t_us"))
+          .withColumn("new_session",
+            when(col("t_us") - lag(col("t_us"), 1).over(wOrd) > 1800000000L, 1L)
+              .when(lag(col("t_us"), 1).over(wOrd).isNull, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            ((max(col("t_us")) - min(col("t_us"))) / lit(1000000L)).cast("long").as("duration_s"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, t_us,
+             |    CASE WHEN t_us - lag(t_us) OVER w > 1800000000 THEN 1
+             |         WHEN lag(t_us) OVER w IS NULL THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM x
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+             |sessions AS (
+             |  SELECT user_id, t_us,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             |  FROM flagged)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |  CAST((max(t_us) - min(t_us)) // 1000000 AS BIGINT) AS duration_s
+             |FROM sessions
+             |GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      "batch sessionization: 30-min gap detection via lag + running sum (twin of streaming session_window)"),
+
+    Q(
+      "q48_distinct_event_types",
+      (s, d) =>
+        events(s, d).select(col("event_type")).distinct().orderBy(col("event_type")),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+      "DISTINCT projection"),
+
+    Q(
+      "q49_predicate_family",
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(10, 40) &&
+            col("p_name").like("%gear%"))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_brand, p_size
+             |FROM part
+             |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+             |  AND p_size BETWEEN 10 AND 40
+             |  AND p_name LIKE '%gear%'
+             |ORDER BY p_partkey""".stripMargin),
+      "IN-list + BETWEEN + LIKE predicate family (all pushed to the scan)"),
+
+    Q(
+      "q50_null_functions",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d)
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .select(
+            col("o_orderkey"),
+            round(coalesce(col("prev_price"), lit(0.0)), 2).as("prev_or_zero"),
+            nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+            round(greatest(col("o_totalprice"), coalesce(col("prev_price"), lit(0.0))), 2).as("hi"),
+            round(least(col("o_totalprice"), coalesce(col("prev_price"), col("o_totalprice"))), 2).as("lo"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  round(coalesce(prev_price, 0), 2) AS prev_or_zero,
+             |  nullif(o_orderstatus, 'O') AS status_or_null,
+             |  round(greatest(o_totalprice, coalesce(prev_price, 0)), 2) AS hi,
+             |  round(least(o_totalprice, coalesce(prev_price, o_totalprice)), 2) AS lo
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev_price
+             |  FROM orders)
+             |ORDER BY o_orderkey""".stripMargin),
+      "NULL-handling scalar family: coalesce/nullif/greatest/least"),
+
+    Q(
+      "q51_analytic_windows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            first(col("o_orderkey")).over(wFull).as("cheapest_order"),
+            last(col("o_orderkey")).over(wFull).as("priciest_order"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume,
+             |  first_value(o_orderkey) OVER wf AS cheapest_order,
+             |  last_value(o_orderkey) OVER wf AS priciest_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+             |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      "analytic window family: ntile/percent_rank/cume_dist/first/last"),
+
+    Q(
+      "q52_above_average_orders",
+      (s, d) => {
+        val o = orders(s, d)
+        val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+        o.crossJoin(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      "scalar subquery (uncorrelated) as a broadcast cross join"),
+
+    Q(
+      "q53_cube_segments",
+      (s, d) => {
+        val c = customer(s, d)
+        val n = nation(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .cube(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            col("n_customers"))
+          .orderBy(col("nation"), col("segment"))
+      },
+      Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+             |  coalesce(c_mktsegment, 'ALL') AS segment,
+             |  count(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY CUBE(n_name, c_mktsegment)
+             |ORDER BY nation, segment""".stripMargin),
+      "CUBE grouping sets over a broadcast dim join"),
+
+    Q(
+      "q54_props_by_type",
+      (s, d) =>
+        events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            round(avg(col("k")), 4).as("avg_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+             |FROM (SELECT event_type,
+             |        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+             |      FROM events)
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin),
+      "JSON extraction feeding a grouped aggregate"))
+}

@@ -40,7 +40,7 @@ object LlmQueries {
     Q(
       "q31_docs_fingerprint",
       (s, d) =>
-        documents(s, d)
+        graft.operators.Par.fanOut(documents(s, d))
           .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one registered query at a given sf dir (warm + timed). */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    val n0 = fn(spark, sfDir).count()
+    val t0 = System.nanoTime()
+    val n = fn(spark, sfDir).count()
+    println(f"TIMED $name rows=$n warm_rows=$n0 sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    if (args.contains("--explain")) fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}
