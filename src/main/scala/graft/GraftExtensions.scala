@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VecDot
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two registration paths:
+  *  - `.withExtensions(new GraftExtensions)` at session build (or
+  *    `spark.sql.extensions=graft.GraftExtensions`) — the standard
+  *    SparkSessionExtensions plugin route;
+  *  - `GraftExtensions.register(spark)` for an already-built session
+  *    (the driver owns the session in the Verify/Bench contract).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(GraftExtensions.vecDot)
+}
+
+object GraftExtensions {
+  private val vecDot = (
+    new FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot",
+      "vec_dot(a, b) - dot product of two array<double> vectors", ""),
+    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      vecDot._1, vecDot._2, vecDot._3)
+}

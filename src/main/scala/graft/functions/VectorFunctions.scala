@@ -3,11 +3,15 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding math as pure built-in column expressions (no UDFs — stays in
-  * whole-stage codegen). Vectors are cast element-wise float→double first:
-  * float×float is exact in double, and both Spark's `aggregate` and DuckDB's
-  * `list_inner_product` then fold the identical products in array order, so
-  * the oracle comparison is deterministic to the ulp.
+/** Embedding math over array<double> columns. Vectors are cast element-wise
+  * float→double first: float×float is exact in double, and the dot product
+  * folds products sequentially in array order — bit-identical to DuckDB's
+  * list_inner_product, which the oracle comparison relies on.
+  *
+  * The dot product is the native codegen'd [[VecDot]] expression (a HOF
+  * `aggregate(zip_with(...))` formulation gives the same bits but runs the
+  * lambda interpreter per element — ~10x slower on the pairwise-cosine hot
+  * path).
   */
 object VectorFunctions {
 
@@ -16,7 +20,9 @@ object VectorFunctions {
 
   /** Dot product of two array<double> columns (sequential left fold). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.bridge.toColumn(VecDot(
+      org.apache.spark.sql.graft.bridge.toExpression(a),
+      org.apache.spark.sql.graft.bridge.toExpression(b)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
