@@ -36,6 +36,16 @@ object RunStream {
     out.orderBy("bucket", "event_type").show(5, truncate = false)
     val arts = new java.io.File(s"$base/dq").listFiles()
     println(s"dq artifacts: ${if (arts == null) 0 else arts.length} batch dirs")
+
+    // custom keyed state: running per-user totals via mapGroupsWithState
+    val q3 = graft.streaming.StatefulOps.runningUserTotals(src)
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val totals = spark.table("user_totals")
+    println(s"stateful user totals: ${totals.select("user_id").distinct().count()} users")
+    totals.orderBy(org.apache.spark.sql.functions.col("n_events").desc).show(5)
     spark.stop()
   }
 }

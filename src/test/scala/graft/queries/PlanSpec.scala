@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, sf0001}
+
+/** Plan-shape assertions: correctness says what a query returns; these pin
+  * HOW it executes — pushdown reaching the parquet scan, broadcast joins
+  * for dims, single-pass DQ, codegen coverage. A regression here is a
+  * silent 100x at scale even when every oracle still matches.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, sf0001).queryExecution.executedPlan.toString
+
+  /** Plan string AFTER execution — AQE finalizes subplans (and codegen
+    * annotations) only once the query runs.
+    */
+  private def finalPlan(name: String): String = {
+    val df = Registry.byName(name).fn(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter predicates are pushed into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,48.0)"), p)
+    // projection pruning: scan reads only the referenced columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_tax"), "scan should not read unused columns")
+  }
+
+  test("q04: small dim join is a broadcast-hash join, no shuffle of the fact side") {
+    val p = plan("q04_brand_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q19: single-pass DQ — exactly one scan of events feeds all rule counts") {
+    val p = plan("q19_events_dq_summary")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, plan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q01: grouped agg runs as two-phase hash aggregation under codegen") {
+    val p = finalPlan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    assert(p.contains("*(1)"), s"no whole-stage-codegen span markers:\n$p")
+  }
+
+  test("q06/q07: EXISTS and NOT EXISTS plan as semi/anti joins") {
+    assert(plan("q06_customers_with_orders").contains("LeftSemi"),
+      plan("q06_customers_with_orders"))
+    assert(plan("q07_customers_without_orders").contains("LeftAnti"),
+      plan("q07_customers_without_orders"))
+  }
+
+  test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q14_top20_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q29: the 1-row query side of cosine top-k is broadcast") {
+    val p = plan("q29_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestSession.spark
+
+class StatefulSpec extends AnyFunSuite {
+
+  test("mapGroupsWithState accumulates per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String)]
+    val df = mem.toDF().toDF("user_id", "value", "event_type")
+    val q = StatefulOps.runningUserTotals(df)
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+
+    mem.addData((1L, 10.0, "view"), (1L, 5.0, "error"), (2L, 1.0, "view"))
+    q.processAllAvailable()
+    val after1 = spark.table("state_test").collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(after1(1L).getAs[Long]("n_events") == 2L)
+    assert(after1(1L).getAs[Double]("total_value") == 15.0)
+    assert(after1(1L).getAs[Long]("n_errors") == 1L)
+
+    // batch 2: state must carry over, not reset
+    mem.addData((1L, 7.0, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("state_test").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    q.stop()
+    assert(rows.contains((3L, 22.0))) // 2 prior events + 1 new, totals accumulated
+  }
+
+  test("flatMapGroupsWithState variant runs and emits updates (timeout path compiles+executes)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String)]
+    val df = mem.toDF().toDF("user_id", "value", "event_type")
+    val q = StatefulOps.expiringUserTotals(df, idleTimeout = "1 hour")
+      .writeStream.format("memory").queryName("state_exp_test")
+      .outputMode("update").start()
+    mem.addData((5L, 2.0, "view"), (5L, 3.0, "view"))
+    // ProcessingTimeTimeout keeps the query scheduling batches, so
+    // processAllAvailable never quiesces — poll the sink with a deadline
+    val deadline = System.currentTimeMillis() + 60000
+    var rows = Array.empty[org.apache.spark.sql.Row]
+    while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250)
+      rows = spark.table("state_exp_test").collect()
+    }
+    q.stop()
+    assert(rows.exists(r => r.getAs[Long]("user_id") == 5L &&
+      r.getAs[Long]("n_events") == 2L && r.getAs[Double]("total_value") == 5.0))
+  }
+}
