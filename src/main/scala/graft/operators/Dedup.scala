@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Exact dedup, scale path: group by (xxhash64(text), length) so the
+    * shuffle carries a 12-byte key instead of the document body, keeping the
+    * lowest doc_id per group. A 64-bit-hash+length collision between
+    * *different* texts (odds ~n²/2⁶⁵) would merge two docs; `q24` (groupBy
+    * on the text itself) is the oracle twin that ScalaTest compares against.
+    */
+  def exactDedupByHash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), xxhash64(col("text")).as("h"),
+        length(col("text")).as("len"))
+      .groupBy(col("h"), col("len"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
   /** Distinct word n-gram shingles of `text` (space-tokenized), as the slim
     * inverted index (doc_id, sh) with sh = xxhash64 of the shingle
     * (collision odds ~2^-65 per shingle pair). The generator explodes an

@@ -56,12 +56,26 @@ object BronzeIngest {
       .transform(deriveDate(tsCol, dateCol))
       .transform(prune(keep :+ dateCol))
 
+  /** Derive the partition columns from the timestamp: `event_date`-style
+    * single date column, or the reference's legacy `year`/`month` layout
+    * (`tests/test_batch_etl.py:7-11`), or any mix.
+    */
+  def derivePartitionColumns(tsCol: String, parts: Seq[String])(df: DataFrame): DataFrame =
+    parts.foldLeft(df) { (d, p) =>
+      p match {
+        case "year"  => d.withColumn("year", year(col(tsCol)))
+        case "month" => d.withColumn("month", month(col(tsCol)))
+        case "day"   => d.withColumn("day", dayofmonth(col(tsCol)))
+        case dateCol => d.transform(deriveDate(tsCol, dateCol))
+      }
+    }
+
   /** K1: round-robin repartition + hive-partitioned parquet write. */
   def write(df: DataFrame, cfg: PipelineConfig): Unit = {
     df.sparkSession.conf.set("spark.sql.files.maxRecordsPerFile", cfg.maxRecordsPerFile)
     df.repartition(cfg.targetPartitions)
       .write.mode(SaveMode.Overwrite)
-      .partitionBy(cfg.partitionColumn)
+      .partitionBy(cfg.partitionColumns: _*)
       .parquet(cfg.bronzePath)
   }
 
@@ -70,9 +84,10 @@ object BronzeIngest {
     * logs the same two numbers).
     */
   def run(raw: DataFrame, cfg: PipelineConfig): Map[String, Long] = {
-    val bronze = transform(
-      tsCol = "ts", dateCol = cfg.partitionColumn,
-      keep = Seq("event_id", "ts", "user_id", "event_type", "value", "props"))(raw)
+    val keep = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bronze = raw.transform(normalizeColumns)
+      .transform(derivePartitionColumns("ts", cfg.partitionColumns))
+      .transform(prune(keep ++ cfg.partitionColumns))
     val n = bronze.count()
     write(bronze, cfg)
     Map("rows" -> n, "partitions" -> cfg.targetPartitions.toLong)

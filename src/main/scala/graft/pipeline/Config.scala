@@ -32,8 +32,10 @@ final case class PipelineConfig(
     silverMode: String = "overwrite",
     /** silver output partitions (`write_silver.py:9`) */
     silverPartitions: Int = 4,
-    /** bronze hive-partition column (`batch_etl.py:79`) */
-    partitionColumn: String = "event_date",
+    /** bronze hive-partition columns (`batch_etl.py:79`; the reference's
+      * legacy tests expect a `year=`/`month=` layout — `test_batch_etl.py:7-11`
+      * — supported via Seq("year","month")) */
+    partitionColumns: Seq[String] = Seq("event_date"),
     thresholds: DqThresholds = DqThresholds(),
     /** DQ failure → warn instead of non-zero exit (`dq_checks.py:24`) */
     warnOnly: Boolean = false,

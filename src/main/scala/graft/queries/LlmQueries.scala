@@ -147,6 +147,26 @@ object LlmQueries {
       "per-partition batched feature extraction over binary media (decode STUB, real plumbing)"),
 
     Q(
+      "q55_approx_distinct_users",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .orderBy(col("event_type")),
+      None,
+      "HLL++ sketch vs exact distinct (no oracle: DuckDB's HLL differs; tolerance proven in ScalaTest)"),
+
+    Q(
+      "q56_docs_dedup_by_hash",
+      (s, d) =>
+        graft.operators.Dedup.exactDedupByHash(documents(s, d))
+          .orderBy(col("keep_id")),
+      None,
+      "exact dedup scale path: 12-byte (hash,len) shuffle key instead of the document body; equals q24 in ScalaTest"),
+
+    Q(
       "q41_docs_sketch",
       (s, d) =>
         TextAnalysis.withSketch(documents(s, d))

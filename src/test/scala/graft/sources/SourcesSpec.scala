@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends AnyFunSuite {
+
+  test("fetchIfMissing downloads once, then skips (fetch_data.py semantics)") {
+    val src = Files.createTempFile("graft_src", ".bin")
+    Files.writeString(src, "payload-123")
+    val dest = Paths.get(Files.createTempDirectory("graft_raw").toString, "raw.bin")
+    assert(HttpFetch.fetchIfMissing(src.toUri.toString, dest))
+    assert(Files.readString(dest) == "payload-123")
+    // second call is an idempotent no-op even if the source changed
+    Files.writeString(src, "changed")
+    assert(!HttpFetch.fetchIfMissing(src.toUri.toString, dest))
+    assert(Files.readString(dest) == "payload-123")
+  }
+
+  test("bronze supports the legacy year/month partition layout (test_batch_etl.py:7-11)") {
+    import graft.pipeline._
+    val base = Files.createTempDirectory("graft_ym").toString
+    val cfg = PipelineConfig(
+      rawPath = sf0001, bronzePath = s"$base/bronze", silverPath = s"$base/silver",
+      artifactsDir = s"$base/a", logsDir = s"$base/l",
+      targetPartitions = 2, partitionColumns = Seq("year", "month"))
+    BronzeIngest.run(graft.Tables.events(spark, sf0001), cfg)
+    val years = new java.io.File(cfg.bronzePath).listFiles().map(_.getName)
+    assert(years.exists(_.startsWith("year=")))
+    val months = new java.io.File(cfg.bronzePath).listFiles()
+      .filter(_.getName.startsWith("year=")).head.listFiles().map(_.getName)
+    assert(months.exists(_.startsWith("month=")))
+    assert(spark.read.parquet(cfg.bronzePath).count() == 1000L)
+  }
+
+  test("approx_count_distinct within 5% of exact (q55)") {
+    val rows = graft.queries.Registry.byName("q55_approx_distinct_users")
+      .fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+    }
+  }
+
+  test("hash-based exact dedup equals text-based dedup (q56 vs q24)") {
+    val byText = graft.queries.Registry.byName("q24_docs_dedup_exact")
+      .fn(spark, sf0001).select("keep_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byHash = graft.queries.Registry.byName("q56_docs_dedup_by_hash")
+      .fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byHash == byText)
+  }
+}
