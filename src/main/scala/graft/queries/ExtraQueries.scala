@@ -269,6 +269,85 @@ object ExtraQueries {
       "CUBE grouping sets over a broadcast dim join"),
 
     Q(
+      "q57_status_pivot",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+            sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      "manual pivot: status categories to columns in one pass"),
+
+    Q(
+      "q58_ship_lag",
+      (s, d) =>
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4).as("avg_lag_days"),
+            min(datediff(col("l_shipdate"), col("o_orderdate"))).cast("long").as("min_lag"),
+            max(datediff(col("l_shipdate"), col("o_orderdate"))).cast("long").as("max_lag"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_lag_days,
+             |  min(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS min_lag,
+             |  max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_lag
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      "date arithmetic: order-to-ship lag distribution per priority"),
+
+    Q(
+      "q59_regexp_family",
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_name").rlike("gear|bolt"))
+          .select(
+            col("p_partkey"),
+            regexp_replace(col("p_name"), "[aeiou]", "*").as("masked"),
+            regexp_extract(col("p_name"), "(\\w+)$", 1).as("last_word"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked,
+             |  regexp_extract(p_name, '(\w+)$', 1) AS last_word
+             |FROM part
+             |WHERE regexp_matches(p_name, 'gear|bolt')
+             |ORDER BY p_partkey""".stripMargin),
+      "regexp scalar family: rlike filter, replace-all, group extract"),
+
+    Q(
+      "q60_asof_last_error",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"))
+        graft.operators.AsOf
+          .lastRightAtOrBefore(purchases, errors, "user_id", "ts", "last_error_ts")
+          .select(col("event_id"), col("user_id"), col("last_error_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'error')
+             |SELECT p.event_id, p.user_id, e.ts AS last_error_ts
+             |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+             |ORDER BY p.event_id""".stripMargin),
+      "as-of join (union+window, one shuffle, no join node) vs DuckDB's native ASOF JOIN"),
+
+    Q(
       "q54_props_by_type",
       (s, d) =>
         events(s, d)
