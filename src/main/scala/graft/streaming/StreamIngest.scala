@@ -87,6 +87,25 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with watermarks and a time-range condition:
+    * pair each purchase with error events from the same user within the
+    * preceding hour. Both sides' state is bounded by their watermarks plus
+    * the interval — the canonical bounded-state stream join shape.
+    */
+  def purchasesWithRecentErrors(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"))
+  }
+
   /** Drain the inbox into a parquet sink via AvailableNow. */
   def drainToParquet(df: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
     df.writeStream

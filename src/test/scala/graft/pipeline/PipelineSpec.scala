@@ -55,6 +55,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.columns.contains("event_date"))
   }
 
+  test("bronze partition layout enables partition pruning (batch_etl.py:75 'good for pruning')") {
+    val cfg = tmpCfg()
+    BronzeIngest.run(graft.Tables.events(spark, cfg.rawPath), cfg)
+    val pruned = spark.read.parquet(cfg.bronzePath)
+      .filter(col("event_date") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("event_date"), plan)
+    // the pruned scan must touch exactly the one partition's rows
+    assert(pruned.count() == graft.Tables.events(spark, cfg.rawPath)
+      .filter(to_date(col("ts")) === "2024-01-05").count())
+  }
+
   test("silver trims strings, drops _cols, adds audit (write_silver.py:26-36)") {
     import spark.implicits._
     val df = Seq((" padded ", 1, "x")).toDF("s", "n", "_tmp")

@@ -121,6 +121,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 2L)
   }
 
+  test("stream-stream join pairs purchases with same-user errors in the prior hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StreamIngest.purchasesWithRecentErrors(df)
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), 7L, "error"),
+      (2L, t("2024-01-01 10:30:00"), 7L, "purchase"),  // pairs with error 1
+      (3L, t("2024-01-01 09:00:00"), 7L, "error"),     // >1h before purchase 2 → no pair
+      (4L, t("2024-01-01 10:20:00"), 8L, "purchase"))  // other user, no error → no row
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    mem.addData((9L, t("2024-01-01 13:00:00"), 1L, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_test")
+      .select("p_id", "e_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSet == Set((2L, 1L)))
+  }
+
   test("streaming DQ via foreachBatch writes per-batch artifacts") {
     val inbox = tmp("graft_inbox_dq")
     val ev = graft.Tables.events(spark, sf0001)
