@@ -150,7 +150,13 @@ object Dedup {
     * exploded (doc_id, token-hash) rows as 64 conditional-sum aggregates in
     * one codegen'd hash-agg pass, then folded to a long.
     */
-  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.join(simhashOf(docs, textCol), "doc_id")
+
+  /** Slim (doc_id, simhash) — pair generation uses this directly so the
+    * band shuffle never carries document text.
+    */
+  def simhashOf(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val tokens = Par.fanOut(docs.select(col("doc_id"), split(col(textCol), " ").as("t")))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), greatest(size(col("t")), lit(1)))).as("i"))
@@ -161,10 +167,8 @@ object Dedup {
     val sim = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    docs.join(
-      tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sim.as("simhash")),
-      "doc_id")
+    tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: 4×16-bit band join (pigeonhole: any pair at
@@ -173,7 +177,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only for distance <= 3")
-    val sims = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    val sims = simhashOf(docs)
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))"))

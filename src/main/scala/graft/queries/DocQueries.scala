@@ -70,6 +70,43 @@ object DocQueries {
       "corpus profile per language tag"),
 
     Q(
+      "q61_tfidf_top_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val n = docs.count() // corpus size for idf (driver-side scalar: one count)
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token"))
+        tf.join(broadcast(df_), "token")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+             |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |ranked AS (
+             |  SELECT doc_id, token, tf, df,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf DESC, df ASC, token) AS rank
+             |  FROM tfc JOIN dfc USING (token))
+             |SELECT doc_id, rank, token, tf, df,
+             |  round(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df), 6) AS tfidf
+             |FROM ranked
+             |WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin),
+      "TF-IDF top-3 terms per doc; ranking on integer keys (tf,df,token) so cross-engine float ulps can't reorder"),
+
+    Q(
       "q27_docs_quality",
       (s, d) => {
         val nTok  = size(toks).cast("long")
