@@ -348,6 +348,43 @@ object ExtraQueries {
       "as-of join (union+window, one shuffle, no join node) vs DuckDB's native ASOF JOIN"),
 
     Q(
+      "q62_signup_funnel",
+      (s, d) => {
+        val ev = events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts").cast("timestamp"))).as("signup_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        signups
+          .join(purchases,
+            col("user_id") === col("p_user") && col("p_us") >= col("signup_us"), "left")
+          .groupBy(col("user_id"), col("signup_us"))
+          .agg(min(col("p_us")).as("first_purchase_us"))
+          .select(
+            col("user_id"),
+            timestamp_micros(col("signup_us")).cast("timestamp_ntz").as("signup_ts"),
+            timestamp_micros(col("first_purchase_us")).cast("timestamp_ntz").as("first_purchase_ts"),
+            round((col("first_purchase_us") - col("signup_us")) / lit(60000000.0), 4)
+              .as("minutes_to_convert"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS signup_us
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |p AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id,
+             |  make_timestamp(signup_us) AS signup_ts,
+             |  make_timestamp(min(p_us)) AS first_purchase_ts,
+             |  round((min(p_us) - signup_us) / 60000000.0, 4) AS minutes_to_convert
+             |FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.p_us >= s.signup_us
+             |GROUP BY s.user_id, signup_us
+             |ORDER BY s.user_id""".stripMargin),
+      "conversion funnel: first signup → first subsequent purchase per user (integer-µs time math)"),
+
+    Q(
       "q54_props_by_type",
       (s, d) =>
         events(s, d)
