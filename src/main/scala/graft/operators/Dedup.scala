@@ -59,12 +59,15 @@ object Dedup {
       .select(col("doc_id"),
         xxhash64(concat_ws("_",
           (0 until n).map(o => element_at(col("t"), col("i") + lit(o))): _*)).as("sh"))
-      .distinct()
   }
+  // NB: the index may contain duplicate (doc_id, sh) rows (repeated shingles
+  // in a doc). Consumers dedupe inside their aggregates (collect_set /
+  // countDistinct; min is duplicate-insensitive) — cheaper than a dedicated
+  // distinct shuffle repeated in every subtree.
 
   /** Per-doc distinct-shingle counts (the |set| term of Jaccard). */
   def shingleSizes(index: DataFrame): DataFrame =
-    index.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    index.groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_sh"))
 
   /** Exact n-gram Jaccard near-dup pairs: only doc pairs sharing ≥1 shingle
     * are ever materialized (complete for any threshold > 0), vs the naive
@@ -77,7 +80,7 @@ object Dedup {
     val index = shingleIndex(docs, n)
     val sizes = shingleSizes(index)
     val postings = index.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     val pairs = postings.select(explode(expr(
       """flatten(transform(ds, (a, i) ->
         |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"""
@@ -133,7 +136,7 @@ object Dedup {
     // verify candidates with the exact measure: sorted shingle-hash sets
     // rejoin by doc_id, intersection on long arrays
     val sets = shingleIndex(docs, n).groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
     cand
       .join(sets.toDF("doc_a", "sh_a"), "doc_a")
       .join(sets.toDF("doc_b", "sh_b"), "doc_b")
