@@ -43,6 +43,66 @@ object StatefulOps {
       }
   }
 
+  final case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
+  final case class CompletedSession(
+      user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Event-time sessionization emitting COMPLETED sessions (append
+    * semantics): a session closes when the watermark passes its end + gap,
+    * via EventTimeTimeout — state is removed on emit, so state size tracks
+    * only open sessions. This is the custom-state twin of the built-in
+    * `session_window` aggregation (which it generalizes: arbitrary session
+    * payload, not just aggregates).
+    */
+  def completedSessions(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): Dataset[CompletedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, "session gap must be a fixed-length interval")
+    val gapMicros = iv.days.toLong * 86400000000L + iv.microseconds
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SessionState]) =>
+          def toTs(us: Long) = new java.sql.Timestamp(us / 1000)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
+          } else {
+            val batch = rows.map { case (_, ts, v) => (ts.getTime * 1000L, v) }.toSeq
+            val closed = scala.collection.mutable.ArrayBuffer.empty[CompletedSession]
+            var cur = state.getOption
+            batch.sortBy(_._1).foreach { case (us, v) =>
+              cur match {
+                case Some(s) if us - s.endUs <= gapMicros =>
+                  cur = Some(SessionState(s.startUs, math.max(s.endUs, us), s.n + 1, s.total + v))
+                case Some(s) =>
+                  closed += CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total)
+                  cur = Some(SessionState(us, us, 1L, v))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMicros / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Same totals but with processing-time state expiry: idle keys time out
     * and emit a final tombstone row — the state-size bound a 100 TB keyed
     * stream needs (flatMapGroupsWithState so timeouts can emit zero-or-one

@@ -3,6 +3,7 @@ package graft.streaming
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkTestSession.spark
+import java.sql.Timestamp
 
 class StatefulSpec extends AnyFunSuite {
 
@@ -31,6 +32,33 @@ class StatefulSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
     q.stop()
     assert(rows.contains((3L, 22.0))) // 2 prior events + 1 new, totals accumulated
+  }
+
+  test("event-time sessionizer emits completed sessions when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    def t(s: String) = Timestamp.valueOf(s)
+    val q = StatefulOps.completedSessions(df, gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_done")
+      .outputMode("append").start()
+    // user 1: two events 5 min apart = one session
+    mem.addData((1L, t("2024-01-01 10:00:00"), 2.0), (1L, t("2024-01-01 10:05:00"), 3.0))
+    q.processAllAvailable()
+    // a much later event advances the watermark past 10:35 → session times out
+    mem.addData((2L, t("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((2L, t("2024-01-01 12:00:30"), 1.0)) // extra batch to flush timeouts
+    q.processAllAvailable()
+    val rows = spark.table("sessions_done").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+    assert(rows.head.getAs[Double]("total_value") == 5.0)
+    assert(rows.head.getAs[Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+    assert(rows.head.getAs[Timestamp]("session_end") == t("2024-01-01 10:05:00"))
   }
 
   test("flatMapGroupsWithState variant runs and emits updates (timeout path compiles+executes)") {
