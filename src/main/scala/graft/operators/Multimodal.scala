@@ -56,6 +56,45 @@ object Multimodal {
     out.map(_ / 1000003.0)
   }
 
+  /** ======= STUB =======
+    * "Resize": a real implementation decodes, resamples, and re-encodes the
+    * image/audio payload; the fake derives a deterministic `targetBytes`
+    * payload by cycling the input. The plumbing contract — binary in,
+    * binary out, bounded output size — is the real part.
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (bytes.isEmpty) new Array[Byte](targetBytes)
+    else Array.tabulate(targetBytes)(i => bytes(i % bytes.length))
+  }
+
+  /** ======= STUB =======
+    * "Frame sampling": a real implementation pulls every k-th video frame /
+    * audio window; the fake slices the payload into `frameSize`-byte chunks
+    * and keeps every `stride`-th chunk. Output schema (media_id, frame_idx,
+    * frame binary) is the real contract — one row per sampled frame, ready
+    * to fan out to per-frame feature extraction.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Par.fanOut(media.select(col("media_id"), col("mime"), col("media"))).as[MediaRow]
+      .flatMap { r =>
+        r.media.grouped(frameSize).zipWithIndex
+          .collect { case (chunk, idx) if idx % stride == 0 =>
+            (r.media_id, idx.toLong, chunk) }
+      }
+      .toDF("media_id", "frame_idx", "frame")
+  }
+
+  /** Batched "resize" over the binary column (stub codec, real dataflow). */
+  def resizeAll(media: DataFrame, targetBytes: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Par.fanOut(media.select(col("media_id"), col("mime"), col("media"))).as[MediaRow]
+      .map(r => (r.media_id, r.mime, resizeStub(r.media, targetBytes)))
+      .toDF("media_id", "mime", "media")
+  }
+
   /** Batched per-partition feature extraction over the binary column. */
   def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession

@@ -65,6 +65,53 @@ object Similarity {
       .withColumn("bucket", bucket)
   }
 
+  /** Deterministic pseudo-centroids for IVF (fixed seed, unit-normalized). */
+  private def centroids(k: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(7L)
+    Seq.fill(k) {
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** IVF-flat ANN: vectors are assigned to their nearest of `k` centroids
+    * (one list per centroid); a query probes its `nProbe` nearest lists and
+    * scores only those vectors exactly. The complementary trade-off to
+    * hyperplane LSH: one bucket per vector (minimal index size, one shuffle
+    * key per row) vs LSH's L-fold replication for recall. Real IVF learns
+    * centroids with k-means; fixed seeded centroids keep the operator
+    * deterministic, and the assignment/probe dataflow — the part that has
+    * to scale — is identical.
+    */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, kResults: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cs = centroids(nCentroids, 64)
+    val csLit = typedlit(cs)
+    // nearest-centroid id via one pass over the centroid literal array
+    def nearest(v: org.apache.spark.sql.Column) = {
+      val scored = (0 until nCentroids).map { c =>
+        struct(dot(v, element_at(csLit, c + 1)).as("s"), lit(c).as("c"))
+      }
+      element_at(sort_array(array(scored: _*), asc = false), 1).getField("c")
+    }
+    val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .withColumn("list_id", nearest(col("v")))
+    val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    // the query's nProbe nearest lists, computed once from its vector
+    val probeLists = e.filter(col("vec_id") === queryVecId)
+      .select(explode(slice(sort_array(array((0 until nCentroids).map { c =>
+        struct(dot(col("v"), element_at(csLit, c + 1)).as("s"), lit(c).as("c"))
+      }: _*), asc = false), 1, nProbe).getField("c")).as("probe_list"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probeLists), col("list_id") === col("probe_list"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_raw", cosine(col("v"), col("qv")))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(kResults)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** ANN top-k for one query vector: union of same-bucket candidates over L
     * tables, then exact cosine on candidates only.
     */

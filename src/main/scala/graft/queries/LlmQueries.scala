@@ -114,6 +114,23 @@ object LlmQueries {
       "LSH ANN top-10 (32 tables × 6 hyperplane bits); recall vs exact top-k proven in ScalaTest"),
 
     Q(
+      "q63_ivf_topk",
+      (s, d) => Similarity.ivfTopK(embeddings(s, d), queryVecId = 0L, kResults = 10),
+      None,
+      "IVF-flat ANN (16 lists, probe 4): complementary index family to hyperplane LSH; recall floor in ScalaTest"),
+
+    Q(
+      "q64_media_frames",
+      (s, d) =>
+        Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(documents(s, d)))
+          .select(col("media_id"), col("frame_idx"),
+            octet_length(col("frame")).cast("long").as("frame_bytes"))
+          .orderBy(col("media_id"), col("frame_idx")),
+      None,
+      "frame sampling plumbing: one row per sampled chunk of the media payload (stub codec)"),
+
+    Q(
       "q38_docs_langid",
       (s, d) =>
         TextAnalysis.withLangId(documents(s, d))

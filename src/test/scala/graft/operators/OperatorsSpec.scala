@@ -48,6 +48,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall too low: $recall") // 32 tables x 6 bits
   }
 
+  test("IVF top-k: valid results with usable recall; probing fewer lists than exist") {
+    val exact = graft.queries.Registry.byName("q29_cosine_topk")
+      .fn(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert(!ivf.contains(0L))
+    val recall = (ivf intersect exact).size / 10.0
+    assert(recall >= 0.2, s"IVF recall too low: $recall") // 4 of 16 lists probed
+  }
+
+  test("frame sampling emits every stride-th fixed-size chunk; resize bounds payloads") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 2)
+    val byDoc = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = docs.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, n) =>
+      val chunks = (lens(id) + 63) / 64
+      assert(n == (chunks + 1) / 2, s"doc $id: $n frames for ${lens(id)} bytes")
+    }
+    val resized = Multimodal.resizeAll(media, targetBytes = 128)
+    val sizes = resized.select(octet_length(col("media"))).distinct().collect()
+    assert(sizes.map(_.getInt(0)).toSeq == Seq(128))
+  }
+
   test("language ID identifies hand-written multilingual samples") {
     import spark.implicits._
     val samples = Seq(
