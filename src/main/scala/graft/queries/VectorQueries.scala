@@ -30,6 +30,31 @@ object VectorQueries {
       "per-vector L2 norm — validates the double-fold parity with DuckDB"),
 
     Q(
+      "q65_array_ops",
+      (s, d) =>
+        embeddings(s, d)
+          .select(
+            col("vec_id"),
+            element_at(slice(col("embedding"), 1, 3), 1).as("e1"),
+            element_at(slice(col("embedding"), 1, 3), 3).as("e3"),
+            array_max(col("embedding")).as("max_elem"),
+            array_min(col("embedding")).as("min_elem"),
+            size(filter(col("embedding"), x => x > 0)).cast("long").as("n_positive"),
+            element_at(col("embedding"), -1).as("last_elem"))
+          .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+             |  embedding[1:3][1] AS e1,
+             |  embedding[1:3][3] AS e3,
+             |  list_max(embedding) AS max_elem,
+             |  list_min(embedding) AS min_elem,
+             |  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+             |  embedding[-1] AS last_elem
+             |FROM embeddings
+             |ORDER BY vec_id""".stripMargin),
+      "array function family: slice/element_at/min/max/filter/negative-index over float vectors " +
+        "(no arithmetic → exact parity; scalar outputs so the hash compare never sees array cells)"),
+
+    Q(
       "q29_cosine_topk",
       (s, d) => {
         val emb = embeddings(s, d)
