@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support: pre-shuffling a fact table into N buckets on its
+  * join key at write time so every later join/aggregation on that key runs
+  * WITHOUT a shuffle — the standard 100 TB lever for repeatedly-joined
+  * tables (pay the shuffle once at ingest, never again).
+  *
+  * Bucketing requires the table catalog (bucket metadata lives there), so
+  * these are `saveAsTable` writes with an explicit filesystem `path`.
+  */
+object Bucketing {
+
+  /** Write `df` as a parquet table bucketed (and sorted) by `keyCol`. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      keyCol: String, nBuckets: Int = 8): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(tableName)
+
+  /** Join two tables bucketed on the same key with the same bucket count:
+    * plans as a sort-merge join with NO exchange on either side.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable),
+        spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+}
