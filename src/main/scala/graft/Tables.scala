@@ -30,6 +30,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Register every testdata table as a temp view so the full engine
+    * surface is reachable through plain `spark.sql(...)` — the DataFrame
+    * queries and SQL resolve to identical Catalyst plans.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    (starTables ++ Seq("documents", "embeddings"))
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
   /** events with `ts` as TIMESTAMP_NTZ (µs, UTC wall clock). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -35,13 +35,30 @@ object StreamIngest {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** ST2: streaming scan of the inbox directory. */
+  /** ST2: streaming scan of the inbox directory. PERMISSIVE parsing with a
+    * `_corrupt_record` capture column: a malformed line lands as one row
+    * with the raw text preserved and typed columns NULL, instead of killing
+    * the stream — callers route `_corrupt_record IS NOT NULL` rows to a
+    * quarantine sink (the streaming face of the DQ gate).
+    */
   def readInbox(spark: SparkSession, inbox: String): DataFrame =
     spark.readStream
-      .schema(inboxSchema)
+      .schema(inboxSchema.add("_corrupt_record", StringType))
       .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(inbox)
       .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  /** Split a permissively-parsed stream into (clean, quarantine). The
+    * quarantine side keeps `event_id` alongside the raw line: Spark
+    * disallows plans whose only referenced source column is the internal
+    * corrupt-record column.
+    */
+  def quarantineCorrupt(df: DataFrame): (DataFrame, DataFrame) = (
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    df.filter(col("_corrupt_record").isNotNull)
+      .select(col("event_id"), col("_corrupt_record").as("raw_line")))
 
   /** ST3: tumbling event-time window aggregation with a watermark. */
   def tumblingCounts(events: DataFrame,

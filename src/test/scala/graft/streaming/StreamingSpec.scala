@@ -121,6 +121,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 2L)
   }
 
+  test("malformed inbox lines are quarantined, not fatal (PERMISSIVE + corrupt column)") {
+    val inbox = tmp("graft_inbox_bad")
+    val ev = graft.Tables.events(spark, sf0001).limit(50)
+    InboxGenerator.generate(ev, inbox, n = 1)
+    // corrupt batch: a schema-violating line among valid ones
+    Files.writeString(new java.io.File(s"$inbox/batch_bad.csv").toPath,
+      "event_id,ts,user_id,event_type,value\n" +
+        "9001,2024-01-09 10:00:00.000000,5,view,1.5\n" +
+        "not_a_number,garbage,xx,oops,NaNope\n" +
+        "9002,2024-01-09 10:01:00.000000,6,click,2.5\n")
+    val (clean, bad) = StreamIngest.quarantineCorrupt(StreamIngest.readInbox(spark, inbox))
+    val out = tmp("graft_quarantine")
+    val q1 = clean.writeStream.format("parquet")
+      .option("path", s"$out/clean").option("checkpointLocation", s"$out/c1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q2 = bad.writeStream.format("parquet")
+      .option("path", s"$out/bad").option("checkpointLocation", s"$out/c2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination(); q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/clean").count() == 52L) // 50 + 2 valid
+    val badRows = spark.read.parquet(s"$out/bad").collect()
+    assert(badRows.length == 1)
+    assert(badRows.head.getAs[String]("raw_line").startsWith("not_a_number"))
+  }
+
   test("stream-stream join pairs purchases with same-user errors in the prior hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
