@@ -87,6 +87,20 @@ object DqChecks {
     path
   }
 
+  /** Structural DQ beyond row predicates: key-uniqueness violations
+    * (count − countDistinct, one agg pass).
+    */
+  def uniquenessViolations(df: DataFrame, key: String): DataFrame =
+    df.agg((count(col(key)) - countDistinct(col(key))).as(s"n_dup_$key"))
+
+  /** Referential integrity: child rows whose FK has no parent PK
+    * (left-anti join, counted).
+    */
+  def orphanCount(child: DataFrame, parent: DataFrame,
+      fk: String, pk: String, name: String): DataFrame =
+    child.join(parent, col(fk) === col(pk), "left_anti")
+      .agg(count(lit(1)).as(name))
+
   /** Full stage: contract → single-pass eval → artifact → optional cleaned
     * silver (`dq_checks.py:102-114`). Returns the report; the exit-code
     * policy (O4) is the Runner's job.

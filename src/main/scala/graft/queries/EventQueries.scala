@@ -113,6 +113,27 @@ object EventQueries {
       "tumbling event-time buckets — batch twin of the streaming windowed agg (ST3)"),
 
     Q(
+      "q66_dq_structural",
+      (s, d) => {
+        import graft.pipeline.DqChecks
+        val dupEvents = DqChecks.uniquenessViolations(events(s, d), "event_id")
+        val orphanOrders = DqChecks.orphanCount(
+          graft.Tables.orders(s, d), graft.Tables.customer(s, d),
+          "o_custkey", "c_custkey", "n_orphan_orders")
+        val orphanLines = DqChecks.orphanCount(
+          graft.Tables.lineitem(s, d), graft.Tables.orders(s, d),
+          "l_orderkey", "o_orderkey", "n_orphan_lineitems")
+        dupEvents.crossJoin(orphanOrders).crossJoin(orphanLines)
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(event_id) - count(DISTINCT event_id) FROM events) AS BIGINT) AS n_dup_event_id,
+             |  CAST((SELECT count(*) FROM orders o
+             |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphan_orders,
+             |  CAST((SELECT count(*) FROM lineitem l
+             |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphan_lineitems""".stripMargin),
+      "structural DQ: key uniqueness + referential integrity (anti-join orphan counts)"),
+
+    Q(
       "q23_events_props",
       (s, d) =>
         events(s, d)

@@ -97,6 +97,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(nClean + nViol == 1000L)
   }
 
+  test("structural DQ: uniqueness and referential integrity are clean on testdata") {
+    val row = graft.queries.Registry.byName("q66_dq_structural")
+      .fn(spark, sf0001).collect()(0)
+    assert(row.getAs[Long]("n_dup_event_id") == 0L)
+    assert(row.getAs[Long]("n_orphan_orders") == 0L)
+    assert(row.getAs[Long]("n_orphan_lineitems") == 0L)
+    // and the operators actually detect violations on corrupted data
+    import spark.implicits._
+    val dup = Seq(1L, 1L, 2L).toDF("event_id")
+    assert(DqChecks.uniquenessViolations(dup, "event_id")
+      .collect()(0).getLong(0) == 1L)
+    val child = Seq(10L, 99L).toDF("fk")
+    val parent = Seq(10L).toDF("pk")
+    assert(DqChecks.orphanCount(child, parent, "fk", "pk", "n")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("metrics listener records action durations and output rows") {
+    val rec = Metrics.attach(spark)
+    try {
+      graft.Tables.events(spark, sf0001).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (rec.entries.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(rec.entries.nonEmpty)
+      assert(rec.entries.exists(e => e.action == "count" && !e.failed))
+      val path = Files.createTempDirectory("graft_metrics").toString + "/metrics.jsonl"
+      Metrics.dump(rec, path)
+      val body = new String(Files.readAllBytes(java.nio.file.Paths.get(path)))
+      assert(body.contains("\"action\":\"count\""))
+    } finally Metrics.detach(spark, rec)
+  }
+
   test("full runner: stages, logs, artifact, exit codes (run_full_pipeline.ps1)") {
     val cfg = tmpCfg().copy(writeSilver = true,
       thresholds = DqThresholds(earlyDropoff = 0, longDistance = 0,
