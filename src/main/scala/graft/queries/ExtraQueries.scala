@@ -385,6 +385,65 @@ object ExtraQueries {
       "conversion funnel: first signup → first subsequent purchase per user (integer-µs time math)"),
 
     Q(
+      "q67_latest_event_per_user",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type, value
+             |FROM (
+             |  SELECT user_id, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1
+             |ORDER BY user_id""".stripMargin),
+      "CDC-style upsert materialization: latest record per key by event time"),
+
+    Q(
+      "q68_approx_percentiles",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("p50_approx"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"))
+          .orderBy(col("l_returnflag")),
+      None,
+      "approx_percentile (at-scale sketch) beside the exact value; tolerance proven in ScalaTest"),
+
+    Q(
+      "q69_null_safe_eq",
+      (s, d) => {
+        val withK = events(s, d).select(
+          col("event_id"),
+          when(get_json_object(col("props"), "$.k").cast("long") % 7 === 0, lit(null))
+            .otherwise(get_json_object(col("props"), "$.k").cast("long")).as("k"))
+        withK
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("k") <=> lit(null) || col("k") <= 10)
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""WITH withk AS (
+             |  SELECT event_id,
+             |    CASE WHEN CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) % 7 = 0
+             |         THEN NULL
+             |         ELSE CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) END AS k
+             |  FROM events)
+             |SELECT k, count(*) AS n
+             |FROM withk
+             |GROUP BY k
+             |HAVING k IS NOT DISTINCT FROM NULL OR k <= 10
+             |ORDER BY k ASC NULLS FIRST""".stripMargin),
+      "null-safe equality (<=> / IS NOT DISTINCT FROM) and NULLS FIRST ordering with a NULL group"),
+
+    Q(
       "q54_props_by_type",
       (s, d) =>
         events(s, d)

@@ -46,6 +46,17 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within 2% of exact (q68)") {
+    val rows = graft.queries.Registry.byName("q68_approx_percentiles")
+      .fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("p50_approx")
+      val exact = r.getAs[Double]("p50_exact")
+      assert(math.abs(approx - exact) / exact <= 0.02, s"$approx vs $exact")
+    }
+  }
+
   test("hash-based exact dedup equals text-based dedup (q56 vs q24)") {
     val byText = graft.queries.Registry.byName("q24_docs_dedup_exact")
       .fn(spark, sf0001).select("keep_id", "n_copies").collect()
