@@ -33,8 +33,13 @@ def normalize(df):
         # unify datetime-ish / date representations for comparison
         if str(s.dtype).startswith("datetime64"):
             df[c] = s.astype("datetime64[us]")
-        elif s.dtype == object and len(s) and s.map(lambda v: hasattr(v, "isoformat"), na_action="ignore").all():
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object and len(s):
+            head = s.iloc[0]
+            if hasattr(head, "isoformat"):
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            elif hasattr(head, "__len__") and not isinstance(head, (str, bytes)):
+                # array cells (list/ndarray) -> tuples so == compares by value
+                df[c] = s.map(lambda v: tuple(v) if v is not None else None)
     return df
 
 
