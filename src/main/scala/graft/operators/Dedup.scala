@@ -120,7 +120,15 @@ object Dedup {
       k: Int = 128, bands: Int = 32, n: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = minhashSignatures(docs, k, n)
+    // ONE grouped pass computes both the minhash signature and the sorted
+    // shingle set per doc: every downstream branch (banding + two candidate
+    // joins) then shares an identical agg subtree, so ReuseExchange dedupes
+    // the underlying scan+shuffle instead of recomputing the index 3x.
+    val mins = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+    val aggd = shingleIndex(docs, n).groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+ sort_array(collect_set(col("sh"))).as("shs")): _*)
+    val sigs = aggd.select(col("doc_id"),
+      array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
     // explode the band index (trivial generator), then slice+hash one band
     // per row — see withLshBuckets for the computed-array Generate pitfall
     val banded = sigs
@@ -134,9 +142,8 @@ object Dedup {
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // verify candidates with the exact measure: sorted shingle-hash sets
-    // rejoin by doc_id, intersection on long arrays
-    val sets = shingleIndex(docs, n).groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    // from the same shared agg, intersection on long arrays
+    val sets = aggd.select(col("doc_id"), col("shs"))
     cand
       .join(sets.toDF("doc_a", "sh_a"), "doc_a")
       .join(sets.toDF("doc_b", "sh_b"), "doc_b")
