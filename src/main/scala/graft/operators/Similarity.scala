@@ -65,6 +65,32 @@ object Similarity {
       .withColumn("bucket", bucket)
   }
 
+  /** Embedding-cosine near-dup pairs at a threshold, LSH-prefiltered: the
+    * banded self-join surfaces only pairs sharing ≥1 (table, bucket), then
+    * exact cosine filters them — the scale path for corpus-wide cosine
+    * dedup (brute force [[topKPairs]] is the oracle baseline). Recall is
+    * probabilistic in the LSH tables; OperatorsSpec pins a floor against
+    * brute force.
+    */
+  def nearDupPairsLsh(emb: DataFrame, minCos: Double,
+      tables: Int = 32, bits: Int = 6): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val slim = withLshBuckets(emb, tables, bits)
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val cand = slim.toDF("vec_a", "table", "bucket")
+      .join(slim.toDF("vec_b", "table_b", "bucket_b"),
+        col("table") === col("table_b") && col("bucket") === col("bucket_b") &&
+          col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(e.toDF("vec_a", "va", "norm_a"), "vec_a")
+      .join(e.toDF("vec_b", "vb", "norm_b"), "vec_b")
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Deterministic pseudo-centroids for IVF (fixed seed, unit-normalized). */
   private def centroids(k: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new java.util.Random(7L)

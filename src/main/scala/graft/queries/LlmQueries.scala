@@ -114,6 +114,14 @@ object LlmQueries {
       "LSH ANN top-10 (32 tables × 6 hyperplane bits); recall vs exact top-k proven in ScalaTest"),
 
     Q(
+      "q70_emb_neardup_lsh",
+      (s, d) =>
+        Similarity.nearDupPairsLsh(embeddings(s, d), minCos = 0.35)
+          .orderBy(col("vec_a"), col("vec_b")),
+      None,
+      "thresholded embedding-cosine near-dup with LSH prefilter (scale path; recall floor vs brute force in ScalaTest)"),
+
+    Q(
       "q63_ivf_topk",
       (s, d) => Similarity.ivfTopK(embeddings(s, d), queryVecId = 0L, kResults = 10),
       None,

@@ -48,6 +48,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall too low: $recall") // 32 tables x 6 bits
   }
 
+  test("LSH near-dup pairs are a high-recall subset of brute-force pairs at the threshold") {
+    import org.apache.spark.sql.functions._
+    val brute = Similarity.topKPairs(emb, k = 500)
+      .filter(col("cos_sim") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, minCos = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh.subsetOf(brute)) // exact cosine filter → no false positives
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH near-dup recall too low: $recall")
+  }
+
   test("IVF top-k: valid results with usable recall; probing fewer lists than exist") {
     val exact = graft.queries.Registry.byName("q29_cosine_topk")
       .fn(spark, sf0001).collect().map(_.getLong(0)).toSet
