@@ -70,10 +70,20 @@ object BronzeIngest {
       }
     }
 
-  /** K1: round-robin repartition + hive-partitioned parquet write. */
+  /** K1: hive-partitioned parquet write. Round-robin repartition (the
+    * reference default) maximizes write parallelism but each of the N tasks
+    * appends to every open partition (N×|dates| files); repartitioning on
+    * the partition columns writes one file per partition — fewer, larger
+    * files and cheaper commits, at the cost of skew on hot dates (pair with
+    * `maxRecordsPerFile` to re-split those).
+    */
   def write(df: DataFrame, cfg: PipelineConfig): Unit = {
     df.sparkSession.conf.set("spark.sql.files.maxRecordsPerFile", cfg.maxRecordsPerFile)
-    df.repartition(cfg.targetPartitions)
+    val repartitioned =
+      if (cfg.repartitionByPartitionCols)
+        df.repartition(cfg.targetPartitions, cfg.partitionColumns.map(col): _*)
+      else df.repartition(cfg.targetPartitions)
+    repartitioned
       .write.mode(SaveMode.Overwrite)
       .partitionBy(cfg.partitionColumns: _*)
       .parquet(cfg.bronzePath)

@@ -36,6 +36,12 @@ final case class PipelineConfig(
       * legacy tests expect a `year=`/`month=` layout — `test_batch_etl.py:7-11`
       * — supported via Seq("year","month")) */
     partitionColumns: Seq[String] = Seq("event_date"),
+    /** repartition by the partition columns before the bronze write (the
+      * reference's commented alternative, `batch_etl.py:72-73`): one task
+      * per hive partition → one file each, vs round-robin's
+      * tasks×partitions file blowup. Round-robin (false) stays the
+      * reference default. */
+    repartitionByPartitionCols: Boolean = false,
     thresholds: DqThresholds = DqThresholds(),
     /** DQ failure → warn instead of non-zero exit (`dq_checks.py:24`) */
     warnOnly: Boolean = false,

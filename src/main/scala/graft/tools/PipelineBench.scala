@@ -10,9 +10,10 @@ import graft.pipeline._
   */
 object PipelineBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).map(_.toInt).getOrElse(30)
-    val base = args.lift(2).getOrElse("/tmp/graft_pipebench")
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
+    val copies = pos.lift(1).map(_.toInt).getOrElse(30)
+    val base = pos.lift(2).getOrElse("/tmp/graft_pipebench")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -35,7 +36,8 @@ object PipelineBench {
       rawPath = s"$base/raw",
       bronzePath = s"$base/bronze", silverPath = s"$base/silver",
       artifactsDir = s"$base/artifacts", logsDir = s"$base/logs",
-      targetPartitions = 32, shufflePartitions = 32)
+      targetPartitions = 32, shufflePartitions = 32,
+      repartitionByPartitionCols = args.contains("--by-partition"))
     val t0 = System.nanoTime()
     val outcome = Runner.run(spark, cfg)
     val secs = (System.nanoTime() - t0) / 1e9
