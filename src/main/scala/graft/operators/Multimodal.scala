@@ -95,17 +95,33 @@ object Multimodal {
       .toDF("media_id", "mime", "media")
   }
 
-  /** Batched per-partition feature extraction over the binary column. */
-  def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+  /** Batched per-partition feature extraction over the binary column: rows
+    * stream through the partition in fixed-size batches and the codec is
+    * invoked once per BATCH (`decodeBatchStub`), not per row — the shape a
+    * real GPU/native decoder needs (amortized model/codec setup per call).
+    * Batches are iterator-chunked, so only `batchSize` payloads are
+    * resident at once regardless of partition size.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 8,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     Par.fanOut(media.select(col("media_id"), col("mime"), col("media"))).as[MediaRow]
       .mapPartitions { rows =>
-        rows.map { r =>
-          val f = decodeStub(r.media, dim)
-          MediaFeatures(r.media_id, r.mime, r.media.length.toLong, f,
-            math.sqrt(f.map(x => x * x).sum))
+        rows.grouped(batchSize).flatMap { batch =>
+          val feats = decodeBatchStub(batch.map(_.media), dim)
+          batch.lazyZip(feats).map { (r, f) =>
+            MediaFeatures(r.media_id, r.mime, r.media.length.toLong, f,
+              math.sqrt(f.map(x => x * x).sum))
+          }
         }
       }
   }
+
+  /** ======= STUB =======
+    * Batch-decode entry point: a real implementation hands the whole batch
+    * to the codec/accelerator in one call. The fake decodes element-wise.
+    */
+  def decodeBatchStub(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Double]] =
+    batch.map(decodeStub(_, dim))
 }
