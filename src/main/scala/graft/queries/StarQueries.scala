@@ -128,13 +128,16 @@ object StarQueries {
       "q07_customers_without_orders",
       (s, d) =>
         customer(s, d)
-          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin),
-      "left-anti join (NOT EXISTS)"),
+      "left-anti join (NOT EXISTS) — customers with no urgent order (non-empty at every sf)"),
 
     Q(
       "q08_top_orders_per_customer",
@@ -226,16 +229,19 @@ object StarQueries {
       "hierarchical rollup over two broadcast dim joins"),
 
     Q(
-      "q12_nations_customers_only",
-      (s, d) =>
-        customer(s, d).select(col("c_nationkey").as("nationkey"))
-          .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
-          .orderBy(col("nationkey")),
-      Some("""SELECT c_nationkey AS nationkey FROM customer
+      "q12_custkeys_no_big_order",
+      (s, d) => {
+        val o = orders(s, d)
+        o.select(col("o_custkey").as("custkey"))
+          .except(o.filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey").as("custkey")))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders
              |EXCEPT
-             |SELECT s_nationkey AS nationkey FROM supplier
-             |ORDER BY nationkey""".stripMargin),
-      "set op: EXCEPT (distinct semantics)"),
+             |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+             |ORDER BY custkey""".stripMargin),
+      "set op: EXCEPT (distinct semantics) — customers ordering but never above 300k"),
 
     Q(
       "q13_nations_both",
