@@ -39,7 +39,9 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw VecDot.dimensionMismatch(n, y.numElements())
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -55,7 +57,10 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.VecDot.dimensionMismatch($n, $b.numElements());
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += $a.getDouble($i) * $b.getDouble($i);
@@ -67,4 +72,15 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Ragged inputs must fail loudly (DuckDB's list_inner_product errors on
+    * mismatched lengths); silently truncating to min(len) would return a
+    * plausible-but-wrong dot product. Called from both interpreted eval and
+    * the generated Java (via the static forwarder on the companion).
+    */
+  def dimensionMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vec_dot: dimension mismatch ($a vs $b elements)")
 }

@@ -86,10 +86,13 @@ object Dedup {
         |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"""
         .stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // `sizes` is one row per document — corpus-sized, so never force it into
+    // a broadcast (driver OOM at 100 TB). Unhinted: AQE broadcasts it when
+    // it is actually small and shuffle-joins otherwise.
     pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.toDF("doc_a", "na")), "doc_a")
-      .join(broadcast(sizes.toDF("doc_b", "nb")), "doc_b")
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))

@@ -68,8 +68,11 @@ object DqChecks {
     val aggs = rules.map(r => sum(when(r.predicate, 1L).otherwise(0L)).as(r.name)) :+
       count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // sum(when(...)) is NULL over zero rows — getLong would NPE on an empty
+    // micro-batch (e.g. after a streaming checkpoint restart), so null-check
+    // the cell before extracting the primitive.
     val results = rules.zipWithIndex.map { case (r, i) =>
-      RuleResult(r.name, Option(row.getLong(i)).getOrElse(0L), r.threshold)
+      RuleResult(r.name, if (row.isNullAt(i)) 0L else row.getLong(i), r.threshold)
     }
     DqReport(java.time.Instant.now.toString, row.getLong(rules.size), results)
   }

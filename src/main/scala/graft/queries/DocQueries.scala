@@ -74,19 +74,23 @@ object DocQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = documents(s, d)
-        val n = docs.count() // corpus size for idf (driver-side scalar: one count)
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
+        // df_ is vocabulary-sized — unhinted join (AQE decides); the corpus
+        // size for idf is a 1-row agg cross-joined in (always broadcastable,
+        // no driver-side count() action per invocation).
         val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("token"))
-        tf.join(broadcast(df_), "token")
+        tf.join(df_, "token")
+          .crossJoin(broadcast(nDocs))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+            round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
           .orderBy(col("doc_id"), col("rank"))
       },
       Some("""WITH tf AS (

@@ -130,7 +130,7 @@ object ExtraQueries {
              |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
              |  FROM events),
              |flagged AS (
-             |  SELECT user_id, t_us,
+             |  SELECT user_id, event_id, t_us,
              |    CASE WHEN t_us - lag(t_us) OVER w > 1800000000 THEN 1
              |         WHEN lag(t_us) OVER w IS NULL THEN 1
              |         ELSE 0 END AS new_session
@@ -138,8 +138,8 @@ object ExtraQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
              |sessions AS (
              |  SELECT user_id, t_us,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
              |  FROM flagged)
              |SELECT user_id, session_idx, count(*) AS n_events,
              |  CAST((max(t_us) - min(t_us)) // 1000000 AS BIGINT) AS duration_s

@@ -87,7 +87,23 @@ object LlmQueries {
       (s, d) =>
         Dedup.minhashLshPairs(documents(s, d), threshold = 0.8)
           .orderBy(col("doc_a"), col("doc_b")),
-      None,
+      // Same oracle as q30: LSH banding at k=128/32 bands catches a J>=0.8
+      // pair with p ~ 1-2e-7 and candidates are verified with the exact
+      // measure, so the output equals the brute-force exact answer
+      // (ScalaTest additionally pins q34 == q30).
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id,
+             |         list_distinct(list_transform(range(len(t) - 2),
+             |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
+             |       FROM toks),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+             |      / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+             |FROM pairs WHERE j >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin),
       "MinHash(128)+LSH(32 bands) near-dup pairs with exact-Jaccard verification; ScalaTest proves equality with q30"),
 
     Q(
@@ -188,15 +204,24 @@ object LlmQueries {
       (s, d) =>
         graft.operators.Dedup.exactDedupByHash(documents(s, d))
           .orderBy(col("keep_id")),
-      None,
+      // Oracle groups by the text itself: identical answer unless a 64-bit
+      // hash+length collision merges distinct docs (odds ~n²/2⁶⁵; the
+      // ScalaTest q56==q24 equality pins the same fact).
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents
+             |GROUP BY text
+             |ORDER BY keep_id""".stripMargin),
       "exact dedup scale path: 12-byte (hash,len) shuffle key instead of the document body; equals q24 in ScalaTest"),
 
     Q(
       "q41_docs_sketch",
       (s, d) =>
+        // Serialized to one scalar string per doc: the driver's pandas-side
+        // hash compare cannot sort array cells (Registry parity rule).
         TextAnalysis.withSketch(documents(s, d))
-          .select(col("doc_id"), col("sketch"))
+          .select(col("doc_id"),
+            concat_ws("_", col("sketch").cast("array<string>")).as("sketch"))
           .orderBy(col("doc_id")),
       None,
-      "winnowing-style min-hash sketch (k smallest 4-gram hashes) per doc"))
+      "winnowing-style min-hash sketch (k smallest 4-gram hashes) per doc, serialized scalar"))
 }

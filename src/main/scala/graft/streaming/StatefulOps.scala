@@ -86,7 +86,10 @@ object StatefulOps {
             batch.sortBy(_._1).foreach { case (us, v) =>
               cur match {
                 case Some(s) if us - s.endUs <= gapMicros =>
-                  cur = Some(SessionState(s.startUs, math.max(s.endUs, us), s.n + 1, s.total + v))
+                  // min on start: a late-but-in-watermark row from an earlier
+                  // micro-batch can precede the stored session start.
+                  cur = Some(SessionState(math.min(s.startUs, us),
+                    math.max(s.endUs, us), s.n + 1, s.total + v))
                 case Some(s) =>
                   closed += CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total)
                   cur = Some(SessionState(us, us, 1L, v))
@@ -96,7 +99,13 @@ object StatefulOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endUs / 1000 + gapMicros / 1000)
+              // EventTimeTimeout requires a timestamp strictly beyond the
+              // current watermark; end+gap can be behind it when the batch
+              // carried only late rows — clamp so the set never throws (the
+              // session then closes on the next watermark advance).
+              state.setTimeoutTimestamp(math.max(
+                s.endUs / 1000 + gapMicros / 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

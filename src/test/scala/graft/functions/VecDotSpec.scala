@@ -21,16 +21,24 @@ class VecDotSpec extends AnyFunSuite {
     }
   }
 
-  test("VecDot handles nulls and length mismatches") {
+  test("VecDot handles nulls and rejects ragged inputs") {
     import spark.implicits._
-    val df = Seq(
+    val ok = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
-      (None, Some(Seq(1.0))),
-      (Some(Seq(1.0, 2.0, 99.0)), Some(Seq(5.0, 6.0)))).toDF("a", "b")
-    val out = df.select(dot(col("a"), col("b"))).collect()
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+    val out = ok.select(dot(col("a"), col("b"))).collect()
     assert(out(0).getDouble(0) == 11.0)
     assert(out(1).isNullAt(0))
-    assert(out(2).getDouble(0) == 17.0) // min-length semantics
+    // dimension mismatch must fail loudly (DuckDB list_inner_product
+    // errors too), never silently truncate to min-length
+    val ragged = Seq((Seq(1.0, 2.0, 99.0), Seq(5.0, 6.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(dot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))))
   }
 
   test("vec_dot is callable from SQL after extension registration") {

@@ -88,6 +88,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.total == 1000L)
   }
 
+  test("DQ evaluate survives an empty DataFrame (empty micro-batch after restart)") {
+    val ev = graft.Tables.events(spark, sf0001).filter(lit(false))
+    val rules = DqChecks.eventRules(DqThresholds())
+    val report = DqChecks.evaluate(ev, rules) // sum(when) is NULL over 0 rows — must not NPE
+    assert(report.total == 0L)
+    assert(report.results.forall(_.violations == 0L))
+    assert(report.passed)
+  }
+
   test("clean + distinct violations partition the input (F6 algebra)") {
     val ev = graft.Tables.events(spark, sf0001)
     val rules = DqChecks.eventRules(DqThresholds())

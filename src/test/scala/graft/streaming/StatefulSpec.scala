@@ -61,6 +61,36 @@ class StatefulSpec extends AnyFunSuite {
     assert(rows.head.getAs[Timestamp]("session_end") == t("2024-01-01 10:05:00"))
   }
 
+  test("out-of-order in-watermark rows lower session_start on merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    def t(s: String) = Timestamp.valueOf(s)
+    // generous watermark delay so the second (earlier) event is still
+    // admitted a batch after the session was opened at a later timestamp
+    val q = StatefulOps.completedSessions(df, gap = "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    mem.addData((1L, t("2024-01-01 10:05:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 10:00:30"), 3.0)) // earlier than stored start
+    q.processAllAvailable()
+    // advance the watermark far past end+gap, then one more batch to flush
+    mem.addData((9L, t("2024-01-01 14:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((9L, t("2024-01-01 14:01:00"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_ooo").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Timestamp]("session_start") == t("2024-01-01 10:00:30"))
+    assert(rows.head.getAs[Timestamp]("session_end") == t("2024-01-01 10:05:00"))
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+    assert(rows.head.getAs[Double]("total_value") == 5.0)
+  }
+
   test("flatMapGroupsWithState variant runs and emits updates (timeout path compiles+executes)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
