@@ -40,12 +40,21 @@ object Runner {
     path
   }
 
+  val stageNames: Seq[String] = Seq("bronze", "silver", "dq")
+
   /** Run bronze → silver → DQ with fail-fast (O2 ordering:
     * `run_full_pipeline.ps1:139-165` runs ETL → DQ → optional silver; we
     * keep silver before DQ so DQ can gate the final table, and honor
     * `writeSilver` for the cleaned post-DQ copy exactly like `--write-silver`).
+    *
+    * `only` restricts execution to a single named stage so an external
+    * scheduler (O3, `dags/graft_etl_daily.py`) can run each stage as its own
+    * `spark-submit` task with a process boundary — stages communicate purely
+    * through the bronze/silver paths on storage, so this is safe.
     */
-  def run(spark: SparkSession, cfg: PipelineConfig): PipelineOutcome = {
+  def run(spark: SparkSession, cfg: PipelineConfig,
+      only: Option[String] = None): PipelineOutcome = {
+    only.foreach(s => require(stageNames.contains(s), s"unknown stage: $s"))
     spark.conf.set("spark.sql.shuffle.partitions", cfg.shufflePartitions)
     spark.conf.set("spark.sql.files.maxPartitionBytes", cfg.maxPartitionBytes)
 
@@ -71,15 +80,19 @@ object Runner {
       }
     }
 
+    def wanted(name: String)(body: => Map[String, Long]): Boolean =
+      if (only.exists(_ != name)) true // not selected: skip without failing the chain
+      else step(name)(body)
+
     val ok =
-      step("bronze") {
+      wanted("bronze") {
         val raw = graft.Tables.events(spark, cfg.rawPath)
         BronzeIngest.run(raw, cfg)
       } &&
-      step("silver") {
+      wanted("silver") {
         SilverClean.run(spark, cfg)
       } &&
-      step("dq") {
+      wanted("dq") {
         val silver = spark.read.parquet(cfg.silverPath)
         val report = DqChecks.run(silver, cfg)
         dqReport = Some(report)
@@ -87,6 +100,7 @@ object Runner {
           report.results.map(r => r.name -> r.violations).toMap
       }
 
-    PipelineOutcome(stages.toSeq, if (ok) None else Some(stages.last.name), dqReport)
+    PipelineOutcome(stages.toSeq,
+      if (ok || stages.isEmpty) None else Some(stages.last.name), dqReport)
   }
 }

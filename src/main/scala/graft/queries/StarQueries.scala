@@ -82,8 +82,11 @@ object StarQueries {
     Q(
       "q04_brand_volume",
       (s, d) =>
+        // part scales with SF (unlike region/nation), so no forced broadcast
+        // hint: AQE broadcasts it while it fits autoBroadcastJoinThreshold
+        // and falls back to a shuffle join at scale.
         lineitem(s, d)
-          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(part(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
             round(sum(col("l_quantity")), 2).as("sum_qty"),

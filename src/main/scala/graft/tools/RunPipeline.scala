@@ -7,11 +7,16 @@ import graft.pipeline._
   * bronze (partitioned) → silver (trim/audit) → DQ gate, with per-stage
   * logs, a JSON DQ artifact, and the reference's exit-code policy.
   *
-  * Usage: runMain graft.tools.RunPipeline <sfDir> <outBase> [--warn-only] [--write-silver]
+  * Usage: runMain graft.tools.RunPipeline <sfDir> <outBase>
+  *          [--warn-only] [--write-silver] [--stage=bronze|silver|dq]
+  *
+  * `--stage` runs exactly one stage (for external schedulers that want a
+  * process boundary per task — see `dags/graft_etl_daily.py`).
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
+    val stage = args.collectFirst { case a if a.startsWith("--stage=") => a.stripPrefix("--stage=") }
     val sfDir = positional.lift(0).getOrElse("/root/testdata/sf0.001")
     val base  = positional.lift(1).getOrElse("/tmp/graft_pipeline")
     val cfg = PipelineConfig(
@@ -30,7 +35,7 @@ object RunPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val outcome = Runner.run(spark, cfg)
+    val outcome = Runner.run(spark, cfg, stage)
     outcome.stages.foreach { s =>
       println(f"stage=${s.name}%-8s ${s.seconds}%6.2fs ${s.metrics.map { case (k, v) => s"$k=$v" }.mkString(" ")} log=${s.logPath}")
     }

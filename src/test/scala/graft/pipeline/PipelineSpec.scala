@@ -161,4 +161,21 @@ class PipelineSpec extends AnyFunSuite {
     // cleaned silver written behind the flag (dq_checks.py:102-114)
     assert(new java.io.File(cfg.silverPath + "_clean").exists())
   }
+
+  test("single-stage runs compose into the full pipeline (O3 DAG task boundaries)") {
+    val cfg = tmpCfg()
+    // three separate invocations, as dags/graft_etl_daily.py schedules them —
+    // stages hand off purely through the bronze/silver paths
+    for (stage <- Runner.stageNames) {
+      val outcome = Runner.run(spark, cfg, only = Some(stage))
+      assert(outcome.stages.map(_.name) == Seq(stage))
+      assert(outcome.failedStage.isEmpty, s"stage $stage failed")
+    }
+    // the final dq-only run produced a report over the silver built earlier
+    val lastDq = Runner.run(spark, cfg, only = Some("dq"))
+    assert(lastDq.dqReport.exists(_.total == 1000L))
+    intercept[IllegalArgumentException] {
+      Runner.run(spark, cfg, only = Some("nope"))
+    }
+  }
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.SparkTestSession.{spark, sf0001}
+
+/** Scale guards over EVERY registered query: plan shapes that are fine at
+  * sf0.01 but fatal at 100 TB must not creep in. Correctness tests can't
+  * catch these — the answer stays right while the plan goes O(n²) or the
+  * driver OOMs on a forced broadcast. A failure here means a new/edited
+  * query needs a scale-safe rewrite or an explicit, documented exemption.
+  */
+class ScaleGuardSpec extends AnyFunSuite {
+
+  /** Queries allowed to plan a cartesian/nested-loop join, with the reason
+    * each one is bounded. Two legitimate classes: documented brute-force
+    * oracle baselines (scale path exists as a separate query), and
+    * cross-joins of provably tiny frames (1-row aggregates / single-vector
+    * lookups) that Spark necessarily plans as BroadcastNestedLoopJoin.
+    */
+  private val nestedLoopExempt: Map[String, String] = Map(
+    "q29_cosine_topk" -> "brute-force oracle baseline (scale paths: q37/q63)",
+    "q33_emb_neardup_pairs" -> "brute-force oracle baseline (scale path: q70)",
+    "q37_ann_topk" -> "cross-join of the 1-row query vector",
+    "q63_ivf_topk" -> "cross-joins of the 1-row query vector / <=nProbe list ids",
+    "q52_above_average_orders" -> "cross-join of a 1-row global-average aggregate",
+    "q61_tfidf_top_terms" -> "cross-join of the 1-row corpus-size aggregate",
+    "q66_dq_structural" -> "cross-joins of 1-row count aggregates")
+
+  /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
+    * the only relations a query may force-broadcast unconditionally.
+    */
+  private val constantTables = Set("region", "nation")
+
+  private def analyzed(q: Q): LogicalPlan =
+    q.fn(spark, sf0001).queryExecution.analyzed
+
+  private def physical(q: Q): String =
+    q.fn(spark, sf0001).queryExecution.executedPlan.toString
+
+  /** A forced-broadcast subtree is bounded iff it is a no-grouping (1-row)
+    * aggregate, a global limit, a single-key literal lookup, or reads only
+    * constant-cardinality tables.
+    */
+  private def isBoundedSubtree(p: LogicalPlan): Boolean = {
+    val oneRowAgg = p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.isDefined
+    val limited = p.collectFirst { case l: GlobalLimit => l }.isDefined
+    val keyLookup = p.collectFirst {
+      case f: Filter if f.condition.exists {
+        // literal may sit under a cast — foldable covers both
+        case EqualTo(a, b) => a.foldable || b.foldable
+        case _ => false
+      } => f
+    }.isDefined
+    val tables = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSet
+        case _ => Set("<non-file-relation>")
+      }
+    }.flatten.toSet
+    oneRowAgg || limited || keyLookup ||
+      (tables.nonEmpty && tables.subsetOf(constantTables))
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = Registry.all.filter(q => physical(q).contains("CartesianProduct"))
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.map(_.name).mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin only in documented baselines / 1-row cross-joins") {
+    val offenders = Registry.all.filter { q =>
+      physical(q).contains("BroadcastNestedLoopJoin") && !nestedLoopExempt.contains(q.name)
+    }
+    assert(offenders.isEmpty,
+      s"undocumented nested-loop join in: ${offenders.map(_.name).mkString(", ")}")
+  }
+
+  test("forced broadcast hints only ever wrap bounded-size inputs") {
+    val offenders = Registry.all.flatMap { q =>
+      val hints = analyzed(q).collect { case h: ResolvedHint => h }
+      hints.filterNot(h => isBoundedSubtree(h.child)).map(h => (q.name, h))
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, h) =>
+        s"$n force-broadcasts an unbounded subtree:\n${h.child.toString.take(500)}"
+      }.mkString("\n"))
+  }
+}
