@@ -46,4 +46,11 @@ final case class PipelineConfig(
     /** DQ failure → warn instead of non-zero exit (`dq_checks.py:24`) */
     warnOnly: Boolean = false,
     /** write cleaned silver after DQ (`dq_checks.py:25`) */
-    writeSilver: Boolean = false)
+    writeSilver: Boolean = false,
+    /** write the gold daily summary after DQ passes (medallion layer the
+      * reference names in README.md:81 but ships no code for; off by
+      * default to keep reference stage parity) */
+    writeGold: Boolean = false) {
+  /** Gold lives beside silver (mirrors the `_clean` convention). */
+  def goldPath: String = silverPath + "_gold"
+}

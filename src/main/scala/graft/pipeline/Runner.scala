@@ -40,7 +40,7 @@ object Runner {
     path
   }
 
-  val stageNames: Seq[String] = Seq("bronze", "silver", "dq")
+  val stageNames: Seq[String] = Seq("bronze", "silver", "dq", "gold")
 
   /** Run bronze → silver → DQ with fail-fast (O2 ordering:
     * `run_full_pipeline.ps1:139-165` runs ETL → DQ → optional silver; we
@@ -98,6 +98,15 @@ object Runner {
         dqReport = Some(report)
         Map("total" -> report.total) ++
           report.results.map(r => r.name -> r.violations).toMap
+      } && {
+        // gold is opt-in for the full chain (reference stage parity) and
+        // gated on DQ: a failed gate skips publication without overriding
+        // DQ's own exit code. Explicit --stage=gold always runs (the
+        // external scheduler already gated on dq's exit code).
+        val enabled = cfg.writeGold || only.nonEmpty
+        val gateOk = only.nonEmpty || dqReport.forall(_.passed) || cfg.warnOnly
+        if (!enabled || !gateOk) true
+        else wanted("gold") { GoldAggregate.run(spark, cfg) }
       }
 
     PipelineOutcome(stages.toSeq,

@@ -145,5 +145,23 @@ object EventQueries {
              |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
              |FROM events
              |ORDER BY event_id""".stripMargin),
-      "semi-structured extraction from the props JSON string (FIXTURES.md B)"))
+      "semi-structured extraction from the props JSON string (FIXTURES.md B)"),
+
+    Q(
+      "q71_gold_daily_summary",
+      (s, d) =>
+        graft.pipeline.GoldAggregate.dailySummary(
+          events(s, d).select(
+            to_date(col("ts")).as("event_date"),
+            col("event_type"), col("user_id"), col("value")))
+          .orderBy(col("event_date"), col("event_type")),
+      Some("""SELECT CAST(ts AS DATE) AS event_date, event_type,
+             |  count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  round(sum(value), 2) AS total_value,
+             |  round(avg(value), 4) AS avg_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY event_date, event_type""".stripMargin),
+      "gold layer: daily per-type consumption aggregates (medallion layer from reference README.md:81)"))
 }

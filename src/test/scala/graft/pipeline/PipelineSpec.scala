@@ -162,6 +162,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(new java.io.File(cfg.silverPath + "_clean").exists())
   }
 
+  test("gold layer: written after a passing DQ gate, skipped after a failing one") {
+    val pass = DqThresholds(negativeValues = 10000, earlyDropoff = 10000,
+      longDistance = 10000, invalidPassengers = 10000)
+    val cfgOk = tmpCfg().copy(writeGold = true, thresholds = pass)
+    val okOutcome = Runner.run(spark, cfgOk)
+    assert(okOutcome.stages.map(_.name) == Seq("bronze", "silver", "dq", "gold"))
+    assert(okOutcome.exitCode(warnOnly = false) == 0)
+    val gold = spark.read.parquet(cfgOk.goldPath)
+    assert(gold.columns.sorted.toSeq ==
+      Seq("avg_value", "event_date", "event_type", "n_events", "n_users", "total_value"))
+    assert(gold.count() > 0)
+    // one partition dir per event_date → daily overwrite + consumer pruning
+    assert(new java.io.File(cfgOk.goldPath).listFiles()
+      .exists(_.getName.startsWith("event_date=")))
+
+    val cfgBad = tmpCfg().copy(writeGold = true,
+      thresholds = DqThresholds(0, 0, 0, 0))
+    val badOutcome = Runner.run(spark, cfgBad)
+    assert(badOutcome.stages.map(_.name) == Seq("bronze", "silver", "dq"))
+    assert(badOutcome.exitCode(warnOnly = false) == 2) // DQ code not masked
+    assert(!new java.io.File(cfgBad.goldPath).exists())
+  }
+
   test("single-stage runs compose into the full pipeline (O3 DAG task boundaries)") {
     val cfg = tmpCfg()
     // three separate invocations, as dags/graft_etl_daily.py schedules them —
