@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
-  * metadata, processed per-partition in batches. The Spark-side contract —
-  * schema, partitioning, batch iteration, output shape — is real and
-  * tested; the codec call itself is a clearly-marked deterministic STUB
-  * (`decodeStub`) because no image/audio library ships in this container.
-  * Swapping in a real decoder changes one function and nothing else.
+  * metadata, processed per-partition in batches.
+  *
+  * The codec boundary is mime-dispatched: image-mime payloads go through a
+  * REAL decoder (JDK `javax.imageio` — PNG/JPEG/BMP/GIF, no external
+  * dependency) for features and resizing; other mimes (audio/video codecs
+  * don't ship in the JDK or this container) fall back to a clearly-marked
+  * deterministic STUB so the full pipeline shape stays exercised. Swapping
+  * in a real audio/video decoder changes one function and nothing else.
   *
   * 100 TB notes: media bytes dominate row size, so the repartition knob
   * below targets a bytes-per-partition budget (not row count); features
@@ -16,6 +19,10 @@ import org.apache.spark.sql.functions._
   * re-shuffle the binary payload.
   */
 object Multimodal {
+
+  // image decode/encode works headless; force it so executors never probe
+  // for a display
+  sys.props.getOrElseUpdate("java.awt.headless", "true")
 
   final case class MediaRow(media_id: Long, mime: String, media: Array[Byte])
   final case class MediaFeatures(
@@ -38,12 +45,52 @@ object Multimodal {
       targetBytes: Long = 128L << 20): DataFrame =
     media.repartition(math.max(1, (totalBytes / targetBytes).toInt))
 
-  /** ======= STUB =======
-    * Deterministic fake decoder: a real implementation would decode the
-    * image/audio payload here (JNI/codec call — per-partition imperative
-    * work, hence mapPartitions, the documented last-resort tier for native
-    * boundaries). The fake derives `dim` pseudo-features by hashing byte
-    * chunks, so tests exercise the full pipeline shape with stable values.
+  /** Real image decode via the JDK codec registry (PNG/JPEG/BMP/GIF);
+    * None when the payload is not a decodable image.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Real image features: a `dim`-bucket luminance histogram, normalized to
+    * sum 1 — deterministic, resolution-independent, and exactly the shape a
+    * learned embedding would occupy downstream.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer Rec.601 luma in [0, 255]
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        out(lum * dim / 256) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h.toDouble
+    out.map(_ / n)
+  }
+
+  /** Mime-dispatched feature decode: real `javax.imageio` path for images
+    * (stub fallback only if the bytes fail to decode), stub for mimes the
+    * JDK has no codec for.
+    */
+  def decodeMedia(bytes: Array[Byte], mime: String, dim: Int): Array[Double] =
+    if (mime.startsWith("image/"))
+      decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(decodeStub(bytes, dim))
+    else decodeStub(bytes, dim)
+
+  /** ======= STUB (non-image mimes only) =======
+    * Deterministic fake decoder for payloads the JDK cannot decode
+    * (audio/video — those codecs are a JNI boundary this container lacks).
+    * Derives `dim` pseudo-features by hashing byte chunks, so tests
+    * exercise the full pipeline shape with stable values.
     */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
     val out = new Array[Double](dim)
@@ -56,11 +103,26 @@ object Multimodal {
     out.map(_ / 1000003.0)
   }
 
-  /** ======= STUB =======
-    * "Resize": a real implementation decodes, resamples, and re-encodes the
-    * image/audio payload; the fake derives a deterministic `targetBytes`
-    * payload by cycling the input. The plumbing contract — binary in,
-    * binary out, bounded output size — is the real part.
+  /** Real image resize: decode, area-average resample to (w, h), re-encode
+    * as PNG. None when the payload is not a decodable image.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { img =>
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
+  /** ======= STUB (non-image mimes only) =======
+    * "Resize" for payloads the JDK cannot decode: derives a deterministic
+    * `targetBytes` payload by cycling the input. The plumbing contract —
+    * binary in, binary out, bounded output size — is the real part.
     */
   def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
     if (bytes.isEmpty) new Array[Byte](targetBytes)
@@ -86,18 +148,27 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "frame")
   }
 
-  /** Batched "resize" over the binary column (stub codec, real dataflow). */
-  def resizeAll(media: DataFrame, targetBytes: Int = 256): DataFrame = {
+  /** Batched resize over the binary column: real thumbnail re-encode for
+    * images, stub for other mimes.
+    */
+  def resizeAll(media: DataFrame, targetBytes: Int = 256,
+      thumbW: Int = 32, thumbH: Int = 32): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     Par.fanOut(media.select(col("media_id"), col("mime"), col("media"))).as[MediaRow]
-      .map(r => (r.media_id, r.mime, resizeStub(r.media, targetBytes)))
+      .map { r =>
+        val out =
+          if (r.mime.startsWith("image/"))
+            resizeImage(r.media, thumbW, thumbH).getOrElse(resizeStub(r.media, targetBytes))
+          else resizeStub(r.media, targetBytes)
+        (r.media_id, r.mime, out)
+      }
       .toDF("media_id", "mime", "media")
   }
 
   /** Batched per-partition feature extraction over the binary column: rows
     * stream through the partition in fixed-size batches and the codec is
-    * invoked once per BATCH (`decodeBatchStub`), not per row — the shape a
+    * invoked once per BATCH (`decodeBatch`), not per row — the shape a
     * real GPU/native decoder needs (amortized model/codec setup per call).
     * Batches are iterator-chunked, so only `batchSize` payloads are
     * resident at once regardless of partition size.
@@ -109,7 +180,7 @@ object Multimodal {
     Par.fanOut(media.select(col("media_id"), col("mime"), col("media"))).as[MediaRow]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          val feats = decodeBatchStub(batch.map(_.media), dim)
+          val feats = decodeBatch(batch, dim)
           batch.lazyZip(feats).map { (r, f) =>
             MediaFeatures(r.media_id, r.mime, r.media.length.toLong, f,
               math.sqrt(f.map(x => x * x).sum))
@@ -118,10 +189,10 @@ object Multimodal {
       }
   }
 
-  /** ======= STUB =======
-    * Batch-decode entry point: a real implementation hands the whole batch
-    * to the codec/accelerator in one call. The fake decodes element-wise.
+  /** Batch-decode entry point: a real accelerator hands the whole batch to
+    * the codec in one call; here each element dispatches on mime — real
+    * `javax.imageio` for images, stub otherwise.
     */
-  def decodeBatchStub(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Double]] =
-    batch.map(decodeStub(_, dim))
+  def decodeBatch(batch: Seq[MediaRow], dim: Int): Seq[Array[Double]] =
+    batch.map(r => decodeMedia(r.media, r.mime, dim))
 }
