@@ -18,15 +18,23 @@ object GoldAggregate {
 
   /** The gold daily-summary frame (also exposed as query q71 for the
     * oracle harness — column set and names are shared).
+    *
+    * Value aggregates go through an EXACT decimal(18,6) sum, then a single
+    * double conversion: a plain double sum is partition-order-dependent and
+    * can flip a rounded digit between cluster sizes (caught by the
+    * determinism sweep at 3 vs 8 cores), which a published gold table must
+    * never do.
     */
-  def dailySummary(silver: DataFrame): DataFrame =
+  def dailySummary(silver: DataFrame): DataFrame = {
+    val exactSum = sum(col("value").cast("decimal(18,6)")).cast("double")
     silver
       .groupBy(col("event_date"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        round(exactSum, 2).as("total_value"),
+        round(exactSum / count(lit(1)), 4).as("avg_value"))
+  }
 
   /** Write gold from the silver path; returns stage metrics for the Runner. */
   def run(spark: SparkSession, cfg: PipelineConfig): Map[String, Long] = {

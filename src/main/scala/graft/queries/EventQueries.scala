@@ -158,8 +158,8 @@ object EventQueries {
       Some("""SELECT CAST(ts AS DATE) AS event_date, event_type,
              |  count(*) AS n_events,
              |  count(DISTINCT user_id) AS n_users,
-             |  round(sum(value), 2) AS total_value,
-             |  round(avg(value), 4) AS avg_value
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value
              |FROM events
              |GROUP BY 1, 2
              |ORDER BY event_date, event_type""".stripMargin),
