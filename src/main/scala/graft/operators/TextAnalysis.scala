@@ -56,6 +56,43 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000000000000L)
 
+  /** PII patterns (public formats), deliberately backslash-free so the same
+    * literal works in Java regex (Spark) and RE2 (DuckDB oracle): email,
+    * dotted-quad IP, international phone.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val phoneRe = "[+][0-9]{7,15}"
+
+  /** Redact PII in place with typed placeholders — the standard scrub pass
+    * of a training-data pipeline. Email first (its local part could
+    * otherwise be chewed up by the IP pattern), then IP, then phone.
+    * Pure per-row expression work: no shuffle, codegen'd, linear at 100 TB.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
+  /** Count matches of `re` in `text` (for scrub audits / DQ on PII). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Duplicate word-bigram stats — the repetition/boilerplate signal used
+    * by C4/Gopher-style quality filtering: (n_2grams, n_dup_2grams).
+    * Array-expression work per row; no Generate, no shuffle.
+    */
+  def bigramStats(text: Column): (Column, Column) = {
+    val t = split(text, " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => concat_ws("_", element_at(t, i), element_at(t, i + 1)))
+    val n = size(grams).cast("long")
+    (n, (size(grams) - size(array_distinct(grams))).cast("long"))
+  }
+
   /** Winnowing-style sketch: the `k` smallest n-gram rolling hashes of the
     * doc — a compact, order-robust near-dup signature (rows-only operator;
     * the hash is engine-specific xxhash64).

@@ -132,5 +132,140 @@ object DocQueries {
               |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS frac_stop
               |FROM documents
               |ORDER BY doc_id""".stripMargin),
-      "quality scoring: long-word and stopword ratios via array higher-order fns"))
+      "quality scoring: long-word and stopword ratios via array higher-order fns"),
+
+    Q(
+      "q72_docs_pii_scrub",
+      (s, d) => {
+        import graft.operators.TextAnalysis._
+        // The corpus has no PII, so the fixture injects it deterministically
+        // (same expression on both sides) — the operator under test is the
+        // scrubber, and the oracle proves redaction parity byte-for-byte.
+        val piiInput = concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" call +"), (col("doc_id") + 14155550000L).cast("string")))
+            .otherwise(lit("")))
+        documents(s, d)
+          .select(col("doc_id"), piiInput.as("raw"))
+          .select(
+            col("doc_id"),
+            piiCount(col("raw"), emailRe).as("n_emails"),
+            piiCount(col("raw"), ipRe).as("n_ips"),
+            piiCount(col("raw"), phoneRe).as("n_phones"),
+            scrubPii(col("raw")).as("scrubbed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH raw AS (
+              |  SELECT doc_id, text
+              |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+              |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+              |    || CASE WHEN doc_id % 13 = 0 THEN ' call +' || CAST(doc_id + 14155550000 AS VARCHAR) ELSE '' END AS raw
+              |  FROM documents)
+              |SELECT doc_id,
+              |  len(regexp_extract_all(raw, '${graft.operators.TextAnalysis.emailRe}')) AS n_emails,
+              |  len(regexp_extract_all(raw, '${graft.operators.TextAnalysis.ipRe}')) AS n_ips,
+              |  len(regexp_extract_all(raw, '${graft.operators.TextAnalysis.phoneRe}')) AS n_phones,
+              |  regexp_replace(regexp_replace(regexp_replace(raw,
+              |    '${graft.operators.TextAnalysis.emailRe}', '[EMAIL]', 'g'),
+              |    '${graft.operators.TextAnalysis.ipRe}', '[IP]', 'g'),
+              |    '${graft.operators.TextAnalysis.phoneRe}', '[PHONE]', 'g') AS scrubbed
+              |FROM raw
+              |ORDER BY doc_id""".stripMargin),
+      "PII scrub: email/IP/phone redaction with match counts (backslash-free regexes shared across engines)"),
+
+    Q(
+      "q73_docs_train_split",
+      (s, d) => {
+        // Multiplicative-congruential bucket: deterministic, engine-portable
+        // arithmetic (no xxhash64), uniform across contiguous ids. NB the
+        // product stays in int64 for doc_id < ~3.4e9; beyond that use the
+        // xxhash64 variant (rows-only) — DuckDB would error on overflow
+        // rather than silently diverge.
+        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100)).cast("long")
+        documents(s, d)
+          .select(col("doc_id"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  (doc_id * 2654435761) % 100 AS bucket,
+             |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+             |       WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      "deterministic train/val/test assignment (90/5/5) via multiplicative hash bucket"),
+
+    Q(
+      "q74_docs_repetition",
+      (s, d) => {
+        val (n2, dup) = graft.operators.TextAnalysis.bigramStats(col("text"))
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            n2.as("n_2grams"),
+            dup.as("n_dup_2grams"),
+            round(dup.cast("double") / n2.cast("double"), 4).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id,
+             |        list_transform(range(greatest(len(t) - 1, 1)),
+             |          i -> t[i+1] || '_' || t[i+2]) AS g2
+             |      FROM t)
+             |SELECT doc_id,
+             |  len(g2) AS n_2grams,
+             |  len(g2) - len(list_distinct(g2)) AS n_dup_2grams,
+             |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+             |    / CAST(len(g2) AS DOUBLE), 4) AS dup_frac
+             |FROM g
+             |ORDER BY doc_id""".stripMargin),
+      "repetition/boilerplate signal: duplicate word-bigram fraction per doc (C4/Gopher-style)"),
+
+    Q(
+      "q75_docs_quality_filter",
+      (s, d) => {
+        val nTok = size(toks).cast("long")
+        val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+        val (n2, dup) = graft.operators.TextAnalysis.bigramStats(col("text"))
+        val fracStop = nStop.cast("double") / nTok.cast("double")
+        val dupFrac = dup.cast("double") / n2.cast("double")
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            nTok.as("n_tokens"),
+            round(fracStop, 4).as("frac_stop"),
+            round(dupFrac, 4).as("dup_frac"),
+            (nTok.between(10, 5000) && fracStop >= 0.02 && dupFrac <= 0.2)
+              .cast("long").as("keep_flag"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frac_stop,
+             |    list_transform(range(greatest(len(string_split(text, ' ')) - 1, 1)),
+             |      i -> string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]) AS g2
+             |  FROM documents)
+             |SELECT doc_id, n_tokens,
+             |  round(frac_stop, 4) AS frac_stop,
+             |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE), 4) AS dup_frac,
+             |  CAST(n_tokens BETWEEN 10 AND 5000
+             |    AND frac_stop >= 0.02
+             |    AND CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) <= 0.2
+             |    AS BIGINT) AS keep_flag
+             |FROM s
+             |ORDER BY doc_id""".stripMargin),
+      "Gopher-style composite quality gate: token-count bounds + stopword floor + repetition ceiling"))
 }
