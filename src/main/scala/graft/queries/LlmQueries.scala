@@ -16,6 +16,40 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object LlmQueries {
 
+  /** DuckDB twin of [[TextAnalysis.withLangId]], generated from the SAME
+    * stopword profiles: per-language hit ratios, then argmax with the
+    * Spark side's exact tie-break (sort_array desc over (score, lang)
+    * structs = max score, ties to the lexicographically LAST lang) spelled
+    * out as a CASE ladder over langs in descending order.
+    */
+  private val langIdOracleSql: String = {
+    val langsAsc = TextAnalysis.langProfiles.toSeq.sortBy(_._1).map(_._1)
+    def score(lang: String) = s"s_$lang"
+    val scoreDefs = langsAsc.map { lang =>
+      val words = TextAnalysis.langProfiles(lang).map("'" + _ + "'").mkString(", ")
+      s"  CAST(len(list_filter(toks, x -> x IN ($words))) AS DOUBLE)" +
+        s" / greatest(len(toks), 1) AS ${score(lang)}"
+    }.mkString(",\n")
+    val langsDesc = langsAsc.sorted.reverse
+    val caseArms = langsDesc.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langsDesc.drop(i + 1).map(score)
+      val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"       WHEN ${score(lang)} >= $bound THEN '$lang'"
+    }.mkString("\n")
+    val allScores = langsAsc.map(score).mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |$scoreDefs
+       |FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN greatest($allScores) = 0 THEN 'und'
+       |$caseArms
+       |       ELSE '${langsDesc.last}' END AS predicted_lang,
+       |  round(greatest($allScores), 4) AS lang_score
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q30_docs_shingle_jaccard",
@@ -151,8 +185,20 @@ object LlmQueries {
           .select(col("media_id"), col("frame_idx"),
             octet_length(col("frame")).cast("long").as("frame_bytes"))
           .orderBy(col("media_id"), col("frame_idx")),
-      None,
-      "frame sampling plumbing: one row per sampled chunk of the media payload (stub codec)"),
+      // The slicing contract (64-byte chunks, every 2nd kept, partial tail)
+      // is pure arithmetic — the oracle recomputes it from payload lengths.
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n
+             |  FROM documents),
+             |f AS (
+             |  SELECT media_id, n,
+             |    unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx
+             |  FROM m)
+             |SELECT media_id, frame_idx, least(64, n - frame_idx * 64) AS frame_bytes
+             |FROM f
+             |WHERE frame_idx % 2 = 0
+             |ORDER BY media_id, frame_idx""".stripMargin),
+      "frame sampling plumbing: one row per sampled chunk of the media payload; oracle checks the slicing arithmetic"),
 
     Q(
       "q38_docs_langid",
@@ -160,8 +206,8 @@ object LlmQueries {
         TextAnalysis.withLangId(documents(s, d))
           .select(col("doc_id"), col("predicted_lang"), col("lang_score"))
           .orderBy(col("doc_id")),
-      None,
-      "heuristic stopword-profile language ID"),
+      Some(langIdOracleSql),
+      "heuristic stopword-profile language ID (oracle replays the argmax + lexicographic-desc tie-break as a CASE ladder)"),
 
     Q(
       "q39_media_stats",
