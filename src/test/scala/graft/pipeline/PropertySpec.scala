@@ -64,6 +64,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PII scrub leaves no residual matches on fuzzed text with injected PII") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis._
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val piiGen = Gen.oneOf(
+      word.map(w => s"$w@example.com"),
+      Gen.choose(0, 255).map(o => s"192.168.$o.$o"),
+      Gen.choose(1000000L, 999999999L).map(n => s"+$n"))
+    val docGen = for {
+      words <- Gen.listOfN(8, word)
+      pii <- Gen.listOfN(2, piiGen)
+      all <- Gen.const(new scala.util.Random(7).shuffle(words ++ pii))
+    } yield all.mkString(" ")
+    forAll(Gen.listOfN(20, docGen), n = 5) { texts =>
+      val df = texts.toDF("text")
+        .select(
+          scrubPii(col("text")).as("scrubbed"),
+          (piiCount(col("text"), emailRe) + piiCount(col("text"), ipRe) +
+            piiCount(col("text"), phoneRe)).as("n_before"))
+      val rows = df.collect()
+      // every doc had injected PII, every scrubbed doc has none
+      assert(rows.forall(_.getAs[Long]("n_before") >= 1L))
+      val residual = df
+        .select((piiCount(col("scrubbed"), emailRe) + piiCount(col("scrubbed"), ipRe) +
+          piiCount(col("scrubbed"), phoneRe)).as("n_after"))
+        .agg(sum(col("n_after"))).collect()(0).getLong(0)
+      assert(residual == 0L, s"residual PII after scrub: $residual")
+    }
+  }
+
+  test("train/val/test split is total, deterministic, and in declared proportions") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val q = graft.queries.Registry.byName("q73_docs_train_split")
+    val rows = q.fn(spark, graft.SparkTestSession.sf0001).collect()
+    assert(rows.length == docs.count())
+    val byId = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // deterministic: a second evaluation assigns identically
+    val again = q.fn(spark, graft.SparkTestSession.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId == again)
+    val counts = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 90/5/5 within a loose tolerance (multiplicative hash, not exact strata)
+    assert(counts("train") > rows.length * 8 / 10)
+    // every bucket in [0, 100)
+    assert(rows.forall { r => val b = r.getLong(1); b >= 0 && b < 100 })
+  }
+
   test("near-dup thresholds are monotonic: higher threshold yields a subset of pairs") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
     val loose = graft.operators.Dedup.shingleJaccardPairs(docs, 0.8)
