@@ -49,8 +49,12 @@ object Multimodal {
     * None when the payload is not a decodable image.
     */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    // NonFatal, not just IOException: ImageIO codecs throw runtime
+    // exceptions (AIOOBE, NegativeArraySize, ...) on malformed-but-
+    // recognized bytes — routine in a crawled corpus, and one such payload
+    // must degrade to the stub, not abort the whole job
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real image features: a `dim`-bucket luminance histogram, normalized to
     * sum 1 — deterministic, resolution-independent, and exactly the shape a

@@ -82,13 +82,17 @@ object TextAnalysis {
 
   /** Duplicate word-bigram stats — the repetition/boilerplate signal used
     * by C4/Gopher-style quality filtering: (n_2grams, n_dup_2grams).
-    * Array-expression work per row; no Generate, no shuffle.
+    * Array-expression work per row; no Generate, no shuffle. Single-token
+    * docs get zero bigrams (the `when` guard matters: an unguarded
+    * element_at(t, size+1) throws under Spark 4's default ANSI mode).
     */
   def bigramStats(text: Column): (Column, Column) = {
     val t = split(text, " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(t) - 1, lit(1))),
-      i => concat_ws("_", element_at(t, i), element_at(t, i + 1)))
+    val grams = when(size(t) >= 2,
+      transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws("_", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
     val n = size(grams).cast("long")
     (n, (size(grams) - size(array_distinct(grams))).cast("long"))
   }
@@ -99,9 +103,13 @@ object TextAnalysis {
     */
   def withSketch(docs: DataFrame, n: Int = 4, k: Int = 8): DataFrame = {
     val toks = split(col("text"), " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => xxhash64(concat_ws("_", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+    // guard: docs shorter than n tokens get an empty sketch (unguarded
+    // element_at past the array end throws under ANSI mode)
+    val grams = when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(concat_ws("_", (0 until n).map(o => element_at(toks, i + lit(o))): _*))))
+      .otherwise(array().cast("array<bigint>"))
     Par.fanOut(docs).withColumn("sketch", slice(array_sort(array_distinct(grams)), 1, k))
   }
 }

@@ -42,8 +42,15 @@ object GoldAggregate {
     val gold = dailySummary(silver)
     gold.write
       .mode(cfg.silverMode)
+      // dynamic: an overwrite run replaces only the event_date partitions
+      // present in this run's silver — without it, overwrite+partitionBy
+      // truncates the whole gold table, losing every date an incremental
+      // run didn't re-process
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date")
       .parquet(cfg.goldPath)
-    Map("gold_rows" -> spark.read.parquet(cfg.goldPath).count())
+    // metric = THIS run's rows (a read-back count would report the whole
+    // historical table under append mode); the aggregate is tiny
+    Map("gold_rows" -> gold.count())
   }
 }

@@ -214,19 +214,21 @@ object DocQueries {
             col("doc_id"),
             n2.as("n_2grams"),
             dup.as("n_dup_2grams"),
-            round(dup.cast("double") / n2.cast("double"), 4).as("dup_frac"))
+            when(n2 > 0, round(dup.cast("double") / n2.cast("double"), 4))
+              .as("dup_frac"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |g AS (SELECT doc_id,
-             |        list_transform(range(greatest(len(t) - 1, 1)),
+             |        list_transform(range(greatest(len(t) - 1, 0)),
              |          i -> t[i+1] || '_' || t[i+2]) AS g2
              |      FROM t)
              |SELECT doc_id,
              |  len(g2) AS n_2grams,
              |  len(g2) - len(list_distinct(g2)) AS n_dup_2grams,
-             |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
-             |    / CAST(len(g2) AS DOUBLE), 4) AS dup_frac
+             |  CASE WHEN len(g2) > 0 THEN
+             |    round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+             |      / CAST(len(g2) AS DOUBLE), 4) END AS dup_frac
              |FROM g
              |ORDER BY doc_id""".stripMargin),
       "repetition/boilerplate signal: duplicate word-bigram fraction per doc (C4/Gopher-style)"),
@@ -238,13 +240,16 @@ object DocQueries {
         val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
         val (n2, dup) = graft.operators.TextAnalysis.bigramStats(col("text"))
         val fracStop = nStop.cast("double") / nTok.cast("double")
-        val dupFrac = dup.cast("double") / n2.cast("double")
+        val dupFrac = when(n2 > 0, dup.cast("double") / n2.cast("double"))
         documents(s, d)
           .select(
             col("doc_id"),
             nTok.as("n_tokens"),
             round(fracStop, 4).as("frac_stop"),
             round(dupFrac, 4).as("dup_frac"),
+            // NB three-valued logic: a single-token doc has NULL dup_frac,
+            // but n_tokens<10 is already FALSE, and FALSE AND NULL = FALSE
+            // in both engines, so keep_flag stays 0, never NULL
             (nTok.between(10, 5000) && fracStop >= 0.02 && dupFrac <= 0.2)
               .cast("long").as("keep_flag"))
           .orderBy(col("doc_id"))
@@ -255,17 +260,22 @@ object DocQueries {
              |    CAST(len(list_filter(string_split(text, ' '),
              |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
              |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frac_stop,
-             |    list_transform(range(greatest(len(string_split(text, ' ')) - 1, 1)),
+             |    list_transform(range(greatest(len(string_split(text, ' ')) - 1, 0)),
              |      i -> string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]) AS g2
-             |  FROM documents)
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, n_tokens, frac_stop,
+             |    CASE WHEN len(g2) > 0 THEN
+             |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+             |    END AS dup_raw
+             |  FROM s)
              |SELECT doc_id, n_tokens,
              |  round(frac_stop, 4) AS frac_stop,
-             |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE), 4) AS dup_frac,
-             |  CAST(n_tokens BETWEEN 10 AND 5000
+             |  round(dup_raw, 4) AS dup_frac,
+             |  CAST(COALESCE(n_tokens BETWEEN 10 AND 5000
              |    AND frac_stop >= 0.02
-             |    AND CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) <= 0.2
-             |    AS BIGINT) AS keep_flag
-             |FROM s
+             |    AND dup_raw <= 0.2, FALSE) AS BIGINT) AS keep_flag
+             |FROM d
              |ORDER BY doc_id""".stripMargin),
       "Gopher-style composite quality gate: token-count bounds + stopword floor + repetition ceiling"))
 }

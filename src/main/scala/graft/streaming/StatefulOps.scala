@@ -80,34 +80,41 @@ object StatefulOps {
             state.remove()
             Iterator(CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
           } else {
-            val batch = rows.map { case (_, ts, v) => (ts.getTime * 1000L, v) }.toSeq
-            val closed = scala.collection.mutable.ArrayBuffer.empty[CompletedSession]
-            var cur = state.getOption
-            batch.sortBy(_._1).foreach { case (us, v) =>
-              cur match {
-                case Some(s) if us - s.endUs <= gapMicros =>
-                  // min on start: a late-but-in-watermark row from an earlier
-                  // micro-batch can precede the stored session start.
-                  cur = Some(SessionState(math.min(s.startUs, us),
-                    math.max(s.endUs, us), s.n + 1, s.total + v))
-                case Some(s) =>
-                  closed += CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total)
-                  cur = Some(SessionState(us, us, 1L, v))
-                case None =>
-                  cur = Some(SessionState(us, us, 1L, v))
-              }
+            // Sessionize the union of the stored open session and this
+            // batch's rows in ONE sorted interval sweep. This handles every
+            // arrival order uniformly: an in-watermark row earlier than the
+            // stored start merges (and lowers the start) only when it is
+            // within the gap of the session's SPAN, and a row more than a
+            // gap before the stored start forms its own earlier session
+            // instead of being glued across a silent period longer than
+            // the gap. All sessions but the latest are emitted closed;
+            // the latest stays open in state.
+            val intervals = (rows.map { case (_, ts, v) =>
+              SessionState(ts.getTime * 1000L, ts.getTime * 1000L, 1L, v)
+            }.toSeq ++ state.getOption.toSeq).sortBy(_.startUs)
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            intervals.foreach { iv =>
+              if (merged.nonEmpty && iv.startUs - merged.last.endUs <= gapMicros) {
+                val m = merged.last
+                merged(merged.size - 1) = SessionState(
+                  m.startUs, math.max(m.endUs, iv.endUs),
+                  m.n + iv.n, m.total + iv.total)
+              } else merged += iv
             }
-            cur.foreach { s =>
-              state.update(s)
+            if (merged.isEmpty) Iterator.empty
+            else {
+              val open = merged.last
+              state.update(open)
               // EventTimeTimeout requires a timestamp strictly beyond the
               // current watermark; end+gap can be behind it when the batch
               // carried only late rows — clamp so the set never throws (the
               // session then closes on the next watermark advance).
               state.setTimeoutTimestamp(math.max(
-                s.endUs / 1000 + gapMicros / 1000,
+                open.endUs / 1000 + gapMicros / 1000,
                 state.getCurrentWatermarkMs() + 1))
+              merged.init.iterator.map(s =>
+                CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
             }
-            closed.iterator
           }
       }
   }

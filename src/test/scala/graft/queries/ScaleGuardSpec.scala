@@ -2,7 +2,7 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.expressions.EqualTo
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, LocalLimit, LogicalPlan, Project, Repartition, RepartitionByExpression, ResolvedHint, Sort, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import graft.SparkTestSession.{spark, sf0001}
 
@@ -40,31 +40,48 @@ class ScaleGuardSpec extends AnyFunSuite {
   private def physical(q: Q): String =
     q.fn(spark, sf0001).queryExecution.executedPlan.toString
 
-  /** A forced-broadcast subtree is bounded iff it is a no-grouping (1-row)
-    * aggregate, a global limit, a single-key literal lookup, or reads only
-    * constant-cardinality tables.
+  /** Strip row-count-preserving (or per-row-bounded) wrappers so the
+    * boundedness check applies at the subtree's effective ROOT. Generate is
+    * included because every generator in this codebase fans out a bounded
+    * literal range/slice per row — the source below it still has to pass.
     */
-  private def isBoundedSubtree(p: LogicalPlan): Boolean = {
-    val oneRowAgg = p.collectFirst {
-      case a: Aggregate if a.groupingExpressions.isEmpty => a
-    }.isDefined
-    val limited = p.collectFirst { case l: GlobalLimit => l }.isDefined
-    val keyLookup = p.collectFirst {
-      case f: Filter if f.condition.exists {
-        // literal may sit under a cast — foldable covers both
-        case EqualTo(a, b) => a.foldable || b.foldable
-        case _ => false
-      } => f
-    }.isDefined
-    val tables = p.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSet
-        case _ => Set("<non-file-relation>")
-      }
-    }.flatten.toSet
-    oneRowAgg || limited || keyLookup ||
-      (tables.nonEmpty && tables.subsetOf(constantTables))
+  @annotation.tailrec
+  private def stripBenign(p: LogicalPlan): LogicalPlan = p match {
+    case x: Project => stripBenign(x.child)
+    case x: SubqueryAlias => stripBenign(x.child)
+    case x: Sort => stripBenign(x.child)
+    case x: Generate => stripBenign(x.child)
+    case x: Repartition => stripBenign(x.child)
+    case x: RepartitionByExpression => stripBenign(x.child)
+    case _ => p
+  }
+
+  /** A forced-broadcast subtree is bounded iff its ROOT (modulo benign
+    * wrappers) is a no-grouping (1-row) aggregate, a limit, a literal-key
+    * lookup filter, or a scan touching only constant-cardinality tables.
+    * Root-level matters: a 1-row aggregate buried somewhere under a join
+    * with a fact table must NOT launder the whole subtree as bounded.
+    * (A literal-equality filter can't prove key uniqueness statically —
+    * it covers the single-vector lookups here; non-key equality filters
+    * on facts still need a manual look.)
+    */
+  private def isBoundedSubtree(p: LogicalPlan): Boolean = stripBenign(p) match {
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimit | _: LocalLimit => true
+    case f: Filter if f.condition.exists {
+      // literal may sit under a cast — foldable covers both
+      case EqualTo(a, b) => a.foldable || b.foldable
+      case _ => false
+    } => true
+    case other =>
+      val tables = other.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSet
+          case _ => Set("<non-file-relation>")
+        }
+      }.flatten.toSet
+      tables.nonEmpty && tables.subsetOf(constantTables)
   }
 
   test("no registered query plans a CartesianProduct") {

@@ -91,6 +91,37 @@ class StatefulSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("total_value") == 5.0)
   }
 
+  test("a very-late row beyond the gap forms its own earlier session, not a bridged one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    def t(s: String) = Timestamp.valueOf(s)
+    val q = StatefulOps.completedSessions(df, gap = "30 minutes", watermark = "6 hours")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    mem.addData((1L, t("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // 4 hours earlier, still in-watermark: a 2h+ silent gap must NOT be
+    // bridged into one [08:00, 12:00] session
+    mem.addData((1L, t("2024-01-01 08:00:00"), 2.0))
+    q.processAllAvailable()
+    // flush: advance watermark far past 12:30
+    mem.addData((9L, t("2024-01-02 12:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((9L, t("2024-01-02 12:01:00"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_late").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+        r.getAs[Long]("n_events")))
+      .sortBy(_._1.getTime)
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (t("2024-01-01 08:00:00"), t("2024-01-01 08:00:00"), 1L),
+      (t("2024-01-01 12:00:00"), t("2024-01-01 12:00:00"), 1L)))
+  }
+
   test("flatMapGroupsWithState variant runs and emits updates (timeout path compiles+executes)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
