@@ -103,6 +103,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == "und")
   }
 
+  test("short docs survive ANSI mode: empty bigrams/sketch instead of out-of-bounds") {
+    import spark.implicits._
+    // Spark 4 defaults spark.sql.ansi.enabled=true, where an unguarded
+    // element_at past the array end aborts the query — pin that the token
+    // windows are guarded for docs shorter than the window
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val short = Seq((1L, "one"), (2L, "two tokens"), (3L, "a b c d e f")).toDF("doc_id", "text")
+    val (n2, dup) = TextAnalysis.bigramStats(col("text"))
+    val bi = short.select(col("doc_id"), n2.as("n"), dup.as("d")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bi(1L) == (0L, 0L)) // single token: zero bigrams, no crash
+    assert(bi(2L) == (1L, 0L))
+    assert(bi(3L) == (5L, 0L))
+    val sk = TextAnalysis.withSketch(short, n = 4, k = 8)
+      .select(col("doc_id"), size(col("sketch")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sk(1L) == 0) // below the 4-gram window: empty sketch
+    assert(sk(2L) == 0)
+    assert(sk(3L) == 3) // 6 tokens -> 3 distinct 4-gram hashes
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
