@@ -19,22 +19,35 @@ object GoldAggregate {
   /** The gold daily-summary frame (also exposed as query q71 for the
     * oracle harness — column set and names are shared).
     *
-    * Value aggregates go through an EXACT decimal(18,6) sum, then a single
-    * double conversion: a plain double sum is partition-order-dependent and
-    * can flip a rounded digit between cluster sizes (caught by the
-    * determinism sweep at 3 vs 8 cores), which a published gold table must
-    * never do.
+    * Value aggregates are EXACT integer arithmetic end to end: values are
+    * canonicalized to micro-units via decimal(18,6), summed as int64, and
+    * the rounded total/average are derived with explicit
+    * half-away-from-zero integer division. Two failure modes this kills:
+    * a plain double sum is partition-order-dependent (can flip a rounded
+    * digit between cluster sizes — caught by the 3-vs-8-core determinism
+    * sweep), and double round() near a .5 boundary diverges between
+    * engines (caught by the sf0.001 oracle soak). Bound: |sum(value)| per
+    * group must stay under ~4.6e12 (2·1e6-scaled int64) — comfortable for
+    * a daily-grain gold table; go decimal(38,6) if a deployment exceeds it.
     */
-  def dailySummary(silver: DataFrame): DataFrame = {
-    val exactSum = sum(col("value").cast("decimal(18,6)")).cast("double")
+  def dailySummary(silver: DataFrame): DataFrame =
     silver
       .groupBy(col("event_date"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        round(exactSum, 2).as("total_value"),
-        round(exactSum / count(lit(1)), 4).as("avg_value"))
-  }
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("long")).as("micros"))
+      .select(
+        col("event_date"), col("event_type"), col("n_events"), col("n_users"),
+        // round(micros/1e4) half away from zero via integer DIV on
+        // non-negative operands (trunc == floor there, so Spark's DIV and
+        // DuckDB's // agree), then one exact int→double conversion
+        expr("""(CASE WHEN micros >= 0 THEN (2 * micros + 10000) DIV 20000
+               |      ELSE -((2 * -micros + 10000) DIV 20000) END) / 100.0D""".stripMargin)
+          .as("total_value"),
+        expr("""(CASE WHEN micros >= 0 THEN (2 * micros + 100 * n_events) DIV (200 * n_events)
+               |      ELSE -((2 * -micros + 100 * n_events) DIV (200 * n_events)) END) / 10000.0D""".stripMargin)
+          .as("avg_value"))
 
   /** Write gold from the silver path; returns stage metrics for the Runner. */
   def run(spark: SparkSession, cfg: PipelineConfig): Map[String, Long] = {

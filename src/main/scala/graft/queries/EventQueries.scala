@@ -155,13 +155,22 @@ object EventQueries {
             to_date(col("ts")).as("event_date"),
             col("event_type"), col("user_id"), col("value")))
           .orderBy(col("event_date"), col("event_type")),
-      Some("""SELECT CAST(ts AS DATE) AS event_date, event_type,
-             |  count(*) AS n_events,
-             |  count(DISTINCT user_id) AS n_users,
-             |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value,
-             |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value
-             |FROM events
-             |GROUP BY 1, 2
+      // Twin of GoldAggregate.dailySummary's exact integer-micro pipeline:
+      // double round() near a .5 boundary diverges between engines, so both
+      // sides round via half-away-from-zero integer division instead.
+      Some("""WITH g AS (
+             |  SELECT CAST(ts AS DATE) AS event_date, event_type,
+             |    count(*) AS n_events,
+             |    count(DISTINCT user_id) AS n_users,
+             |    sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS micros
+             |  FROM events
+             |  GROUP BY 1, 2)
+             |SELECT event_date, event_type, n_events, n_users,
+             |  (CASE WHEN micros >= 0 THEN (2 * micros + 10000) // 20000
+             |        ELSE -((2 * -micros + 10000) // 20000) END) / 100.0 AS total_value,
+             |  (CASE WHEN micros >= 0 THEN (2 * micros + 100 * n_events) // (200 * n_events)
+             |        ELSE -((2 * -micros + 100 * n_events) // (200 * n_events)) END) / 10000.0 AS avg_value
+             |FROM g
              |ORDER BY event_date, event_type""".stripMargin),
       "gold layer: daily per-type consumption aggregates (medallion layer from reference README.md:81)"))
 }

@@ -92,21 +92,25 @@ object ExtraQueries {
     Q(
       "q46_price_percentiles",
       (s, d) =>
+        // Discrete percentiles pick an ACTUAL data value, so no
+        // interpolation arithmetic exists to diverge by 1 ulp between
+        // engines and flip a rounded digit (interpolated quantile_cont vs
+        // percentile did exactly that at sf0.001)
         lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-            round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+            round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p50"),
+            round(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p90"),
+            round(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p99"))
           .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-             |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+             |  round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
+             |  round(quantile_disc(l_extendedprice, 0.9), 2) AS p90,
+             |  round(quantile_disc(l_extendedprice, 0.99), 2) AS p99
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin),
-      "exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)"),
+      "exact discrete percentiles (Spark percentile_disc ≡ DuckDB quantile_disc; actual data values, no interpolation)"),
 
     Q(
       "q47_user_sessions",
@@ -286,6 +290,28 @@ object ExtraQueries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin),
       "manual pivot: status categories to columns in one pass"),
+
+    Q(
+      "q76_lineitem_unpivot",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_orderkey") <= 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "metric", "value")
+          // value in the sort: (l_orderkey, l_linenumber) is NOT unique in
+          // this synthetic lineitem, so the first three keys alone leave
+          // ties with engine-dependent order
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("value")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value
+             |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+             |      FROM lineitem WHERE l_orderkey <= 100)
+             |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+             |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin),
+      "unpivot/melt: wide metric columns to (metric, value) rows — Spark Dataset.unpivot vs SQL UNPIVOT"),
 
     Q(
       "q58_ship_lag",
