@@ -314,6 +314,55 @@ object ExtraQueries {
       "unpivot/melt: wide metric columns to (metric, value) rows — Spark Dataset.unpivot vs SQL UNPIVOT"),
 
     Q(
+      "q77_grouping_sets",
+      (s, d) =>
+        orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            // exact decimal sum -> one double conversion: a double sum is
+            // partition-order-dependent at the rounding boundary
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+      "explicit GROUPING SETS (finer than rollup/cube); NULLS FIRST pinned on both sides for the subtotal rows"),
+
+    Q(
+      "q78_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // RANGE frame over a value (not row) window: peers within 1000.0
+        // of the current order's price, per status
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, 1000L)
+        // frame sum as exact integer cents: windowed double aggregation
+        // associates differently across engines (segment trees), so only
+        // integer frame aggregates are cross-engine exact
+        val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_near"),
+            sum(cents).over(w).as("sum_near_cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  count(*) OVER w AS n_near,
+             |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS sum_near_cents
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             |  RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin),
+      "value-based RANGE window frame (peers within ±1000 of the current price)"),
+
+    Q(
       "q58_ship_lag",
       (s, d) =>
         lineitem(s, d)
