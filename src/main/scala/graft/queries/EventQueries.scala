@@ -148,6 +148,27 @@ object EventQueries {
       "semi-structured extraction from the props JSON string (FIXTURES.md B)"),
 
     Q(
+      "q79_events_variant",
+      (s, d) =>
+        // Spark 4's VariantType path: parse once into the binary variant
+        // encoding, then typed extraction — the modern engine-native
+        // answer to schemaless JSON columns (vs per-field string parsing
+        // in q23). Oracle uses DuckDB's JSON extension on the same path.
+        events(s, d)
+          .select(
+            col("event_id"),
+            variant_get(parse_json(col("props")), "$.k", "long").as("prop_k"),
+            variant_get(parse_json(col("props")), "$.missing", "long").isNull
+              .cast("long").as("k_missing"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+             |  CAST(json_extract(props, '$.missing') IS NULL AS BIGINT) AS k_missing
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      "VariantType semi-structured handling: parse_json + typed variant_get (Spark 4 native JSON encoding)"),
+
+    Q(
       "q71_gold_daily_summary",
       (s, d) =>
         graft.pipeline.GoldAggregate.dailySummary(

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state beyond what windowed aggregation expresses (ST3+,
   * SURVEY §2.7): `KeyValueGroupedDataset.mapGroupsWithState` /
@@ -41,6 +41,45 @@ object StatefulOps {
           UserUpdate(uid, s.nEvents, s.totalValue, s.nErrors,
             if (s.nEvents == 0) 0.0 else s.nErrors.toDouble / s.nEvents)
       }
+  }
+
+  /** Spark 4's transformWithState twin of [[runningUserTotals]] — the
+    * modern arbitrary-state API (StatefulProcessor + typed state variables,
+    * here a ValueState; TTLConfig/timers available where the legacy
+    * GroupState API had only coarse timeouts). Requires the RocksDB state
+    * store provider. StatefulSpec proves it emits exactly what the
+    * mapGroupsWithState version emits.
+    */
+  class UserTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double, Long), UserUpdate] {
+    @transient private var totals: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserState](
+        "totals", Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double, Long)],
+        timerValues: TimerValues): Iterator[UserUpdate] = {
+      var s = if (totals.exists()) totals.get() else UserState(0L, 0.0, 0L)
+      rows.foreach { case (_, v, e) =>
+        s = UserState(s.nEvents + 1, s.totalValue + v, s.nErrors + e)
+      }
+      totals.update(s)
+      Iterator.single(UserUpdate(uid, s.nEvents, s.totalValue, s.nErrors,
+        if (s.nEvents == 0) 0.0 else s.nErrors.toDouble / s.nEvents))
+    }
+  }
+
+  def runningUserTotalsTws(events: DataFrame): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   final case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)

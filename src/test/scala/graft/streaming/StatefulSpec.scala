@@ -91,6 +91,40 @@ class StatefulSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("total_value") == 5.0)
   }
 
+  test("transformWithState twin matches mapGroupsWithState totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double, String)]
+      val df = mem.toDF().toDF("user_id", "value", "event_type")
+      val q = StatefulOps.runningUserTotalsTws(df)
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode("update").start()
+      mem.addData((1L, 10.0, "view"), (1L, 5.0, "error"), (2L, 1.0, "view"))
+      q.processAllAvailable()
+      mem.addData((1L, 7.0, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tws_test").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+          r.getAs[Long]("n_errors")))
+      q.stop()
+      // same emissions as the mapGroupsWithState version in the test above
+      assert(rows.contains((2L, 15.0, 1L)))
+      assert(rows.contains((3L, 22.0, 1L)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a very-late row beyond the gap forms its own earlier session, not a bridged one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
