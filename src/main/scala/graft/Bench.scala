@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * A single untimed warmup pass runs first so JIT/classloading/first-scan
   * costs don't land on whichever query happens to execute first (they were
   * inflating it ~8x); timed numbers then reflect steady-state plan cost.
+  *
+  * Queries are materialized through the noop sink, not count(): under a
+  * count, Catalyst prunes every computed output column and eliminates
+  * final sorts, so expression-heavy queries (regex, JSON, fingerprints)
+  * would be timed as stripped plans that do almost none of their work.
+  * Failed queries are excluded from the total and reported in "errors".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,21 +28,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try materialize(name)
       catch { case _: Throwable => () }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(name); true }
+        catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errsJson =
+      if (errors.isEmpty) "" else errors.mkString(""","errors":[""", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,19 +80,29 @@ object TextAnalysis {
   def piiCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 
-  /** Duplicate word-bigram stats — the repetition/boilerplate signal used
-    * by C4/Gopher-style quality filtering: (n_2grams, n_dup_2grams).
-    * Array-expression work per row; no Generate, no shuffle. Single-token
-    * docs get zero bigrams (the `when` guard matters: an unguarded
+  /** Word-bigram array from a TOKEN-ARRAY column. Single-token docs get
+    * zero bigrams (the `when` guard matters: an unguarded
     * element_at(t, size+1) throws under Spark 4's default ANSI mode).
+    *
+    * Callers should materialize this in its own projection and derive
+    * scalars from the materialized column: transform(...) is a non-cheap
+    * expression Catalyst will NOT common-subexpression-eliminate across
+    * multiple references, so inlining it into several output columns
+    * re-builds the whole array per reference (measured 6x on q75).
+    */
+  def bigramArray(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      transform(
+        sequence(lit(1), size(tokens) - 1),
+        i => concat_ws("_", element_at(tokens, i), element_at(tokens, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Duplicate word-bigram stats as (n_2grams, n_dup_2grams) over a raw
+    * text column — convenience form; see [[bigramArray]] for the staging
+    * rule when more than one output derives from the grams.
     */
   def bigramStats(text: Column): (Column, Column) = {
-    val t = split(text, " ")
-    val grams = when(size(t) >= 2,
-      transform(
-        sequence(lit(1), size(t) - 1),
-        i => concat_ws("_", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val grams = bigramArray(split(text, " "))
     val n = size(grams).cast("long")
     (n, (size(grams) - size(array_distinct(grams))).cast("long"))
   }

@@ -52,7 +52,15 @@ object GoldAggregate {
   /** Write gold from the silver path; returns stage metrics for the Runner. */
   def run(spark: SparkSession, cfg: PipelineConfig): Map[String, Long] = {
     val silver = spark.read.parquet(cfg.silverPath)
-    val gold = dailySummary(silver)
+    // persist the (tiny, aggregated) gold frame so the write and the metric
+    // count share ONE scan+shuffle of silver instead of recomputing it
+    val gold = dailySummary(silver).persist()
+    try {
+      writeAndCount(gold, cfg)
+    } finally gold.unpersist()
+  }
+
+  private def writeAndCount(gold: DataFrame, cfg: PipelineConfig): Map[String, Long] = {
     gold.write
       .mode(cfg.silverMode)
       // dynamic: an overwrite run replaces only the event_date partitions

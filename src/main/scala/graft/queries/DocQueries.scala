@@ -208,13 +208,19 @@ object DocQueries {
     Q(
       "q74_docs_repetition",
       (s, d) => {
-        val (n2, dup) = graft.operators.TextAnalysis.bigramStats(col("text"))
+        import graft.operators.TextAnalysis.bigramArray
+        // staged projections: the grams array and the distinct-size are
+        // non-cheap expressions — materialize each ONCE, then derive the
+        // scalars (inlining re-evaluates them per output column)
         documents(s, d)
-          .select(
-            col("doc_id"),
-            n2.as("n_2grams"),
-            dup.as("n_dup_2grams"),
-            when(n2 > 0, round(dup.cast("double") / n2.cast("double"), 4))
+          .select(col("doc_id"), bigramArray(split(col("text"), " ")).as("__g2"))
+          .select(col("doc_id"),
+            size(col("__g2")).cast("long").as("n_2grams"),
+            (size(col("__g2")) - size(array_distinct(col("__g2")))).cast("long")
+              .as("n_dup_2grams"))
+          .select(col("doc_id"), col("n_2grams"), col("n_dup_2grams"),
+            when(col("n_2grams") > 0,
+              round(col("n_dup_2grams").cast("double") / col("n_2grams").cast("double"), 4))
               .as("dup_frac"))
           .orderBy(col("doc_id"))
       },
@@ -236,21 +242,29 @@ object DocQueries {
     Q(
       "q75_docs_quality_filter",
       (s, d) => {
-        val nTok = size(toks).cast("long")
-        val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
-        val (n2, dup) = graft.operators.TextAnalysis.bigramStats(col("text"))
-        val fracStop = nStop.cast("double") / nTok.cast("double")
-        val dupFrac = when(n2 > 0, dup.cast("double") / n2.cast("double"))
+        import graft.operators.TextAnalysis.bigramArray
+        // staged projections (see q74): tokens, grams, and the filtered/
+        // distinct counts each materialize exactly once
+        val fracStop = col("__n_stop").cast("double") / col("n_tokens").cast("double")
+        val dupFrac = when(col("__n2") > 0,
+          col("__ndup").cast("double") / col("__n2").cast("double"))
         documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("__t"))
+          .select(col("doc_id"), col("__t"), bigramArray(col("__t")).as("__g2"))
+          .select(col("doc_id"),
+            size(col("__t")).cast("long").as("n_tokens"),
+            size(filter(col("__t"), t => t.isin(stopwords: _*))).cast("long").as("__n_stop"),
+            size(col("__g2")).cast("long").as("__n2"),
+            (size(col("__g2")) - size(array_distinct(col("__g2")))).cast("long").as("__ndup"))
           .select(
             col("doc_id"),
-            nTok.as("n_tokens"),
+            col("n_tokens"),
             round(fracStop, 4).as("frac_stop"),
             round(dupFrac, 4).as("dup_frac"),
             // NB three-valued logic: a single-token doc has NULL dup_frac,
             // but n_tokens<10 is already FALSE, and FALSE AND NULL = FALSE
             // in both engines, so keep_flag stays 0, never NULL
-            (nTok.between(10, 5000) && fracStop >= 0.02 && dupFrac <= 0.2)
+            (col("n_tokens").between(10, 5000) && fracStop >= 0.02 && dupFrac <= 0.2)
               .cast("long").as("keep_flag"))
           .orderBy(col("doc_id"))
       },

@@ -85,12 +85,12 @@ object EventQueries {
             count(lit(1)).as("n_total"),
             cnt(r3).as("n_outlier"),
             cnt(r4).as("n_error"),
-            round(sum(col("value")), 2).as("sum_value"))
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
           .orderBy(col("event_date")),
       Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_total,
              |  CAST(count(*) FILTER (WHERE value > 400) AS BIGINT) AS n_outlier,
              |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
-             |  round(sum(value), 2) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events
              |GROUP BY CAST(ts AS DATE)
              |ORDER BY event_date""".stripMargin),
@@ -103,10 +103,11 @@ object EventQueries {
           .groupBy(
             date_trunc("hour", col("ts")).as("bucket"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
           .orderBy(col("bucket"), col("event_type")),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
-             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events
              |GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
              |ORDER BY bucket, event_type""".stripMargin),

@@ -38,10 +38,11 @@ object ExtraQueries {
         orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 2).as("total"))
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
           .filter(col("n_orders") >= 15)
           .orderBy(col("o_custkey")),
-      Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders
              |GROUP BY o_custkey
              |HAVING count(*) >= 15
@@ -57,12 +58,15 @@ object ExtraQueries {
               .when(col("o_totalprice") < 300000, "medium")
               .otherwise("large"))
           .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+              .as("avg_price"))
           .orderBy(col("bucket")),
       Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
              |            WHEN o_totalprice < 300000 THEN 'medium'
              |            ELSE 'large' END AS bucket,
-             |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
              |FROM orders
              |GROUP BY 1
              |ORDER BY bucket""".stripMargin),
@@ -236,7 +240,12 @@ object ExtraQueries {
       "q52_above_average_orders",
       (s, d) => {
         val o = orders(s, d)
-        val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+        // exact decimal sum / count: a double avg is partition-order-
+        // dependent, and any price inside the two engines' differing-ulp
+        // interval would flip the comparison
+        val avgPrice = o.agg(
+          (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("avg_price"))
         o.crossJoin(broadcast(avgPrice))
           .filter(col("o_totalprice") > col("avg_price"))
           .groupBy(col("o_orderpriority"))
@@ -245,7 +254,8 @@ object ExtraQueries {
       },
       Some("""SELECT o_orderpriority, count(*) AS n
              |FROM orders
-             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+             |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |                             / count(*) FROM orders)
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin),
       "scalar subquery (uncorrelated) as a broadcast cross join"),

@@ -50,25 +50,32 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared by q30 and q34: both return the exact-Jaccard >= 0.8 pair set
+    * (q34's LSH banding catches a J>=0.8 pair with p ~ 1-2e-7 and verifies
+    * candidates exactly), so they carry ONE oracle definition.
+    */
+  private val jaccardOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(len(t) - 2),
+      |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
+      |       FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |      / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+      |FROM pairs WHERE j >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q30_docs_shingle_jaccard",
       (s, d) =>
         Dedup.shingleJaccardPairs(documents(s, d), threshold = 0.8)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |sh AS (SELECT doc_id,
-             |         list_distinct(list_transform(range(len(t) - 2),
-             |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
-             |       FROM toks),
-             |pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-             |      / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) AS j
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-             |SELECT doc_a, doc_b, round(j, 4) AS jaccard
-             |FROM pairs WHERE j >= 0.8
-             |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(jaccardOracleSql),
       "exact 3-gram Jaccard near-dup pairs: Spark uses an inverted-index join, oracle brute-forces — same answer"),
 
     Q(
@@ -121,23 +128,7 @@ object LlmQueries {
       (s, d) =>
         Dedup.minhashLshPairs(documents(s, d), threshold = 0.8)
           .orderBy(col("doc_a"), col("doc_b")),
-      // Same oracle as q30: LSH banding at k=128/32 bands catches a J>=0.8
-      // pair with p ~ 1-2e-7 and candidates are verified with the exact
-      // measure, so the output equals the brute-force exact answer
-      // (ScalaTest additionally pins q34 == q30).
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |sh AS (SELECT doc_id,
-             |         list_distinct(list_transform(range(len(t) - 2),
-             |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
-             |       FROM toks),
-             |pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-             |      / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) AS j
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-             |SELECT doc_a, doc_b, round(j, 4) AS jaccard
-             |FROM pairs WHERE j >= 0.8
-             |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(jaccardOracleSql), // == q30's oracle; see jaccardOracleSql doc
       "MinHash(128)+LSH(32 bands) near-dup pairs with exact-Jaccard verification; ScalaTest proves equality with q30"),
 
     Q(

@@ -18,28 +18,38 @@ object StarQueries {
   val all: Seq[Q] = Seq(
     Q(
       "q01_pricing_summary",
-      (s, d) =>
+      // Money sums go through EXACT decimal arithmetic (double sums are
+      // partition-order-dependent; rounding them sits one ulp from
+      // flipping — the class of bug the sf0.001 soak caught in q46/q71):
+      // 2dp prices sum as decimal(18,2); the price*(1-disc) product is
+      // exactly 4dp in decimal; avg_disc is exact-sum / count. Only the
+      // integer-valued l_quantity keeps plain double aggregation.
+      (s, d) => {
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val disc  = col("l_discount").cast("decimal(18,2)")
         lineitem(s, d)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("sum_disc_price"),
             round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy(col("l_returnflag"), col("l_linestatus")),
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
              |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_discount), 4) AS avg_disc,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
-      "TPC-H Q1-style pricing summary: hash agg with map-side partials"),
+      "TPC-H Q1-style pricing summary: hash agg with map-side partials; exact decimal money sums"),
 
     Q(
       "q02_filter_pushdown",
@@ -48,11 +58,15 @@ object StarQueries {
           .filter(col("l_quantity") >= 48 && col("l_discount") > 0.05)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_shipdate"))
-          .orderBy(col("l_orderkey"), col("l_linenumber")),
+          // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+          // lineitem — extend the sort to a total order so tied rows can't
+          // flip the ordered hash between engines
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
              |FROM lineitem
              |WHERE l_quantity >= 48 AND l_discount > 0.05
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin),
       "selection + projection; predicates and column pruning reach the parquet scan"),
 
     Q(
@@ -65,12 +79,15 @@ object StarQueries {
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("double").as("revenue"),
             countDistinct(col("o_orderkey")).as("n_orders"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
              |  count(DISTINCT o_orderkey) AS n_orders
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -106,10 +123,11 @@ object StarQueries {
           .groupBy(col("c_custkey"), col("c_name"))
           .agg(
             count(col("o_orderkey")).as("n_orders"),
-            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+            coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), lit(0.0))
+              .as("total_spent"))
           .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-             |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+             |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) AS total_spent
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_name
              |ORDER BY c_custkey""".stripMargin),
@@ -169,17 +187,18 @@ object StarQueries {
           .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         orders(s, d)
-          .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+          .withColumn("running_total",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_total"))
           .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
              |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
              |FROM orders
              |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
-      "frame window: per-customer running spend"),
+      "frame window: per-customer running spend (exact decimal frame sum)"),
 
     Q(
       "q10_order_deltas",
@@ -215,7 +234,7 @@ object StarQueries {
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_customers"),
-            round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
           .select(
             coalesce(col("r_name"), lit("ALL")).as("region"),
             coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -223,7 +242,8 @@ object StarQueries {
           .orderBy(col("region"), col("nation"))
       },
       Some("""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-             |  count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+             |  count(*) AS n_customers,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -299,10 +319,11 @@ object StarQueries {
             year(col("o_orderdate")).cast("long").as("yr"),
             month(col("o_orderdate")).cast("long").as("mo"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 2).as("monthly_total"))
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monthly_total"))
           .orderBy(col("yr"), col("mo")),
       Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS monthly_total
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total
              |FROM orders
              |GROUP BY year(o_orderdate), month(o_orderdate)
              |ORDER BY yr, mo""".stripMargin),
@@ -320,7 +341,8 @@ object StarQueries {
             ceil(col("l_discount") * 100).as("disc_pct_ceil"),
             floor(col("l_tax") * 100).as("tax_pct_floor"),
             abs(col("l_quantity") - lit(25)).as("qty_dev"))
-          .orderBy(col("l_orderkey"), col("l_linenumber")),
+          // sqrt_price tie-breaks the non-unique (l_orderkey, l_linenumber)
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("sqrt_price")),
       Some("""SELECT l_orderkey, l_linenumber,
              |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
              |  round(ln(l_extendedprice), 4) AS ln_price,
@@ -328,6 +350,6 @@ object StarQueries {
              |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
              |  abs(l_quantity - 25) AS qty_dev
              |FROM lineitem WHERE l_orderkey % 100 = 0
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, sqrt_price""".stripMargin),
       "math scalar family: sqrt/ln/ceil/floor/abs (int widths matched to DuckDB)"))
 }

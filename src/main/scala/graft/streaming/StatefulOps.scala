@@ -88,11 +88,17 @@ object StatefulOps {
       n_events: Long, total_value: Double)
 
   /** Event-time sessionization emitting COMPLETED sessions (append
-    * semantics): a session closes when the watermark passes its end + gap,
-    * via EventTimeTimeout — state is removed on emit, so state size tracks
-    * only open sessions. This is the custom-state twin of the built-in
-    * `session_window` aggregation (which it generalizes: arbitrary session
-    * payload, not just aggregates).
+    * semantics). State holds ALL open sessions for the key (not just the
+    * latest): a session is emitted only once the watermark passes its
+    * end + gap, at which point no in-watermark row can still merge into
+    * it — emitting any earlier would fragment a true session whose middle
+    * rows arrive in a later micro-batch (append output can never be
+    * retracted). Each call re-sessionizes stored-sessions + batch rows in
+    * one sorted interval sweep, so out-of-order and disjoint-earlier rows
+    * are handled uniformly. State size tracks open sessions only. This is
+    * the custom-state twin of the built-in `session_window` aggregation
+    * (which it generalizes: arbitrary session payload, not just
+    * aggregates).
     */
   def completedSessions(events: DataFrame,
       gap: String = "30 minutes",
@@ -112,49 +118,44 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-            state: GroupState[SessionState]) =>
-          def toTs(us: Long) = new java.sql.Timestamp(us / 1000)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
-          } else {
-            // Sessionize the union of the stored open session and this
-            // batch's rows in ONE sorted interval sweep. This handles every
-            // arrival order uniformly: an in-watermark row earlier than the
-            // stored start merges (and lowers the start) only when it is
-            // within the gap of the session's SPAN, and a row more than a
-            // gap before the stored start forms its own earlier session
-            // instead of being glued across a silent period longer than
-            // the gap. All sessions but the latest are emitted closed;
-            // the latest stays open in state.
-            val intervals = (rows.map { case (_, ts, v) =>
-              SessionState(ts.getTime * 1000L, ts.getTime * 1000L, 1L, v)
-            }.toSeq ++ state.getOption.toSeq).sortBy(_.startUs)
-            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-            intervals.foreach { iv =>
-              if (merged.nonEmpty && iv.startUs - merged.last.endUs <= gapMicros) {
-                val m = merged.last
-                merged(merged.size - 1) = SessionState(
-                  m.startUs, math.max(m.endUs, iv.endUs),
-                  m.n + iv.n, m.total + iv.total)
-              } else merged += iv
-            }
-            if (merged.isEmpty) Iterator.empty
-            else {
-              val open = merged.last
-              state.update(open)
-              // EventTimeTimeout requires a timestamp strictly beyond the
-              // current watermark; end+gap can be behind it when the batch
-              // carried only late rows — clamp so the set never throws (the
-              // session then closes on the next watermark advance).
-              state.setTimeoutTimestamp(math.max(
-                open.endUs / 1000 + gapMicros / 1000,
-                state.getCurrentWatermarkMs() + 1))
-              merged.init.iterator.map(s =>
-                CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
-            }
+            state: GroupState[Seq[SessionState]]) =>
+          // full µs precision both ways: Timestamp.getTime is ms-truncated,
+          // so gap arithmetic must add back the sub-ms part from getNanos
+          def toUs(ts: java.sql.Timestamp): Long =
+            math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          def toTs(us: Long) = {
+            val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
           }
+          // one body serves both the data path and the timeout path (rows
+          // is empty when only the timer fired)
+          val intervals = (rows.map { case (_, ts, v) =>
+            val us = toUs(ts)
+            SessionState(us, us, 1L, v)
+          }.toSeq ++ state.getOption.getOrElse(Seq.empty)).sortBy(_.startUs)
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          intervals.foreach { iv =>
+            if (merged.nonEmpty && iv.startUs - merged.last.endUs <= gapMicros) {
+              val m = merged.last
+              merged(merged.size - 1) = SessionState(
+                m.startUs, math.max(m.endUs, iv.endUs),
+                m.n + iv.n, m.total + iv.total)
+            } else merged += iv
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(s => s.endUs + gapMicros <= wmUs)
+          if (open.nonEmpty) {
+            state.update(open.toSeq)
+            // EventTimeTimeout must be strictly beyond the watermark; the
+            // earliest open session's end+gap can be at/behind it — clamp
+            // so the set never throws (it then closes on the next advance)
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.endUs).min / 1000 + gapMicros / 1000,
+              state.getCurrentWatermarkMs() + 1))
+          } else state.remove()
+          closed.iterator.map(s =>
+            CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
       }
   }
 

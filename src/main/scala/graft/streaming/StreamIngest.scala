@@ -48,7 +48,12 @@ object StreamIngest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(inbox)
-      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      // try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+      // mode a syntactically-valid CSV row with an unparseable ts would
+      // otherwise throw and kill the stream — exactly what the quarantine
+      // contract above promises to survive (the NULL ts row then carries
+      // its raw line through _corrupt_record handling downstream)
+      .withColumn("ts", try_to_timestamp(col("ts"), lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
 
   /** Split a permissively-parsed stream into (clean, quarantine). The
     * quarantine side keeps `event_id` alongside the raw line: Spark

@@ -25,7 +25,10 @@ object RunStream {
       graft.Tables.events(spark, sfDir), s"$base/inbox", n = 5)
     println(s"inbox: ${files.size} micro-batches")
 
-    val src = StreamIngest.readInbox(spark, s"$base/inbox")
+    // quarantine split first: corrupt rows carry NULL typed columns, which
+    // the stateful consumer's non-nullable tuple encoder would reject
+    val (src, _) = StreamIngest.quarantineCorrupt(
+      StreamIngest.readInbox(spark, s"$base/inbox"))
     val q1 = StreamIngest.drainToParquet(
       StreamIngest.tumblingCounts(src), s"$base/hourly", s"$base/ckpt_hourly")
     val q2 = StreamIngest.drainWithDq(src, s"$base/dq", s"$base/ckpt_dq")

@@ -125,6 +125,37 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("a later batch's bridging row reunites provisionally-split sessions (no premature emit)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    def t(s: String) = Timestamp.valueOf(s)
+    val q = StatefulOps.completedSessions(df, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_bridge")
+      .outputMode("append").start()
+    // 10:00 and 10:31 are 31 min apart — provisionally two sessions, but
+    // neither may be emitted yet: an in-watermark middle row could still
+    // arrive and merge them
+    mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (1L, t("2024-01-01 10:31:00"), 2.0))
+    q.processAllAvailable()
+    // 10:25 is >= the 10:21 watermark and within gap of BOTH — one true session
+    mem.addData((1L, t("2024-01-01 10:25:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((9L, t("2024-01-01 13:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((9L, t("2024-01-01 13:01:00"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_bridge").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+    q.stop()
+    assert(rows.length == 1, s"expected one reunited session, got ${rows.length}")
+    assert(rows.head.getAs[Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+    assert(rows.head.getAs[Timestamp]("session_end") == t("2024-01-01 10:31:00"))
+    assert(rows.head.getAs[Long]("n_events") == 3L)
+    assert(rows.head.getAs[Double]("total_value") == 7.0)
+  }
+
   test("a very-late row beyond the gap forms its own earlier session, not a bridged one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
