@@ -95,18 +95,32 @@ object ExtraQueries {
 
     Q(
       "q46_price_percentiles",
-      (s, d) =>
+      (s, d) => {
         // Discrete percentiles pick an ACTUAL data value, so no
         // interpolation arithmetic exists to diverge by 1 ulp between
         // engines and flip a rounded digit (interpolated quantile_cont vs
-        // percentile did exactly that at sf0.001)
+        // percentile did exactly that at sf0.001). Computed as ONE window
+        // sort + rank targets instead of three separate sort-based
+        // percentile_disc aggregates (one shuffle+sort per group, not 3):
+        // percentile_disc(q) = the ceil(q*n)-th value in sort order, with
+        // the target derived in exact integer arithmetic (a double q*n can
+        // land a hair above an integer and shift the pick).
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        def target(num: Long, den: Long) = // integer ceil(n*num/den); DIV, not `/` (double)
+          expr(s"(__n * $num + ${den - 1}) DIV $den")
+        def pick(num: Long, den: Long) =
+          max(when(col("__rn") === target(num, den), col("l_extendedprice")))
         lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("__rn", row_number().over(w).cast("long"))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
           .groupBy(col("l_returnflag"))
           .agg(
-            round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p50"),
-            round(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p90"),
-            round(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p99"))
-          .orderBy(col("l_returnflag")),
+            round(pick(1, 2), 2).as("p50"),
+            round(pick(9, 10), 2).as("p90"),
+            round(pick(99, 100), 2).as("p99"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
              |  round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
              |  round(quantile_disc(l_extendedprice, 0.9), 2) AS p90,
