@@ -51,7 +51,10 @@ object Bench {
     val errsJson =
       if (errors.isEmpty) "" else errors.mkString(""","errors":[""", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
+    // method flag: r1/r2 timed count() (Catalyst prunes computed columns
+    // and final sorts under a count), r3+ times full materialization —
+    // cross-round per-query comparisons must account for the change
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
