@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state beyond what windowed aggregation expresses (ST3+,
   * SURVEY §2.7): `KeyValueGroupedDataset.mapGroupsWithState` /
@@ -87,6 +87,41 @@ object StatefulOps {
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       n_events: Long, total_value: Double)
 
+  /** Full-µs conversions: Timestamp.getTime is ms-truncated, so gap
+    * arithmetic must add back the sub-ms part from getNanos.
+    */
+  private[streaming] def tsToUs(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  private[streaming] def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Merge sorted point/interval runs within `gapMicros` — the shared
+    * sessionization sweep of both stateful implementations.
+    */
+  private[streaming] def sweepMerge(
+      intervals: Seq[SessionState], gapMicros: Long): Seq[SessionState] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    intervals.sortBy(_.startUs).foreach { iv =>
+      if (merged.nonEmpty && iv.startUs - merged.last.endUs <= gapMicros) {
+        val m = merged.last
+        merged(merged.size - 1) = SessionState(
+          m.startUs, math.max(m.endUs, iv.endUs), m.n + iv.n, m.total + iv.total)
+      } else merged += iv
+    }
+    merged.toSeq
+  }
+
+  /** Parse a fixed-length interval string to microseconds. */
+  private[streaming] def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, "session gap must be a fixed-length interval")
+    iv.days.toLong * 86400000000L + iv.microseconds
+  }
+
   /** Event-time sessionization emitting COMPLETED sessions (append
     * semantics). State holds ALL open sessions for the key (not just the
     * latest): a session is emitted only once the watermark passes its
@@ -105,10 +140,7 @@ object StatefulOps {
       watermark: String = "10 minutes"): Dataset[CompletedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    require(iv.months == 0, "session gap must be a fixed-length interval")
-    val gapMicros = iv.days.toLong * 86400000000L + iv.microseconds
+    val gapMicros = intervalMicros(gap)
 
     events
       .withWatermark("ts", watermark)
@@ -119,34 +151,17 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
             state: GroupState[Seq[SessionState]]) =>
-          // full µs precision both ways: Timestamp.getTime is ms-truncated,
-          // so gap arithmetic must add back the sub-ms part from getNanos
-          def toUs(ts: java.sql.Timestamp): Long =
-            math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-          def toTs(us: Long) = {
-            val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
-            t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
-            t
-          }
           // one body serves both the data path and the timeout path (rows
           // is empty when only the timer fired)
-          val intervals = (rows.map { case (_, ts, v) =>
-            val us = toUs(ts)
+          val pts = rows.map { case (_, ts, v) =>
+            val us = tsToUs(ts)
             SessionState(us, us, 1L, v)
-          }.toSeq ++ state.getOption.getOrElse(Seq.empty)).sortBy(_.startUs)
-          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          intervals.foreach { iv =>
-            if (merged.nonEmpty && iv.startUs - merged.last.endUs <= gapMicros) {
-              val m = merged.last
-              merged(merged.size - 1) = SessionState(
-                m.startUs, math.max(m.endUs, iv.endUs),
-                m.n + iv.n, m.total + iv.total)
-            } else merged += iv
-          }
+          }.toSeq
+          val merged = sweepMerge(pts ++ state.getOption.getOrElse(Seq.empty), gapMicros)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (closed, open) = merged.partition(s => s.endUs + gapMicros <= wmUs)
           if (open.nonEmpty) {
-            state.update(open.toSeq)
+            state.update(open)
             // EventTimeTimeout must be strictly beyond the watermark; the
             // earliest open session's end+gap can be at/behind it — clamp
             // so the set never throws (it then closes on the next advance)
@@ -155,8 +170,63 @@ object StatefulOps {
               state.getCurrentWatermarkMs() + 1))
           } else state.remove()
           closed.iterator.map(s =>
-            CompletedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
+            CompletedSession(uid, usToTs(s.startUs), usToTs(s.endUs), s.n, s.total))
       }
+  }
+
+  /** transformWithState twin of [[completedSessions]]: same watermark-gated
+    * sweep, expressed with the modern API's ListState (one element per open
+    * session) and explicit event-time timers — per-key timer management
+    * (register/delete) replaces the legacy single-timeout-per-key model.
+    */
+  class SessionProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double), CompletedSession] {
+    @transient private var sessions: ListState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[SessionState](
+        "sessions", Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def sweep(uid: Long, pts: Seq[SessionState],
+        wmMs: Long): Iterator[CompletedSession] = {
+      val stored = if (sessions.exists()) sessions.get().toSeq else Seq.empty
+      val merged = sweepMerge(pts ++ stored, gapMicros)
+      val (closed, open) = merged.partition(s => s.endUs + gapMicros <= wmMs * 1000L)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (open.nonEmpty) {
+        sessions.put(open.toArray)
+        getHandle.registerTimer(math.max(
+          open.map(_.endUs).min / 1000 + gapMicros / 1000, wmMs + 1))
+      } else sessions.clear()
+      closed.iterator.map(s =>
+        CompletedSession(uid, usToTs(s.startUs), usToTs(s.endUs), s.n, s.total))
+    }
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[CompletedSession] =
+      sweep(uid, rows.map { case (_, ts, v) =>
+        val us = tsToUs(ts)
+        SessionState(us, us, 1L, v)
+      }.toSeq, timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CompletedSession] =
+      sweep(uid, Seq.empty, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def completedSessionsTws(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): Dataset[CompletedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new SessionProcessor(intervalMicros(gap)), TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Same totals but with processing-time state expiry: idle keys time out

@@ -156,6 +156,44 @@ class StatefulSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("total_value") == 7.0)
   }
 
+  test("transformWithState sessionizer matches the GroupState twin on the bridge scenario") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "value")
+      def t(s: String) = Timestamp.valueOf(s)
+      val q = StatefulOps.completedSessionsTws(df, gap = "30 minutes", watermark = "10 minutes")
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode("append").start()
+      mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (1L, t("2024-01-01 10:31:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 10:25:00"), 4.0)) // bridges the provisional split
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-01-01 13:01:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_tws").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      q.stop()
+      assert(rows.length == 1, s"expected one reunited session, got ${rows.length}")
+      assert(rows.head.getAs[Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+      assert(rows.head.getAs[Timestamp]("session_end") == t("2024-01-01 10:31:00"))
+      assert(rows.head.getAs[Long]("n_events") == 3L)
+      assert(rows.head.getAs[Double]("total_value") == 7.0)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a very-late row beyond the gap forms its own earlier session, not a bridged one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
