@@ -112,6 +112,9 @@ object ExtraQueries {
           max(when(col("__rn") === target(num, den), col("l_extendedprice")))
         lineitem(s, d)
           .select(col("l_returnflag"), col("l_extendedprice"))
+          // percentile_disc ignores nulls; the rank formula must too, or a
+          // null price would shift every target (nulls sort first in Spark)
+          .filter(col("l_extendedprice").isNotNull)
           .withColumn("__rn", row_number().over(w).cast("long"))
           .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
           .groupBy(col("l_returnflag"))

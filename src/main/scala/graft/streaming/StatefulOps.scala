@@ -192,7 +192,7 @@ object StatefulOps {
       val stored = if (sessions.exists()) sessions.get().toSeq else Seq.empty
       val merged = sweepMerge(pts ++ stored, gapMicros)
       val (closed, open) = merged.partition(s => s.endUs + gapMicros <= wmMs * 1000L)
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (open.nonEmpty) {
         sessions.put(open.toArray)
         getHandle.registerTimer(math.max(
