@@ -54,7 +54,15 @@ object Bench {
     // method flag: r1/r2 timed count() (Catalyst prunes computed columns
     // and final sorts under a count), r3+ times full materialization —
     // cross-round per-query comparisons must account for the change
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs$errsJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs$errsJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only the log tail, which truncates the per-query map
+    // — persist the full line so each round's complete numbers can be
+    // committed as BENCH_r*_full.json and compared across rounds
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

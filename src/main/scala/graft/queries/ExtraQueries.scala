@@ -365,29 +365,42 @@ object ExtraQueries {
       "q78_range_frame",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // RANGE frame over a value (not row) window: peers within 1000.0
-        // of the current order's price, per status
+        // RANGE frame over a value (not row) window: peers within $1000 of
+        // the current order's price, per status — integer-exact END TO END.
+        // Ordering/framing by the double price puts the ±bound comparison on
+        // float parity (boundary rows flip between engines), and a direct
+        // decimal(18,2) cast rounds a double at the .5 boundary where Spark
+        // (BigDecimal HALF_UP) and DuckDB (scaled multiply) diverge. So:
+        // canonicalize to int64 micros via decimal(18,6) (exact: *1e6 leaves
+        // scale-6 fraction zero), round to cents with the half-away integer
+        // DIV idiom (non-negative prices, see GoldAggregate), and run BOTH
+        // the frame comparison and the frame sum over integer cents.
+        val staged = orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long").as("micros"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            expr("(2 * micros + 10000) DIV 20000").as("cents"))
         val w = Window.partitionBy(col("o_orderstatus"))
-          .orderBy(col("o_totalprice"))
-          .rangeBetween(-1000L, 1000L)
-        // frame sum as exact integer cents: windowed double aggregation
-        // associates differently across engines (segment trees), so only
-        // integer frame aggregates are cross-engine exact
-        val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-        orders(s, d)
+          .orderBy(col("cents"))
+          .rangeBetween(-100000L, 100000L)
+        staged
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
             count(lit(1)).over(w).as("n_near"),
-            sum(cents).over(w).as("sum_near_cents"))
+            sum(col("cents")).over(w).as("sum_near_cents"))
           .orderBy(col("o_orderkey"))
       },
-      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+      Some("""WITH c AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    (2 * CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) + 10000) // 20000 AS cents
+             |  FROM orders)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice,
              |  count(*) OVER w AS n_near,
-             |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS sum_near_cents
-             |FROM orders
-             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
-             |  RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+             |  sum(cents) OVER w AS sum_near_cents
+             |FROM c
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents
+             |  RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
              |ORDER BY o_orderkey""".stripMargin),
-      "value-based RANGE window frame (peers within ±1000 of the current price)"),
+      "value-based RANGE window frame (peers within 100000 cents of the current price), integer-exact on both engines"),
 
     Q(
       "q58_ship_lag",
@@ -522,10 +535,17 @@ object ExtraQueries {
     Q(
       "q69_null_safe_eq",
       (s, d) => {
-        val withK = events(s, d).select(
+        // stage the JSON parse through its own projection: Catalyst does not
+        // CSE non-cheap expressions, so referencing get_json_object in both
+        // the when() condition and the otherwise() branch parses every props
+        // string twice (CollapseProject refuses to inline a non-cheap expr
+        // used more than once, so the staged form parses exactly once)
+        val parsed = events(s, d).select(
           col("event_id"),
-          when(get_json_object(col("props"), "$.k").cast("long") % 7 === 0, lit(null))
-            .otherwise(get_json_object(col("props"), "$.k").cast("long")).as("k"))
+          get_json_object(col("props"), "$.k").cast("long").as("k0"))
+        val withK = parsed.select(
+          col("event_id"),
+          when(col("k0") % 7 === 0, lit(null)).otherwise(col("k0")).as("k"))
         withK
           .groupBy(col("k"))
           .agg(count(lit(1)).as("n"))
