@@ -105,6 +105,12 @@ object ExtraQueries {
         // percentile_disc(q) = the ceil(q*n)-th value in sort order, with
         // the target derived in exact integer arithmetic (a double q*n can
         // land a hair above an integer and shift the pick).
+        // SCALE: the window partitions by l_returnflag (3 values) — exact
+        // per-group percentiles inherently sort each group through one
+        // task, so this query is the exact ORACLE BASELINE; the 100 TB
+        // path is q68's approx_percentile sketch (fully parallel,
+        // tolerance pinned in ScalaTest). ScaleGuardSpec enforces that
+        // every bounded-key window carries this documented pairing.
         val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
         def target(num: Long, den: Long) = // integer ceil(n*num/den); DIV, not `/` (double)
           expr(s"(__n * $num + ${den - 1}) DIV $den")
@@ -375,6 +381,10 @@ object ExtraQueries {
         // scale-6 fraction zero), round to cents with the half-away integer
         // DIV idiom (non-negative prices, see GoldAggregate), and run BOTH
         // the frame comparison and the frame sum over integer cents.
+        // SCALE: partitions by o_orderstatus (3 values) — exact RANGE
+        // frames need the whole group in sort order, so like q46 this is
+        // the exact ORACLE BASELINE; at 100 TB use a sketch / pre-bucketed
+        // cents histogram (q68 pattern). Pairing enforced by ScaleGuardSpec.
         val staged = orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
             (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long").as("micros"))

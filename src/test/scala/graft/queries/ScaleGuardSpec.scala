@@ -2,7 +2,7 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.expressions.EqualTo
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, LocalLimit, LogicalPlan, Project, Repartition, RepartitionByExpression, ResolvedHint, Sort, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, LocalLimit, LogicalPlan, Project, Repartition, RepartitionByExpression, ResolvedHint, Sort, SubqueryAlias, Window => LogicalWindow}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import graft.SparkTestSession.{spark, sf0001}
 
@@ -82,6 +82,39 @@ class ScaleGuardSpec extends AnyFunSuite {
         }
       }.flatten.toSet
       tables.nonEmpty && tables.subsetOf(constantTables)
+  }
+
+  /** Columns whose distinct-value count is a CONSTANT of the data model
+    * (status/flag/enum codes), independent of the scale factor. A window
+    * partitioned ONLY by such keys — or by nothing — funnels the whole
+    * input through a handful of sort tasks at 100 TB, no matter how many
+    * executors exist. Exact-result windows over them are allowed only as
+    * documented oracle baselines whose 100 TB path is a fully-parallel
+    * sketch (the q68 approx_percentile pattern).
+    */
+  private val enumCols = Set("l_returnflag", "l_linestatus", "o_orderstatus",
+    "o_orderpriority", "c_mktsegment", "event_type", "lang")
+
+  private val boundedWindowExempt: Map[String, String] = Map(
+    "q46_price_percentiles" ->
+      "exact per-flag percentiles: oracle baseline; 100 TB path = q68 approx_percentile sketch",
+    "q78_range_frame" ->
+      "exact RANGE-frame oracle baseline (3-value o_orderstatus); 100 TB path = sketch/pre-bucketed histogram, same pairing as q46->q68")
+
+  test("windows partitioned only by bounded-cardinality keys are documented baselines") {
+    val offenders = Registry.all.flatMap { q =>
+      val wins = analyzed(q).collect { case w: LogicalWindow => w }
+      wins.flatMap { w =>
+        val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        val bounded = w.partitionSpec.isEmpty || refs.subsetOf(enumCols)
+        if (bounded && !boundedWindowExempt.contains(q.name)) Some((q.name, refs))
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, refs) =>
+        s"$n windows over bounded keys ${refs.mkString("{", ",", "}")} — a full-table sort through <=|enum| tasks at scale; add a sketch scale path and document the exemption"
+      }.mkString("\n"))
   }
 
   test("no registered query plans a CartesianProduct") {
