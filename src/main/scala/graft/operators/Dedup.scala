@@ -75,12 +75,25 @@ object Dedup {
     * posting list (each unordered pair exactly once, doc_a < doc_b by
     * construction) — no self-join is planned; per-doc set sizes rejoin by
     * broadcast after pair counting.
+    *
+    * `dfCap`: optional document-frequency cap — drop shingles appearing in
+    * more than `dfCap` docs BEFORE pair generation. Default OFF, which
+    * preserves exact Jaccard (the oracle answer); the capped variant is the
+    * 100 TB configuration: a viral shingle's posting list otherwise
+    * explodes into |postings|² pairs on a single row, and a boilerplate
+    * n-gram shared by millions of docs carries ~no near-dup signal anyway
+    * (denominators are still the FULL per-doc set sizes, so capped Jaccard
+    * is a strict lower bound — the cap only ever drops pairs / lowers
+    * scores, never invents a pair; OperatorsSpec pins both properties).
     */
-  def shingleJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+  def shingleJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      dfCap: Option[Int] = None): DataFrame = {
     val index = shingleIndex(docs, n)
     val sizes = shingleSizes(index)
-    val postings = index.groupBy(col("sh"))
+    val allPostings = index.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    val postings = dfCap.fold(allPostings)(cap =>
+      allPostings.filter(size(col("ds")) <= cap))
     val pairs = postings.select(explode(expr(
       """flatten(transform(ds, (a, i) ->
         |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"""

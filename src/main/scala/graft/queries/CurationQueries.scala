@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and training (driver mandate; complements the dedup /
+  * quality / similarity families in DocQueries, LlmQueries, Dedup):
+  *
+  *  - q80 stratified rebalancing sample (per-language rates);
+  *  - q81 per-source document cap (the "domain cap" of web-crawl curation);
+  *  - q82 int8 embedding quantization (storage/serving compression);
+  *  - q83 benchmark-contamination screen (n-gram overlap vs an eval set).
+  *
+  * All four are single-scan / single-shuffle shapes that hold at 100 TB:
+  * q80/q82 are embarrassingly parallel projections+filters, q81 shuffles
+  * once on the (many-valued) source key, q83 shuffles the slim distinct
+  * (doc_id, shingle) index and joins a benchmark set that is tiny by
+  * construction in real deployments.
+  *
+  * Determinism: no rand()/sample() anywhere — sampling and priorities use
+  * the q73 multiplicative-congruential hash on doc_id so both engines (and
+  * any two cluster sizes) agree bit-for-bit. Same int64-overflow bound as
+  * q73: doc_id < ~3.4e9, beyond which the xxhash64 variant (rows-only)
+  * applies.
+  */
+object CurationQueries {
+
+  /** q73's engine-portable bucket hash: (doc_id * Knuth) mod m, in [0, m). */
+  private def hashBucket(m: Int) =
+    pmod(col("doc_id") * lit(2654435761L), lit(m.toLong)).cast("long")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q80_docs_stratified_sample",
+      (s, d) => {
+        // Language rebalancing: downsample the dominant language (en: keep
+        // 20%), keep more of the rest (60%) — the standard mixture-tuning
+        // op before training. Deterministic: membership is a pure function
+        // of doc_id, so the sample is reproducible run-to-run and
+        // partition-layout-independent (never df.sample(), which draws
+        // from a per-partition RNG stream).
+        val rate = when(col("lang") === "en", lit(20L)).otherwise(lit(60L))
+        documents(s, d)
+          .select(col("doc_id"), col("lang"), hashBucket(100).as("bucket"),
+            rate.as("rate"))
+          .filter(col("bucket") < col("rate"))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+             |FROM documents
+             |WHERE (doc_id * 2654435761) % 100
+             |  < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+             |ORDER BY doc_id""".stripMargin),
+      "stratified rebalancing sample: per-language keep rates via the deterministic q73 hash (no RNG)"),
+
+    Q(
+      "q81_docs_source_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // Per-source cap (web-crawl "domain cap"): keep at most 15 docs per
+        // source, chosen by deterministic pseudo-random priority so the cut
+        // is unbiased w.r.t. doc order but fully reproducible. The window
+        // partitions by source — a many-valued key (domains in the millions
+        // at 100 TB), so per-group sorts stay small and parallel; NOT the
+        // bounded-cardinality shape ScaleGuardSpec flags.
+        val pri = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(pri.asc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("doc_id"), col("source"),
+            row_number().over(w).cast("long").as("rank_in_source"))
+          .filter(col("rank_in_source") <= 15)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, rank_in_source FROM (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank_in_source
+             |  FROM documents)
+             |WHERE rank_in_source <= 15
+             |ORDER BY doc_id""".stripMargin),
+      "per-source document cap (domain cap): top-15 per source by deterministic hash priority"),
+
+    Q(
+      "q82_emb_quantize",
+      (s, d) => {
+        // Symmetric int8 quantization: scale = 127/max|x|, q_i = round
+        // (x_i * scale) — summarized to SCALAR integer stats (sum/min/max/
+        // zero-count) because array cells break the driver's hash compare.
+        // Parity: x*scale+0.5 is the same IEEE double expression tree in
+        // both engines; floor() yields an integral-valued double, so the
+        // int cast that follows cannot hit the trunc-vs-round divergence
+        // (Spark truncates, DuckDB rounds — only visible on non-integral
+        // doubles). The .5-rounding of the quantizer itself is floor(x+0.5)
+        // in BOTH engines, never engine round().
+        val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        val staged = embeddings(s, d)
+          .select(col("vec_id"), v.as("v"))
+          .select(col("vec_id"), col("v"),
+            expr("array_max(transform(v, x -> abs(x)))").as("maxabs"))
+          .select(col("vec_id"), col("v"),
+            when(col("maxabs") > 0, lit(127.0d) / col("maxabs")).otherwise(lit(0.0d))
+              .as("scale"))
+          .select(col("vec_id"),
+            expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))").as("q"))
+        staged.select(
+          col("vec_id"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("sum_q"),
+          expr("array_min(q)").as("min_q"),
+          expr("array_max(q)").as("max_q"),
+          expr("CAST(size(filter(q, x -> x = 0)) AS BIGINT)").as("n_zero"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+             |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+             |         ELSE 0.0 END AS scale
+             |  FROM v),
+             |q AS (
+             |  SELECT vec_id,
+             |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+             |  FROM s)
+             |SELECT vec_id,
+             |  list_aggregate(q, 'sum') AS sum_q,
+             |  list_min(q) AS min_q,
+             |  list_max(q) AS max_q,
+             |  len(list_filter(q, x -> x = 0)) AS n_zero
+             |FROM q
+             |ORDER BY vec_id""".stripMargin),
+      "symmetric int8 embedding quantization, scalar stats (floor(x+0.5) quantizer — engine-portable rounding)"),
+
+    Q(
+      "q83_docs_contamination",
+      (s, d) => {
+        // Benchmark-contamination screen: fraction of each doc's distinct
+        // word 8-grams that appear in the "benchmark" set (docs with
+        // doc_id % 50 == 0 stand in for an eval suite). Shingles stay as
+        // STRINGS here so DuckDB can replay them (the hashed variant for
+        // scale is Dedup.shingleIndex); the distinct (doc_id, shingle)
+        // index is the only thing shuffled, and the benchmark side of the
+        // join is tiny by construction in real use (an eval suite, not a
+        // corpus). Position explode, not computed-array explode (Generate
+        // re-evaluates computed arrays per output row).
+        val n = 8
+        val base = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+        val sh = graft.operators.Par.fanOut(base)
+          .select(col("doc_id"), col("t"),
+            explode(when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("t"), col("i"), lit(n))).as("sh"))
+          .distinct()
+        val bench = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+        sh.join(bench.withColumn("hit", lit(1)), Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_8grams"),
+            count(col("hit")).as("n_contaminated"))
+          .select(col("doc_id"), col("n_8grams"), col("n_contaminated"),
+            round(col("n_contaminated").cast("double") / col("n_8grams").cast("double"), 4)
+              .as("contam_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(t) - 6),
+             |        i -> array_to_string(t[i:i+7], ' '))) AS sh
+             |    FROM tok WHERE len(t) >= 8)),
+             |bench AS (
+             |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+             |SELECT s.doc_id,
+             |  count(*) AS n_8grams,
+             |  count(b.sh) AS n_contaminated,
+             |  round(CAST(count(b.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             |    AS contam_frac
+             |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+             |GROUP BY s.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "benchmark-contamination screen: distinct word-8-gram overlap of every doc against an eval set"))
+}

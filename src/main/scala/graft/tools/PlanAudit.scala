@@ -16,18 +16,33 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.queries.Registry.all.sortBy(_.name).foreach { q =>
+    val lines = graft.queries.Registry.all.sortBy(_.name).map { q =>
       try {
-        val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        val qe = q.fn(spark, sfDir).queryExecution
+        // execute THIS QueryExecution first (a noop write would plan a
+        // separate one): pre-execution, AQE wraps everything in
+        // AdaptiveSparkPlan with no codegen markers and tentative join
+        // picks — the audit must read the FINAL runtime plan
+        // (isFinalPlan=true), which is also where AQE's SMJ->BHJ rewrites
+        // and coalesced exchanges actually show
+        qe.executedPlan.execute().count()
+        val p = qe.executedPlan.toString
         val flags = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "SortMergeJoin" -> p.contains("SortMergeJoin"),
           "BroadcastNLJoin" -> p.contains("BroadcastNestedLoopJoin"),
           "noCodegen" -> !p.contains("*("))
           .collect { case (f, true) => f }
-        println(f"${q.name}%-28s scans=${"FileScan".r.findAllIn(p).length}%2d exchanges=${"Exchange".r.findAllIn(p).length}%2d ${flags.mkString(",")}")
-      } catch { case e: Throwable => println(s"${q.name} PLAN ERROR: ${e.getMessage.take(100)}") }
+        f"${q.name}%-28s scans=${"FileScan".r.findAllIn(p).length}%2d exchanges=${"Exchange".r.findAllIn(p).length}%2d ${flags.mkString(",")}"
+      } catch { case e: Throwable => s"${q.name} PLAN ERROR: ${e.getMessage.take(100)}" }
     }
+    lines.foreach(println)
+    // persist the summary so each round can commit it (PLANAUDIT_r*.txt) —
+    // a plan regression (new exchange, lost codegen, join flip) then shows
+    // up as a one-line diff in review without rerunning anything
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/planaudit.txt"),
+      lines.mkString("", "\n", "\n"))
     spark.stop()
   }
 }

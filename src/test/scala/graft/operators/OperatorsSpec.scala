@@ -19,6 +19,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)   // banding at k=128/b=32 catches J>=0.8 w.p. ~1-2e-7
   }
 
+  test("df-cap off preserves exact Jaccard; a cap only drops pairs, never invents") {
+    type P = (Long, Long, Double)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[P] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Dedup.shingleJaccardPairs(docs, 0.8))
+    // cap=None is the default: identical call path, identical answer
+    assert(pairs(Dedup.shingleJaccardPairs(docs, 0.8, dfCap = None)) == exact)
+    // a cap above the max document frequency filters nothing
+    assert(pairs(Dedup.shingleJaccardPairs(docs, 0.8, dfCap = Some(1000000))) == exact)
+    // the 100 TB configuration: a tight cap may only DROP pairs (or lower a
+    // surviving pair's score — denominators stay the full set sizes), so
+    // every surviving (pair, score) is bounded by an exact pair's score
+    val capped = pairs(Dedup.shingleJaccardPairs(docs, 0.8, dfCap = Some(2)))
+    val exactByPair = exact.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(capped.forall { case (a, b, j) =>
+      exactByPair.get((a, b)).exists(j <= _)
+    })
+  }
+
   test("simhash pairs: near-dup docs collide, fingerprints differ for distinct docs") {
     val sims = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import graft.Tables
+
+/** Semantic pins for the corpus-curation family (q80–q83) beyond the
+  * generic oracle sweep: the oracle proves Spark==DuckDB, these prove the
+  * operators mean what they claim.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private def run(name: String) = Registry.byName(name).fn(spark, sf0001)
+
+  test("q80 stratified sample: membership is a pure function of doc_id with per-lang rates") {
+    val docs = Tables.documents(spark, sf0001)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("q80_docs_stratified_sample").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the multiplicative hash is uniform: expect ~rate% per stratum with a
+    // generous band at n≈500 (binomial 3σ)
+    kept.foreach { case (lang, n) =>
+      val rate = if (lang == "en") 0.20 else 0.60
+      val exp = total(lang) * rate
+      val sigma = math.sqrt(total(lang) * rate * (1 - rate))
+      assert(math.abs(n - exp) <= 3 * sigma + 1,
+        s"$lang: kept $n of ${total(lang)}, expected ~$exp")
+    }
+    // determinism/purity: same doc_ids on a re-run (no RNG state anywhere)
+    val a = run("q80_docs_stratified_sample").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = run("q80_docs_stratified_sample").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("q81 source cap: every source keeps exactly min(15, |source|) docs") {
+    val docs = Tables.documents(spark, sf0001)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("q81_docs_source_cap").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == perSource.keySet) // no source vanishes
+    kept.foreach { case (src, n) =>
+      assert(n == math.min(15L, perSource(src)), s"$src kept $n of ${perSource(src)}")
+    }
+  }
+
+  test("q82 int8 quantization: values bounded by ±127 and scale saturates the max dim") {
+    val rows = run("q82_emb_quantize").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (minQ, maxQ) = (r.getLong(2), r.getLong(3))
+      assert(minQ >= -127 && maxQ <= 127)
+      // symmetric scaling by 127/max|x|: the extreme dim quantizes to ±127
+      assert(maxQ == 127 || minQ == -127)
+    }
+  }
+
+  test("q83 contamination: benchmark docs are fully contaminated, fractions in [0,1]") {
+    val rows = run("q83_docs_contamination").collect()
+    rows.foreach { r =>
+      val (docId, nSh, nHit, frac) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nHit <= nSh && frac >= 0.0 && frac <= 1.0)
+      // every shingle of a benchmark doc is in the benchmark set by construction
+      if (docId % 50 == 0) assert(nHit == nSh && frac == 1.0, s"benchmark doc $docId")
+    }
+    // the screen must be non-trivial: some non-benchmark doc shares no 8-gram
+    assert(rows.exists(r => r.getLong(0) % 50 != 0 && r.getLong(2) == 0))
+  }
+}
