@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** K-means clustering over the `embeddings` table — the backbone of
+  * cluster-based corpus curation (SemDeDup-style semantic dedup, diversity
+  * sampling, per-cluster quality pruning).
+  *
+  * Spark-first shape: the only per-iteration cluster-wide work is one
+  * embarrassingly-parallel assignment scan (argmax of k dot products
+  * against a centroid LITERAL — no join, no shuffle) plus one slim
+  * (cluster, pos, sum, n) aggregate for the update step; the k×dim update
+  * itself is a driver-side fold over k·dim aggregate rows (1024 doubles at
+  * k=16·d=64 — the same tiny-aggregate pattern as DqChecks' report row,
+  * NOT a data collect). At 100 TB the assignment stays a single codegen'd
+  * scan; k (typically 10⁴–10⁵ for semantic dedup) only widens the literal
+  * and the aggregate key space, never the shuffle volume per row.
+  *
+  * Determinism: centroids are seeded (no kmeans||/random restarts), the
+  * assignment tie-breaks to the lowest cluster id, and the update sums are
+  * exact int64 nano-units (a double sum is partition-order-dependent) —
+  * so every iteration, on any cluster size, yields identical centroids.
+  */
+object Clustering {
+
+  /** Deterministic seeded unit-norm start centroids. */
+  def centroids(k: Int, dim: Int, seed: Long = 11L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(k) {
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** (vec_id, v, cluster): nearest centroid by max dot product, ties to the
+    * lowest cluster id. With a constant centroid set, argmax_c <v,c> equals
+    * argmax_c cos(v,c) for unit centroids scaled by the (c-independent)
+    * ||v|| — so no per-vector normalization (and no division-parity
+    * surface) is needed for assignment.
+    */
+  def assign(emb: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
+    val csLit = typedlit(cs)
+    // struct sort: max score first, then max(-c) = lowest cluster id on ties
+    val scored = (0 until cs.size).map { c =>
+      struct(dot(col("v"), element_at(csLit, c + 1)).as("s"), lit(-c).as("negc"))
+    }
+    val best = element_at(sort_array(array(scored: _*), asc = false), 1)
+    Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .withColumn("cluster_id", (-best.getField("negc")).cast("long"))
+  }
+
+  /** Units of the fixed-point centroid-update sums: 2^-30. BINARY scaling,
+    * not decimal: floor(x·2^30) of a bit-identical double is bit-identical
+    * in every engine (floor has no rounding boundary a binary float can
+    * straddle), whereas CAST(double AS DECIMAL(18,9)) rounds the 9th
+    * decimal digit HALF_UP in Spark vs scaled-multiply in DuckDB — at
+    * sf0.1 one of 128k embedding components landed exactly on that .5
+    * boundary and flipped a sum by 1.
+    */
+  val FixedPointUnit: Long = 1L << 30
+
+  /** One update step's distributed part: exact per-(cluster, dimension)
+    * int64 fixed-point sums + member counts. The sum is exact and
+    * order-independent; |sum| per cell must stay under 2^63/2^30 ≈ 8.6e9
+    * in value terms — comfortable for unit-scale embedding components.
+    */
+  def updateSums(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cluster_id"), col("pos").cast("long").as("pos"),
+        floor(col("x") * FixedPointUnit).as("fx"))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(col("fx")).as("sum_fx"), count(lit(1)).as("n"))
+
+  /** Full Lloyd iteration loop; returns (final assignment, final centroids).
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeans(emb: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 3,
+      seed: Long = 11L): (DataFrame, Seq[Seq[Double]]) = {
+    var cs = centroids(k, dim, seed)
+    for (_ <- 1 to iters) {
+      val rows = updateSums(assign(emb, cs)).collect() // k·dim rows, driver-side fold
+      val byCell = rows.map { r =>
+        (r.getLong(0).toInt, r.getLong(1).toInt) -> (r.getLong(2), r.getLong(3))
+      }.toMap
+      cs = (0 until k).map { c =>
+        (0 until dim).map { p =>
+          byCell.get((c, p)) match {
+            case Some((s, n)) if n > 0 =>
+              s.toDouble / FixedPointUnit.toDouble / n.toDouble
+            case _ => cs(c)(p) // empty cluster: keep previous centroid
+          }
+        }
+      }
+    }
+    (assign(emb, cs), cs)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: exact cosine, but only WITHIN
+    * a k-means cluster — the cluster assignment prunes the O(n²) pair space
+    * to Σ|cluster|², and k is the parallelism/recall knob (10⁴–10⁵ at
+    * 100 TB makes every cluster small; ScaleGuard-wise this is an
+    * equi-join on the cluster key, not a bounded window). Brute force
+    * (Similarity.topKPairs) is the recall baseline; LSH (q70) the
+    * alternative scale path with probabilistic buckets.
+    */
+  def semanticDedupPairs(emb: DataFrame, cs: Seq[Seq[Double]],
+      minCos: Double): DataFrame = {
+    val asg = assign(emb, cs)
+      .withColumn("nrm", l2Norm(col("v")))
+      .select(col("vec_id"), col("cluster_id"), col("v"), col("nrm"))
+    asg.toDF("vec_a", "cluster_id", "va", "norm_a")
+      .join(asg.toDF("vec_b", "cluster_b", "vb", "norm_b"),
+        col("cluster_id") === col("cluster_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cluster_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+}

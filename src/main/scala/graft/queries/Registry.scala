@@ -21,7 +21,8 @@ final case class Q(
 object Registry {
   val all: Seq[Q] =
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++ VectorQueries.all ++
-      LlmQueries.all ++ ExtraQueries.all ++ CurationQueries.all
+      LlmQueries.all ++ ExtraQueries.all ++ CurationQueries.all ++
+      ClusterQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

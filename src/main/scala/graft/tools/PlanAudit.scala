@@ -26,7 +26,14 @@ object PlanAudit {
         // (isFinalPlan=true), which is also where AQE's SMJ->BHJ rewrites
         // and coalesced exchanges actually show
         qe.executedPlan.execute().count()
-        val p = qe.executedPlan.toString
+        // unwrap to the FINAL physical plan only: the adaptive wrapper's
+        // toString renders final AND initial trees, double-counting every
+        // scan/exchange
+        val p = qe.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case other => other.toString
+        }
         val flags = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "SortMergeJoin" -> p.contains("SortMergeJoin"),
