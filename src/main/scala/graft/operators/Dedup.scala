@@ -171,6 +171,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise matches into DEDUP DECISIONS: docs joined by any chain of
+    * near-dup pairs form one component, and the lowest doc_id per
+    * component is kept. Iterative min-label propagation: every node starts
+    * as its own label; each round a node adopts the minimum label among
+    * itself and its neighbors; fixpoint is detected with a 1-row count
+    * action per round (a scalar driver read, not a data collect). Rounds
+    * needed = graph diameter — near-dup components are shallow (pairs
+    * chain through shared content), so this converges in a handful of
+    * rounds; the `maxIters` bound is a guard, not the expected path. At
+    * web scale the same loop runs with the alternating large-star/
+    * small-star optimization (each round stays one join + one min-agg
+    * keyed by node — no new shuffle shape).
+    *
+    * Returns (doc_id, component) for every doc appearing in a pair, with
+    * component = min doc_id reachable — deterministic on any cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Dedup decisions from exact-Jaccard pairs: every doc in a near-dup
+    * component, its component id, and whether it is the kept
+    * representative (lowest doc_id).
+    */
+  def dedupDecisions(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
+    connectedComponents(shingleJaccardPairs(docs, threshold, n))
+      .withColumn("keep",
+        (col("doc_id") === col("component")).cast("long"))
+
   /** 64-bit SimHash of the token multiset: bit i is the sign of
     * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Computed from the
     * exploded (doc_id, token-hash) rows as 64 conditional-sum aggregates in

@@ -50,24 +50,49 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared by q30 and q34: both return the exact-Jaccard >= 0.8 pair set
-    * (q34's LSH banding catches a J>=0.8 pair with p ~ 1-2e-7 and verifies
-    * candidates exactly), so they carry ONE oracle definition.
+  /** Brute-force exact-Jaccard pair CTEs, shared by q30/q34/q87 (q34's LSH
+    * banding catches a J>=0.8 pair with p ~ 1-2e-7 and verifies candidates
+    * exactly, so it returns q30's pair set; q87 builds components on top).
+    * RECURSIVE is declared here (it scopes the whole WITH list and is
+    * harmless for the non-recursive consumers).
     */
-  private val jaccardOracleSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id,
+  private val jaccardPairsCte: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id,
       |         list_distinct(list_transform(range(len(t) - 2),
       |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
       |       FROM toks),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
       |      / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val jaccardOracleSql: String =
+    s"""$jaccardPairsCte
       |SELECT doc_a, doc_b, round(j, 4) AS jaccard
       |FROM pairs WHERE j >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q87: transitive closure over the >=0.8 pairs (recursive CTE), then
+    * component = min reachable doc — the same fixpoint the Spark-side
+    * min-label propagation converges to.
+    */
+  private val dedupComponentsSql: String =
+    s"""$jaccardPairsCte,
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE j >= 0.8
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8),
+      |reach(n, m) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u)
+      |SELECT n AS doc_id, min(m) AS component,
+      |  CAST(n = min(m) AS BIGINT) AS keep
+      |FROM reach
+      |GROUP BY n
+      |ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q(
@@ -128,8 +153,16 @@ object LlmQueries {
       (s, d) =>
         Dedup.minhashLshPairs(documents(s, d), threshold = 0.8)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some(jaccardOracleSql), // == q30's oracle; see jaccardOracleSql doc
+      Some(jaccardOracleSql), // == q30's oracle; see jaccardPairsCte doc
       "MinHash(128)+LSH(32 bands) near-dup pairs with exact-Jaccard verification; ScalaTest proves equality with q30"),
+
+    Q(
+      "q87_dedup_components",
+      (s, d) =>
+        Dedup.dedupDecisions(documents(s, d), threshold = 0.8)
+          .orderBy(col("doc_id")),
+      Some(dedupComponentsSql),
+      "dedup decisions: connected components over near-dup pairs (min-label propagation vs recursive-CTE closure), keep = lowest doc_id per component"),
 
     Q(
       "q35_docs_simhash",

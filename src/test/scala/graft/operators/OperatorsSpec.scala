@@ -38,6 +38,22 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("connected components: chains merge transitively, keepers are component minima") {
+    import spark.implicits._
+    // A-B-C chain (via B) + isolated D-E pair + F-G-H triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // long chain exercises multi-round propagation (diameter 5)
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainGot = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot.values.toSet == Set(0L) && chainGot.size == 6)
+  }
+
   test("simhash pairs: near-dup docs collide, fingerprints differ for distinct docs") {
     val sims = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
