@@ -187,6 +187,9 @@ object Dedup {
     *
     * Returns (doc_id, component) for every doc appearing in a pair, with
     * component = min doc_id reachable — deterministic on any cluster.
+    * The returned frame is left persisted (it was materialized by the
+    * fixpoint check and is component-sized — docs-in-pairs, not corpus-
+    * sized); callers holding it long-term may `unpersist()` when done.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
