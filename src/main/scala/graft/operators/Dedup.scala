@@ -187,17 +187,24 @@ object Dedup {
     *
     * Returns (doc_id, component) for every doc appearing in a pair, with
     * component = min doc_id reachable — deterministic on any cluster.
-    * The returned frame is left persisted (it was materialized by the
-    * fixpoint check and is component-sized — docs-in-pairs, not corpus-
-    * sized); callers holding it long-term may `unpersist()` when done.
+    *
+    * Lineage is truncated with an eager `localCheckpoint` every round:
+    * the iterative join otherwise embeds the previous round's logical plan
+    * ~3× per iteration (labels twice + edges) — an EXPONENTIAL plan blowup
+    * that OOMs plan stringification long before any data is large (hit
+    * with the 30 KB centroid-literal plans of the semantic-dedup pair
+    * input). The checkpointed frames are component-sized (docs-in-pairs),
+    * not corpus-sized; a production deployment on preemptible executors
+    * would use reliable `checkpoint()` to a cluster store instead.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -210,14 +217,12 @@ object Dedup {
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") < col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
     }
-    edges.unpersist()
     labels
   }
 

@@ -31,7 +31,9 @@ object ClusterQueries {
     val cents = cs.zipWithIndex.map { case (v, c) =>
       s"($c, CAST([${v.map(_.toString).mkString(", ")}] AS DOUBLE[]))"
     }.mkString(",\n    ")
-    s"""WITH v AS (
+    // RECURSIVE scopes the whole WITH list (q88's closure needs it; the
+    // other consumers ignore it harmlessly)
+    s"""WITH RECURSIVE v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent(c, ctr) AS (VALUES
        |    $cents),
@@ -94,5 +96,41 @@ object ClusterQueries {
              |  JOIN v bv ON bv.vec_id = b.vec_id)
              |WHERE cos_raw >= 0.35
              |ORDER BY vec_a, vec_b""".stripMargin),
-      "SemDeDup-style semantic dedup: exact cosine pairs within a k-means cluster (cluster id prunes the pair space)"))
+      "SemDeDup-style semantic dedup: exact cosine pairs within a k-means cluster (cluster id prunes the pair space)"),
+
+    Q(
+      "q88_semantic_dedup_decisions",
+      (s, d) =>
+        graft.operators.Dedup.connectedComponents(
+          Clustering.semanticDedupPairs(embeddings(s, d), cs, minCos = 0.35)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("component"),
+            (col("doc_id") === col("component")).cast("long").as("keep"))
+          .orderBy(col("vec_id")),
+      Some(s"""$assignCte,
+             |sem_pairs AS MATERIALIZED (
+             |  SELECT vec_a, vec_b FROM (
+             |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |      list_inner_product(av.v, bv.v)
+             |        / (sqrt(list_inner_product(av.v, av.v))
+             |           * sqrt(list_inner_product(bv.v, bv.v))) AS cos_raw
+             |    FROM asg a
+             |    JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+             |    JOIN v av ON av.vec_id = a.vec_id
+             |    JOIN v bv ON bv.vec_id = b.vec_id)
+             |  WHERE cos_raw >= 0.35),
+             |edges AS (
+             |  SELECT vec_a AS u, vec_b AS w FROM sem_pairs
+             |  UNION
+             |  SELECT vec_b, vec_a FROM sem_pairs),
+             |reach(n, m) AS (
+             |  SELECT u, u FROM edges
+             |  UNION
+             |  SELECT r.n, e.w FROM reach r JOIN edges e ON r.m = e.u)
+             |SELECT n AS vec_id, min(m) AS component,
+             |  CAST(n = min(m) AS BIGINT) AS keep
+             |FROM reach
+             |GROUP BY n
+             |ORDER BY vec_id""".stripMargin),
+      "semantic dedup DECISIONS: connected components over within-cluster cosine pairs — keep = lowest vec_id per semantic group (SemDeDup end-to-end)"))
 }

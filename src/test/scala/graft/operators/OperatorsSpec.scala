@@ -54,6 +54,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chainGot.values.toSet == Set(0L) && chainGot.size == 6)
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    import spark.implicits._
+    // seeded random edge sets vs a driver-side union-find (path compression)
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 5) {
+      val nNodes = 30
+      val edges = Seq.fill(25)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("simhash pairs: near-dup docs collide, fingerprints differ for distinct docs") {
     val sims = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
