@@ -27,9 +27,15 @@ import graft.Tables._
   */
 object CurationQueries {
 
-  /** q73's engine-portable bucket hash: (doc_id * Knuth) mod m, in [0, m). */
+  /** Engine-portable bucket hash in [0, m): q73's multiplicative scheme,
+    * but with a DIFFERENT odd multiplier (xxhash's prime2, not q73's
+    * golden-ratio constant). Independence matters: with the same constant,
+    * sample-then-split would put every sampled doc (bucket < 60) inside
+    * the train range (bucket < 90) and leave val/test empty. Distinct
+    * multipliers make the two bucket assignments effectively independent.
+    */
   private def hashBucket(m: Int) =
-    pmod(col("doc_id") * lit(2654435761L), lit(m.toLong)).cast("long")
+    pmod(col("doc_id") * lit(2246822519L), lit(m.toLong)).cast("long")
 
   val all: Seq[Q] = Seq(
     Q(
@@ -49,12 +55,12 @@ object CurationQueries {
           .select(col("doc_id"), col("lang"), col("bucket"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+      Some("""SELECT doc_id, lang, (doc_id * 2246822519) % 100 AS bucket
              |FROM documents
-             |WHERE (doc_id * 2654435761) % 100
+             |WHERE (doc_id * 2246822519) % 100
              |  < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
              |ORDER BY doc_id""".stripMargin),
-      "stratified rebalancing sample: per-language keep rates via the deterministic q73 hash (no RNG)"),
+      "stratified rebalancing sample: per-language keep rates via a deterministic hash independent of the q73 split buckets (no RNG)"),
 
     Q(
       "q81_docs_source_cap",

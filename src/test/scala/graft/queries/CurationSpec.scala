@@ -34,6 +34,37 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("q80 sample composes with q73 split: all three split classes survive sampling") {
+    // regression pin for the correlated-hash hazard: with q73's multiplier
+    // reused, every sampled doc (bucket < 60) would land in train
+    // (bucket < 90) and val/test would be EMPTY after sample-then-split
+    val sampled = run("q80_docs_stratified_sample").select("doc_id")
+    val split = run("q73_docs_train_split").select("doc_id", "split")
+    val classes = sampled.join(split, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes.keySet == Set("train", "val", "test"),
+      s"sample-then-split lost classes: $classes")
+  }
+
+  test("q82 quantization round-trip: |x - q/scale| <= 0.5/scale for every dimension") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val bad = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("v"),
+        expr("array_max(transform(v, x -> abs(x)))").as("maxabs"))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"), col("v"), (lit(127.0d) / col("maxabs")).as("scale"))
+      .select(col("vec_id"),
+        expr("""size(filter(zip_with(v,
+               |  transform(v, x -> floor(x * scale + 0.5D) / scale),
+               |  (x, r) -> abs(x - r) <= 0.5D / scale + 1e-12), ok -> NOT ok))"""
+          .stripMargin).as("n_bad"))
+      .filter(col("n_bad") > 0).count()
+    assert(bad == 0)
+  }
+
   test("q81 source cap: every source keeps exactly min(15, |source|) docs") {
     val docs = Tables.documents(spark, sf0001)
     val perSource = docs.groupBy("source").count().collect()
