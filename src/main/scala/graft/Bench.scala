@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   * Failed queries are excluded from the total and reported in "errors".
   */
 object Bench {
+  import scala.util.control.NonFatal
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,28 +35,49 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Single-JVM hygiene between queries (round-4 verdict #4: the driver's
+    // r4 bench tail inflated 2.26× on UNCHANGED queries while the same
+    // binary got faster locally — block-manager residue across 2×88 query
+    // executions in one JVM was the prime suspect). clearCache drops any
+    // CacheManager entries; the persistent-RDD sweep frees localCheckpoint
+    // blocks (the iterative components queries) that clearCache can't see.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try materialize(name)
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
+      sweep()
     }
+    val rt = Runtime.getRuntime
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(name); true }
-        catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+        catch { case NonFatal(_) => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // per-query used heap AFTER the run: makes a driver-vs-builder bench
+      // discrepancy diagnosable from the artifact alone (GC pressure shows
+      // up as a climbing floor across the alphabetical run order)
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      sweep()
+      (name, sec, ok, heapMb)
     }
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val heaps = results.map { case (k, _, _, h) => s"\"" + k + "\":" + h }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val errsJson =
       if (errors.isEmpty) "" else errors.mkString(""","errors":[""", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     // method flag: r1/r2 timed count() (Catalyst prunes computed columns
     // and final sorts under a count), r3+ times full materialization —
     // cross-round per-query comparisons must account for the change
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs$errsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs,"heap_mb":$heaps$errsJson,"sf":"$sfDir"}"""
     println(line)
     // the driver keeps only the log tail, which truncates the per-query map
     // — persist the full line so each round's complete numbers can be
@@ -62,7 +85,10 @@ object Bench {
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(e) => // fatal JVM errors must propagate, not
+      // masquerade as a clean stdout-only exit (round-4 advisor finding)
+      System.err.println(s"[bench] could not persist target/bench.json: $e")
+    }
     spark.stop()
   }
 }

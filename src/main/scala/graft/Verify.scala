@@ -25,9 +25,14 @@ object Verify {
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // free any blocks a query parked in the block manager (cached
+        // frames, localCheckpoints of the iterative operators) so the
+        // 90-query single-JVM run doesn't accumulate storage residue
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

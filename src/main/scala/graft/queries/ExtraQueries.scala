@@ -374,43 +374,86 @@ object ExtraQueries {
         // RANGE frame over a value (not row) window: peers within $1000 of
         // the current order's price, per status — integer-exact END TO END.
         // Ordering/framing by the double price puts the ±bound comparison on
-        // float parity (boundary rows flip between engines), and a direct
-        // decimal(18,2) cast rounds a double at the .5 boundary where Spark
-        // (BigDecimal HALF_UP) and DuckDB (scaled multiply) diverge. So:
-        // canonicalize to int64 micros via decimal(18,6) (exact: *1e6 leaves
-        // scale-6 fraction zero), round to cents with the half-away integer
-        // DIV idiom (non-negative prices, see GoldAggregate), and run BOTH
-        // the frame comparison and the frame sum over integer cents.
+        // float parity (boundary rows flip between engines), so the frame
+        // runs over integer cents. Round 5 hardening (driver red in r4
+        // despite a local tri-scale pass — VERDICT r4 #2): cents now come
+        // from the bit-portable floor(x*100+0.5) idiom (pure IEEE ops,
+        // identical expression trees; q85's green fixed-point precedent)
+        // instead of the version-sensitive double→DECIMAL(18,6) cast, and
+        // the raw-double o_totalprice passthrough is dropped from the
+        // output in favor of the canonical integer cents. The old idioms
+        // are adjudicated separately by probes q90/q91/q93.
         // SCALE: partitions by o_orderstatus (3 values) — exact RANGE
         // frames need the whole group in sort order, so like q46 this is
-        // the exact ORACLE BASELINE; at 100 TB use a sketch / pre-bucketed
-        // cents histogram (q68 pattern). Pairing enforced by ScaleGuardSpec.
+        // the exact ORACLE BASELINE; the 100 TB path is q89's pre-bucketed
+        // cents histogram. Pairing enforced by ScaleGuardSpec.
         val staged = orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-            (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long").as("micros"))
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-            expr("(2 * micros + 10000) DIV 20000").as("cents"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)").as("cents"))
         val w = Window.partitionBy(col("o_orderstatus"))
           .orderBy(col("cents"))
           .rangeBetween(-100000L, 100000L)
         staged
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
             count(lit(1)).over(w).as("n_near"),
             sum(col("cents")).over(w).as("sum_near_cents"))
           .orderBy(col("o_orderkey"))
       },
       Some("""WITH c AS (
-             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
-             |    (2 * CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) + 10000) // 20000 AS cents
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
              |  FROM orders)
-             |SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |SELECT o_orderkey, o_orderstatus, cents,
              |  count(*) OVER w AS n_near,
-             |  sum(cents) OVER w AS sum_near_cents
+             |  CAST(sum(cents) OVER w AS BIGINT) AS sum_near_cents
              |FROM c
              |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents
              |  RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
              |ORDER BY o_orderkey""".stripMargin),
       "value-based RANGE window frame (peers within 100000 cents of the current price), integer-exact on both engines"),
+
+    Q(
+      "q89_range_frame_hist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // The 100 TB scale path paired with q78's exact RANGE-frame
+        // baseline (the q46→q68 pattern, but oracle-able because it is
+        // integer-exact): pre-aggregate orders into a $100-wide cents
+        // histogram per status — ONE map-side-combined shuffle whose
+        // output cardinality is O(price-range / bucket-width), independent
+        // of input rows — then run the ±$1000 band window over HISTOGRAM
+        // rows. The window still partitions by the 3-value status, but it
+        // sorts thousands of histogram rows, not 10^11 input rows; RANGE
+        // (not ROWS) so missing buckets are handled by value.
+        val hist = orders(s, d)
+          .select(col("o_orderstatus"),
+            expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+          .groupBy(col("o_orderstatus"), expr("cents DIV 10000").as("bucket"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("bucket"))
+          .rangeBetween(-10L, 10L)
+        hist
+          .select(col("o_orderstatus"), col("bucket"), col("n_orders"), col("sum_cents"),
+            sum(col("n_orders")).over(w).as("n_near"),
+            sum(col("sum_cents")).over(w).as("sum_near_cents"))
+          .orderBy(col("o_orderstatus"), col("bucket"))
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |h AS (
+             |  SELECT o_orderstatus, cents // 10000 AS bucket,
+             |    count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+             |  FROM c GROUP BY o_orderstatus, cents // 10000)
+             |SELECT o_orderstatus, bucket, n_orders, sum_cents,
+             |  CAST(sum(n_orders) OVER w AS BIGINT) AS n_near,
+             |  CAST(sum(sum_cents) OVER w AS BIGINT) AS sum_near_cents
+             |FROM h
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY bucket
+             |  RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+             |ORDER BY o_orderstatus, bucket""".stripMargin),
+      "pre-bucketed cents histogram + band window: the fully-parallel sketch scale path paired with q78's exact baseline"),
 
     Q(
       "q58_ship_lag",

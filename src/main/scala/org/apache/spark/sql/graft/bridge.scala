@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Bridge between the public Column API and Catalyst Expressions.
   *
@@ -15,4 +16,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unpersist the block-manager storage behind an eagerly
+    * `localCheckpoint`ed Dataset. The checkpointed data lives in the RDD
+    * wrapped by the Dataset's `LogicalRDD` plan node (`private[sql]`,
+    * hence this shim); `Dataset.unpersist` only talks to the CacheManager
+    * and never frees it. No-op for non-checkpointed plans.
+    */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.logical match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

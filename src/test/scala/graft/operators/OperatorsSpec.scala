@@ -54,6 +54,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chainGot.values.toSet == Set(0L) && chainGot.size == 6)
   }
 
+  test("connected components: a 200-hop chain converges in O(log d) rounds, not O(d)") {
+    import spark.implicits._
+    // Plain min-label propagation moves the minimum ONE hop per round, so a
+    // diameter-200 chain would hit the 25-round bound and (pre-round-5)
+    // silently split into multiple components — the round-4 advisor
+    // finding. Pointer jumping (label := label of label) halves the
+    // remaining distance per round; the same chain now converges well
+    // inside the bound and every node labels back to 0.
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val result = Dedup.connectedComponents(chain)
+    val got = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 201 && got.values.toSet == Set(0L))
+    Dedup.release(result)
+  }
+
+  test("connected components: hitting the iteration bound throws, never splits silently") {
+    import spark.implicits._
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: no net block-manager growth across back-to-back runs") {
+    import spark.implicits._
+    // Round-4 verdict #3: every round's localCheckpoint (edges, labels,
+    // each iteration's next) was parked in executor storage forever; two
+    // q88-style runs stacked residue the driver-side bench paid for. Now
+    // superseded checkpoints are released per round and edges on exit, so
+    // after materialize + release the persistent-RDD set returns to its
+    // baseline.
+    def persisted(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val baseline = persisted()
+    for (_ <- 1 to 2) {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+        .toDF("doc_a", "doc_b")
+      val comps = Dedup.connectedComponents(pairs)
+      comps.write.format("noop").mode("overwrite").save() // materialize
+      Dedup.release(comps)
+      assert(persisted() == baseline,
+        s"leaked persistent RDDs: ${(persisted() -- baseline).mkString(",")}")
+    }
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // seeded random edge sets vs a driver-side union-find (path compression)

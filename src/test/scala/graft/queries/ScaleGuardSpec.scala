@@ -99,7 +99,11 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q46_price_percentiles" ->
       "exact per-flag percentiles: oracle baseline; 100 TB path = q68 approx_percentile sketch",
     "q78_range_frame" ->
-      "exact RANGE-frame oracle baseline (3-value o_orderstatus); 100 TB path = sketch/pre-bucketed histogram, same pairing as q46->q68")
+      "exact RANGE-frame oracle baseline (3-value o_orderstatus); 100 TB path = q89 pre-bucketed histogram, same pairing as q46->q68",
+    "q89_range_frame_hist" ->
+      "q78's sketch scale path: the window runs over the PRE-AGGREGATED histogram (O(price-range/bucket) rows per status, independent of input rows), not raw data",
+    "q92_probe_range_frame" ->
+      "temporary round-5 driver probe isolating q78's frame machinery; removed once CORRECTNESS_r05 adjudicates")
 
   test("windows partitioned only by bounded-cardinality keys are documented baselines") {
     val offenders = Registry.all.flatMap { q =>

@@ -26,11 +26,15 @@ verify() { # sfdir outdir cpus
 }
 
 if [ "${1:-}" = "selftest" ]; then
-  # Seed a boundary flip: dump q78, then shrink the oracle's RANGE bound by
-  # one cent. Rows whose nearest peer sits exactly at the old bound drop out
-  # of the frame — the exact class of divergence the soak exists to catch.
-  # The harness passes iff check_oracle FAILS on the perturbed twin.
-  QUERIES=q78_range_frame
+  # Seed one divergence per red-row class and require check_oracle to catch
+  # BOTH — proving the harness would see a driver-style divergence if it
+  # were data-dependent:
+  #  - q78: shrink the oracle's RANGE bound by one cent (rows whose nearest
+  #    peer sits exactly on the old bound drop out of the frame);
+  #  - q82: shrink the quantizer's +0.5 to +0.4999 — measured to flip
+  #    exactly ONE vector's sum_q at sf0.01, i.e. the harness must detect a
+  #    single diverging integer out of 500 rows (the q82 driver-red shape).
+  QUERIES=q78_range_frame,q82_emb_quantize
   verify /root/testdata/sf0.01 "$OUT/selftest" 8
   python3 - "$OUT/selftest" <<'EOF'
 import json, sys
@@ -39,16 +43,22 @@ sqls = json.load(open(p))
 sqls["q78_range_frame"] = sqls["q78_range_frame"].replace(
     "RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING",
     "RANGE BETWEEN 99999 PRECEDING AND 99999 FOLLOWING")
+sqls["q82_emb_quantize"] = sqls["q82_emb_quantize"].replace(
+    "x * scale + 0.5", "x * scale + 0.4999")
+assert "0.4999" in sqls["q82_emb_quantize"], "q82 perturbation did not apply"
 json.dump(sqls, open(p, "w"))
 EOF
-  if python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT/selftest" >"$OUT/selftest.res" 2>&1; then
-    echo "SELFTEST FAILED: harness did not detect the seeded boundary flip"
-    exit 1
-  else
-    echo "SELFTEST OK: seeded one-cent frame-bound flip detected:"
-    grep FAIL "$OUT/selftest.res" | head -2
+  python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT/selftest" >"$OUT/selftest.res" 2>&1
+  ok=1
+  grep -q "FAIL q78_range_frame" "$OUT/selftest.res" || { echo "SELFTEST FAILED: frame-bound flip not detected"; ok=0; }
+  grep -q "FAIL q82_emb_quantize" "$OUT/selftest.res" || { echo "SELFTEST FAILED: quantizer flip not detected"; ok=0; }
+  grep -q "PASS " "$OUT/selftest.res" && { echo "SELFTEST FAILED: a perturbed query still passed"; ok=0; }
+  if [ $ok -eq 1 ]; then
+    echo "SELFTEST OK: both seeded divergences detected:"
+    grep FAIL "$OUT/selftest.res" | head -4
     exit 0
   fi
+  exit 1
 fi
 
 for sf in 0.001 0.01 0.1; do
