@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data ASSEMBLY operators — the steps that turn a curated corpus
+  * (q80–q83) into model-ready inputs, plus the diagnostics that run beside
+  * them:
+  *
+  *  - q98 fixed-window token chunking with overlap (RAG / embedding prep);
+  *  - q99 concat-and-chunk sequence packing into a fixed token budget,
+  *    shard-local so no global sort exists at any scale;
+  *  - q100 per-dimension embedding statistics in exact fixed point
+  *    (feature-drift / dead-dimension diagnostics);
+  *  - q101 banded range join: every event within ±1 h of an error by the
+  *    same user (incident-context assembly), via [[graft.operators.RangeJoin]].
+  *
+  * Scale shapes: q98/q100 are scan+explode+(optional agg) with no
+  * data-dependent fan-out beyond the token/dim count; q99's only shuffle is
+  * the shard window (shard count is a free parameter — thousands at 100 TB);
+  * q101 is an equi-join on (user, time-bucket), never a BNLJ/cartesian.
+  *
+  * Determinism: chunk boundaries, shard assignment, packing offsets and
+  * band membership are pure integer functions of (doc_id, token index) or
+  * epoch micros — no RNG, no floats in any grouping/ordering key.
+  */
+object AssemblyQueries {
+
+  /** Chunk geometry: 64-token windows every 48 tokens (16-token overlap). */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Packing geometry: 256-token sequences, 32 independent shards. */
+  private val SeqBudget = 256L
+  private val Shards = 32L
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q98_docs_chunking",
+      (s, d) => {
+        // Sliding token windows: starts 1, 49, 97, … ≤ n_tok, each chunk
+        // the next 64 tokens (final chunks run short instead of padding —
+        // the downstream packer/loader owns padding policy). Position
+        // explode over the START OFFSETS only — the token array itself is
+        // projected once per row, never re-evaluated per output row (the
+        // Generate-over-computed-array pitfall q83 documents). chunk_md5
+        // gives downstream exact-dedup/caching a content address; both
+        // engines emit lowercase-hex md5 of the identical joined string.
+        val base = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        base
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("i"))
+          .select(
+            col("doc_id"),
+            expr(s"(i - 1) DIV $ChunkStride").as("chunk_id"),
+            size(slice(col("t"), col("i"), lit(ChunkLen))).cast("long").as("n_tok"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(ChunkLen))))
+              .as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |st AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) + 1, $ChunkStride)) AS i
+             |  FROM tok)
+             |SELECT doc_id,
+             |  (i - 1) // $ChunkStride AS chunk_id,
+             |  len(t[i:i+${ChunkLen - 1}]) AS n_tok,
+             |  md5(array_to_string(t[i:i+${ChunkLen - 1}], ' ')) AS chunk_md5
+             |FROM st
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+      "fixed-window token chunking with overlap (64/48): content-addressed chunks for RAG/embedding prep"),
+
+    Q(
+      "q99_docs_seq_packing",
+      (s, d) => {
+        // Concat-and-chunk packing (the GPT-style pretraining layout): docs
+        // concatenate in doc_id order within a shard, the token stream is
+        // cut every 256 tokens, and a doc may straddle a cut. Each doc's
+        // stream interval is [cum - n_tok, cum), so its first/last sequence
+        // ids are integer divisions of the interval ends — exact int64, no
+        // floats. Sharding (doc_id mod 32) makes the running sum WINDOW-
+        // local: at 100 TB the shard count scales to thousands and each
+        // shard's cumsum is an independent task — there is no global-sort
+        // bottleneck shape here, unlike a naive ORDER BY doc_id packing.
+        val base = documents(s, d).select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(Shards)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        base
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            sum(col("n_tok")).over(w).as("cum"))
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            expr(s"(cum - n_tok) DIV $SeqBudget").as("seq_first"),
+            expr(s"(cum - 1) DIV $SeqBudget").as("seq_last"))
+          .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, doc_id % $Shards AS shard,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+             |      AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT doc_id, shard, n_tok,
+             |  (cum - n_tok) // $SeqBudget AS seq_first,
+             |  (cum - 1) // $SeqBudget AS seq_last,
+             |  (cum - 1) // $SeqBudget - (cum - n_tok) // $SeqBudget + 1 AS n_seqs
+             |FROM c
+             |ORDER BY doc_id""".stripMargin),
+      "concat-and-chunk sequence packing (256-token budget, 32 shards): per-doc sequence span, shard-local cumsum"),
+
+    Q(
+      "q100_emb_dim_stats",
+      (s, d) => {
+        // Per-dimension corpus statistics (drift / dead-dim / scale
+        // diagnostics before quantization or whitening). Values go through
+        // the 2^20 fixed-point idiom (multiply by a power of two is exact
+        // in IEEE, floor is exact → identical int64 on any engine, any
+        // summation order — the Registry's stable alternative to rounded
+        // double aggregates). One explode + one hash-agg keyed by dim:
+        // partial aggregation makes the shuffle O(dims × partitions)
+        // regardless of row count. sum(fx²) headroom: |fx| ≤ |x|·2^20, so
+        // overflow needs Σx² > 2^23 billions — at genuinely 100 TB row
+        // counts the same query runs per-shard or drops to 2^10 scaling.
+        embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(
+            (col("pos") + 1).cast("long").as("dim"),
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)").as("fx"))
+          .groupBy(col("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("fx")).as("sum_fx"),
+            min(col("fx")).as("min_fx"),
+            max(col("fx")).as("max_fx"),
+            sum(col("fx") * col("fx")).as("sum_fx2"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (
+             |  SELECT unnest(list_transform(range(1, len(v) + 1),
+             |    i -> struct_pack(dim := i,
+             |           fx := CAST(floor(v[i] * 1048576) AS BIGINT)))) AS s
+             |  FROM v),
+             |f AS (
+             |  SELECT struct_extract(s, 'dim') AS dim,
+             |         struct_extract(s, 'fx') AS fx
+             |  FROM e)
+             |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+             |  CAST(sum(fx) AS BIGINT) AS sum_fx,
+             |  min(fx) AS min_fx, max(fx) AS max_fx,
+             |  CAST(sum(fx * fx) AS BIGINT) AS sum_fx2
+             |FROM f
+             |GROUP BY dim
+             |ORDER BY dim""".stripMargin),
+      "per-dimension embedding stats in exact 2^20 fixed point (drift/dead-dim diagnostics; order-independent int64 sums)"),
+
+    Q(
+      "q101_events_error_context",
+      (s, d) => {
+        // Incident-context assembly: every event within ±1 h of an error by
+        // the same user. A raw inequality join plans a BNLJ; RangeJoin
+        // rewrites it as an equi-join on (user_id, hour-bucket) with a
+        // constant 2× left fan-out — see the operator scaladoc for the
+        // 100 TB argument. Epoch micros via the q60 idiom (TIMESTAMP_NTZ →
+        // session-UTC timestamp → unix_micros == DuckDB's naive epoch_us).
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"),
+            col("us").as("err_us"))
+        val bandUs = 3600L * 1000000L
+        graft.operators.RangeJoin
+          .bandJoin(errs, ev.drop("event_type"), Seq("user_id"),
+            "err_us", "us", -bandUs, bandUs)
+          .filter(col("event_id") =!= col("error_id"))
+          .select(col("error_id"), col("event_id"),
+            (col("us") - col("err_us")).as("delta_us"))
+          .orderBy(col("error_id"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events)
+             |SELECT a.event_id AS error_id, b.event_id AS event_id,
+             |  b.us - a.us AS delta_us
+             |FROM e a JOIN e b
+             |  ON a.user_id = b.user_id
+             |  AND b.us BETWEEN a.us - 3600000000 AND a.us + 3600000000
+             |  AND b.event_id != a.event_id
+             |WHERE a.event_type = 'error'
+             |ORDER BY error_id, event_id""".stripMargin),
+      "banded range join (RangeJoin operator): events within ±1h of a same-user error, as an equi-join on (user, hour bucket)"))
+}
