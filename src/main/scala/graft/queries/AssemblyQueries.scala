@@ -15,7 +15,11 @@ import graft.Tables._
   *  - q100 per-dimension embedding statistics in exact fixed point
   *    (feature-drift / dead-dimension diagnostics);
   *  - q101 banded range join: every event within ±1 h of an error by the
-  *    same user (incident-context assembly), via [[graft.operators.RangeJoin]].
+  *    same user (incident-context assembly), via [[graft.operators.RangeJoin]];
+  *  - q102 passage-level exact dedup (RefinedWeb-style): non-overlapping
+  *    64-token passages deduped corpus-wide by content hash;
+  *  - q103 per-vector mean-centering diagnostics: the 64-row dim-stats
+  *    aggregate broadcast back against the full table (two-pass shape).
   *
   * Scale shapes: q98/q100 are scan+explode+(optional agg) with no
   * data-dependent fan-out beyond the token/dim count; q99's only shuffle is
@@ -200,5 +204,117 @@ object AssemblyQueries {
              |  AND b.event_id != a.event_id
              |WHERE a.event_type = 'error'
              |ORDER BY error_id, event_id""".stripMargin),
-      "banded range join (RangeJoin operator): events within ±1h of a same-user error, as an equi-join on (user, hour bucket)"))
+      "banded range join (RangeJoin operator): events within ±1h of a same-user error, as an equi-join on (user, hour bucket)"),
+
+    Q(
+      "q102_docs_passage_dedup",
+      (s, d) => {
+        // Passage-level exact dedup (RefinedWeb/FineWeb practice): cut each
+        // doc into NON-overlapping 64-token passages, dedup them corpus-wide
+        // by content hash, keep the globally-first occurrence (lowest
+        // (doc_id, passage_id)). The only shuffle is keyed by the passage
+        // hash — exactly the q24/q56 exact-dedup shape, at sub-document
+        // granularity, so boilerplate shared across different docs is
+        // caught where whole-doc dedup (q24) sees distinct texts. The
+        // (doc_id, p_id) winner order is encoded as one int64
+        // (doc_id·2^20 + p_id) so both engines take min() over bare
+        // integers: valid while p_id < 2^20 (a 67M-token doc) and
+        // doc_id < 2^43 — same documented bound family as q73's hash.
+        val base = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val p = base
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")), lit(ChunkLen))).as("i"))
+          .select(col("doc_id"),
+            expr(s"(i - 1) DIV $ChunkLen").as("p_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(ChunkLen)))).as("h"))
+          .withColumn("ord", col("doc_id") * lit(1048576L) + col("p_id"))
+        val winners = p.groupBy(col("h")).agg(min(col("ord")).as("w"))
+        p.join(winners, "h")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_passages"),
+            sum(when(col("ord") === col("w"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("doc_id"), col("n_passages"), col("n_kept"),
+            round(col("n_kept").cast("double") / col("n_passages").cast("double"), 4)
+              .as("keep_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |p AS (
+             |  SELECT doc_id,
+             |    (i - 1) // $ChunkLen AS p_id,
+             |    md5(array_to_string(t[i:i+${ChunkLen - 1}], ' ')) AS h
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, $ChunkLen)) AS i
+             |        FROM tok)),
+             |o AS (
+             |  SELECT doc_id, p_id, h, doc_id * 1048576 + p_id AS ord FROM p),
+             |w AS (
+             |  SELECT h, min(ord) AS w FROM o GROUP BY h)
+             |SELECT o.doc_id,
+             |  count(*) AS n_passages,
+             |  CAST(sum(CASE WHEN o.ord = w.w THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  round(CAST(sum(CASE WHEN o.ord = w.w THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 4) AS keep_frac
+             |FROM o JOIN w ON o.h = w.h
+             |GROUP BY o.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "passage-level exact dedup (RefinedWeb-style): non-overlapping 64-token passages, corpus-wide first-occurrence wins by content hash"),
+
+    Q(
+      "q103_emb_centering",
+      (s, d) => {
+        // Mean-centering diagnostics: per-dim means from the q100 fixed-
+        // point stats, broadcast back (64 rows — never a shuffle of the big
+        // side, and never a window over the bounded dim key), per-vector
+        // deviation summaries in exact int64. mean_fx is FLOOR division
+        // spelled out on BOTH sides via a positive modulus: sum_fx is
+        // negative on some dims, and how an engine divides negatives
+        // (truncate vs floor) is exactly the implementation-detail class
+        // the Registry parity rules pin — after subtracting the positive
+        // remainder the quotient is an exact multiple, unambiguous anywhere.
+        val fx = embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)").as("fx"))
+        val means = fx.groupBy(col("dim"))
+          .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
+          .select(col("dim"),
+            expr("(s - pmod(s, n)) DIV n").as("mean_fx"))
+        fx.join(broadcast(means), "dim")
+          .select(col("vec_id"), (col("fx") - col("mean_fx")).as("dx"))
+          .groupBy(col("vec_id"))
+          .agg(
+            sum(col("dx")).as("sum_dx"),
+            sum(col("dx") * col("dx")).as("sum_dx2"),
+            max(abs(col("dx"))).as("max_absdx"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+             |    i -> struct_pack(dim := i,
+             |           fx := CAST(floor(v[i] * 1048576) AS BIGINT)))) AS s
+             |  FROM v),
+             |f AS (
+             |  SELECT vec_id, struct_extract(s, 'dim') AS dim,
+             |         struct_extract(s, 'fx') AS fx
+             |  FROM e),
+             |ms AS (
+             |  SELECT dim, CAST(sum(fx) AS BIGINT) AS s, count(*) AS n
+             |  FROM f GROUP BY dim),
+             |m AS (
+             |  SELECT dim, (s - ((s % n + n) % n)) // n AS mean_fx FROM ms)
+             |SELECT f.vec_id,
+             |  CAST(sum(f.fx - m.mean_fx) AS BIGINT) AS sum_dx,
+             |  CAST(sum((f.fx - m.mean_fx) * (f.fx - m.mean_fx)) AS BIGINT)
+             |    AS sum_dx2,
+             |  max(abs(f.fx - m.mean_fx)) AS max_absdx
+             |FROM f JOIN m ON f.dim = m.dim
+             |GROUP BY f.vec_id
+             |ORDER BY vec_id""".stripMargin),
+      "per-vector mean-centering diagnostics: 64-row dim-means broadcast back, exact fixed-point deviation sums (floor-division parity via pmod)"))
 }

@@ -75,6 +75,58 @@ class AssemblySpec extends AnyFunSuite {
     assert(stats.forall(r => r.getAs[Long]("min_fx") <= r.getAs[Long]("max_fx")))
   }
 
+  test("q102 passage dedup: kept passages == distinct passage hashes, copies lose") {
+    val rows = run("q102_docs_passage_dedup").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_passages"))
+    }
+    // exactly one winner per distinct passage content
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val distinctPassages = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(explode(expr("transform(sequence(1, size(t), 64), i -> concat_ws(' ', slice(t, i, 64)))")).as("p"))
+      .select(countDistinct(col("p"))).as[Long].collect()(0)
+    assert(kept == distinctPassages, s"$kept winners vs $distinctPassages distinct passages")
+    // the synthetic docs at sf0.001 happen to be passage-unique; the dedup
+    // MECHANICS (first-occurrence-wins across docs) are pinned by seeding
+    // an explicit copy through the same pipeline stages instead
+    import spark.implicits._
+    val seeded = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr("1L").as("p_id"),
+        md5(concat_ws(" ", col("t"))).as("h"))
+      .withColumn("ord", col("doc_id") * lit(1048576L) + col("p_id"))
+    val w = seeded.groupBy("h").agg(min(col("ord")).as("w"))
+    val keptIds = seeded.join(w, "h").filter(col("ord") === col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(1L, 3L), s"copy (doc 2) must lose to doc 1: $keptIds")
+  }
+
+  test("q103 centering: row per vector, one vector recomputed end-to-end") {
+    val rows = run("q103_emb_centering").collect()
+    assert(rows.length == Tables.embeddings(spark, sf0001).count())
+    rows.foreach(r => assert(r.getAs[Long]("sum_dx2") >= 0L))
+    // recompute vec 7 directly: fx = floor(x * 2^20), mean_fx = floor-div
+    val fx = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)").as("fx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDim = fx.groupBy(_._2).map { case (dim, rs) =>
+      val s = rs.map(_._3).sum
+      val n = rs.length
+      dim -> java.lang.Math.floorDiv(s, n)
+    }
+    val expected = fx.filter(_._1 == 7L)
+      .map { case (_, dim, v) => v - byDim(dim) }
+    val got = rows.find(_.getAs[Long]("vec_id") == 7L).get
+    assert(got.getAs[Long]("sum_dx") == expected.sum)
+    assert(got.getAs[Long]("sum_dx2") == expected.map(d => d * d).sum)
+    assert(got.getAs[Long]("max_absdx") == expected.map(math.abs).max)
+  }
+
   test("q101 error context: equals the naive inequality join, all deltas within band") {
     val got = run("q101_events_error_context").collect()
     assert(got.forall(r => math.abs(r.getAs[Long]("delta_us")) <= 3600000000L))

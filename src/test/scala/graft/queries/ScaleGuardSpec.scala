@@ -65,8 +65,21 @@ class ScaleGuardSpec extends AnyFunSuite {
     * it covers the single-vector lookups here; non-key equality filters
     * on facts still need a manual look.)
     */
+  /** Columns whose domain is a CONSTANT of the data model even though they
+    * are not enum strings: `dim` is a posexplode position over fixed-width
+    * embedding vectors, so an aggregate grouped only by it yields at most
+    * |embedding width| rows regardless of input size (q103 broadcasts the
+    * 64-row per-dim means back against the full table — the correct
+    * two-pass shape). Keep this list short and physical: a key belongs
+    * here only if its cardinality is set by the SCHEMA, not the data.
+    */
+  private val boundedAggCols = Set("dim")
+
   private def isBoundedSubtree(p: LogicalPlan): Boolean = stripBenign(p) match {
     case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case a: Aggregate if a.groupingExpressions.nonEmpty &&
+      a.groupingExpressions.forall(
+        _.references.map(_.name).toSet.subsetOf(boundedAggCols)) => true
     case _: GlobalLimit | _: LocalLimit => true
     case f: Filter if f.condition.exists {
       // literal may sit under a cast — foldable covers both
