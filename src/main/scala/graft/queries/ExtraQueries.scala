@@ -637,5 +637,44 @@ object ExtraQueries {
              |      FROM events)
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin),
-      "JSON extraction feeding a grouped aggregate"))
+      "JSON extraction feeding a grouped aggregate"),
+
+    Q(
+      "q104_nation_coverage",
+      (s, d) => {
+        // FULL OUTER join — the one join type the inventory lacked — in its
+        // natural role: dimension-coverage reconciliation between two
+        // independently-aggregated sides (which nations have customers but
+        // no suppliers, or vice versa). Both sides are pre-aggregated to
+        // |nation| rows BEFORE the join, so the full-outer itself moves
+        // only dimension-sized data no matter the fact-table scale; the
+        // USING-style join key coalesces across the null sides.
+        val c = customer(s, d)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sp = supplier(s, d)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sp, Seq("nationkey"), "full_outer")
+          .select(
+            col("nationkey").cast("long").as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            (col("n_cust").isNull || col("n_supp").isNull).cast("long")
+              .as("coverage_gap"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""WITH c AS (
+             |  SELECT c_nationkey AS nk, count(*) AS n_cust
+             |  FROM customer GROUP BY 1),
+             |s AS (
+             |  SELECT s_nationkey AS nk, count(*) AS n_supp
+             |  FROM supplier GROUP BY 1)
+             |SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey,
+             |  COALESCE(n_cust, 0) AS n_cust,
+             |  COALESCE(n_supp, 0) AS n_supp,
+             |  CAST(c.nk IS NULL OR s.nk IS NULL AS BIGINT) AS coverage_gap
+             |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+             |ORDER BY nationkey""".stripMargin),
+      "FULL OUTER join as dimension-coverage reconciliation: per-nation customer vs supplier presence, pre-aggregated sides"))
 }

@@ -40,6 +40,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(dedup.count() == distinctTexts)
   }
 
+  test("q104 full-outer coverage: sf0.001 has both matched and gap rows, counts conserve") {
+    val rows = Registry.byName("q104_nation_coverage").fn(spark, sf0001).collect()
+    assert(rows.exists(_.getAs[Long]("coverage_gap") == 0L), "no matched nation")
+    assert(rows.exists(_.getAs[Long]("coverage_gap") == 1L), "no one-sided nation")
+    assert(rows.map(_.getAs[Long]("n_cust")).sum ==
+      graft.Tables.customer(spark, sf0001).count())
+    assert(rows.map(_.getAs[Long]("n_supp")).sum ==
+      graft.Tables.supplier(spark, sf0001).count())
+  }
+
   test("q29 cosine top-k returns 10 neighbors with sims in [-1,1] descending") {
     val rows = Registry.byName("q29_cosine_topk").fn(spark, sf0001).collect()
     assert(rows.length == 10)
