@@ -291,5 +291,92 @@ object DocQueries {
              |    AND dup_raw <= 0.2, FALSE) AS BIGINT) AS keep_flag
              |FROM d
              |ORDER BY doc_id""".stripMargin),
-      "Gopher-style composite quality gate: token-count bounds + stopword floor + repetition ceiling"))
+      "Gopher-style composite quality gate: token-count bounds + stopword floor + repetition ceiling"),
+
+    Q(
+      "q105_docs_unigram_freq",
+      (s, d) => {
+        // Corpus-level unigram-frequency scoring — the integer-exact
+        // analog of the CCNet language-model filter: build the corpus
+        // vocabulary with global token counts, then score each document
+        // by how common/rare its tokens are (sum / min / max of corpus
+        // frequency plus the per-doc distinct count). A log-prob variant
+        // would hinge on libm ln() bit-parity across engines (not
+        // guaranteed); frequency statistics carry the same "gibberish vs
+        // stopword soup" signal and hash-match exactly.
+        // SCALE: one explode, one token-key shuffle for the vocab, one
+        // token-key shuffle joining occurrences back, one doc_id agg. At
+        // 100 TB the vocab above a small df floor is broadcast-sized
+        // (Zipf tail is singletons), turning the join into a broadcast;
+        // the plain shuffle join here is the general shape.
+        val toksOf = graft.operators.Par.fanOut(documents(s, d))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        toksOf.join(vocab, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_toks"),
+            countDistinct(col("tok")).as("n_uniq"),
+            sum(col("freq")).cast("long").as("sum_freq"),
+            min(col("freq")).as("min_freq"),
+            max(col("freq")).as("max_freq"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |v AS (
+             |  SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+             |SELECT t.doc_id,
+             |  count(*) AS n_toks,
+             |  count(DISTINCT t.tok) AS n_uniq,
+             |  CAST(sum(v.freq) AS BIGINT) AS sum_freq,
+             |  min(v.freq) AS min_freq,
+             |  max(v.freq) AS max_freq
+             |FROM t JOIN v USING (tok)
+             |GROUP BY t.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      "corpus unigram-frequency scoring (integer-exact LM-filter analog): per-doc sum/min/max corpus token frequency"),
+
+    Q(
+      "q106_source_overlap",
+      (s, d) => {
+        // Cross-source duplication matrix: how many distinct word
+        // 8-grams each PAIR of sources shares. Exact text never repeats
+        // across sources in this corpus (q24), so the overlap signal
+        // lives at the shingle level — the same index q83 builds, but
+        // keyed by source and self-joined to rank source pairs for
+        // crawl/source weighting (feeds the q80/q81 curation levers).
+        // SCALE: distinct (source, shingle) is one map-side-combined
+        // shuffle; the self-join shuffles on the shingle. At 100 TB the
+        // join key is xxhash64(shingle) (8 bytes, Dedup.shingleIndex's
+        // key) and hot boilerplate shingles get a df-cap like q30's —
+        // strings kept here so DuckDB can replay exactly.
+        val n = 8
+        val base = documents(s, d).select(col("source"), split(col("text"), " ").as("t"))
+        val sh = graft.operators.Par.fanOut(base)
+          .select(col("source"), col("t"),
+            explode(when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(col("source"),
+            concat_ws(" ", slice(col("t"), col("i"), lit(n))).as("sh"))
+          .distinct()
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT source, sh FROM (
+             |    SELECT source,
+             |      unnest(list_transform(range(1, len(t) - 6),
+             |        i -> array_to_string(t[i:i+7], ' '))) AS sh
+             |    FROM tok WHERE len(t) >= 8))
+             |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+             |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+             |GROUP BY source_a, source_b
+             |ORDER BY source_a, source_b""".stripMargin),
+      "cross-source duplication matrix: distinct shared word-8-grams per source pair (source-weighting signal)"))
 }

@@ -128,6 +128,30 @@ object StreamIngest {
         col("e_ts") <= col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: every purchase is emitted, with its
+    * same-user prior-hour error when one exists and NULL error columns
+    * otherwise. The outer (null-padded) row for an unmatched purchase can
+    * only be emitted once the watermark has passed the end of its join
+    * window — until then a matching error could still arrive — so
+    * unmatched results trail the inner ones by watermark + interval; rows
+    * still in state when the query stops are never emitted. Same bounded
+    * state as the inner form: both sides evict by watermark + interval.
+    */
+  def purchasesWithErrorOutcome(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"),
+      "leftOuter")
+  }
+
   /** Drain the inbox into a parquet sink via AvailableNow. */
   def drainToParquet(df: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
     df.writeStream

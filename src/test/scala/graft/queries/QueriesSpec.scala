@@ -50,6 +50,50 @@ class QueriesSpec extends AnyFunSuite {
       graft.Tables.supplier(spark, sf0001).count())
   }
 
+  test("q105 unigram freq: token mass conserves and per-doc bounds hold") {
+    val rows = Registry.byName("q105_docs_unigram_freq").fn(spark, sf0001).collect()
+    val tokenTotal = graft.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "))).count()
+    // every token occurrence scores exactly once
+    assert(rows.map(_.getAs[Long]("n_toks")).sum == tokenTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_toks"))
+      assert(r.getAs[Long]("min_freq") <= r.getAs[Long]("max_freq"))
+      // sum_freq of n_toks draws each bounded by the per-doc extremes
+      assert(r.getAs[Long]("sum_freq") >= r.getAs[Long]("n_toks") * r.getAs[Long]("min_freq"))
+      assert(r.getAs[Long]("sum_freq") <= r.getAs[Long]("n_toks") * r.getAs[Long]("max_freq"))
+    }
+  }
+
+  test("q106 source overlap: canonical pair order, positive counts, symmetric rebuild") {
+    val rows = Registry.byName("q106_source_overlap").fn(spark, sf0001).collect()
+    assert(rows.nonEmpty, "sf0.001 corpus has cross-source shingle overlap")
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_shared") > 0L)
+    }
+    // n_shared is bounded by either side's distinct shingle count
+    val shCounts = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.documents(spark, sf0001)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .select(col("source"),
+          explode(when(size(col("t")) >= 8, sequence(lit(1), size(col("t")) - 7))
+            .otherwise(array().cast("array<int>"))).as("i"),
+          col("t"))
+        .select(col("source"), concat_ws(" ", slice(col("t"), col("i"), lit(8))).as("sh"))
+        .distinct().groupBy("source").count()
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    }
+    rows.foreach { r =>
+      val bound = math.min(shCounts(r.getAs[String]("source_a")),
+        shCounts(r.getAs[String]("source_b")))
+      assert(r.getAs[Long]("n_shared") <= bound)
+    }
+  }
+
   test("q29 cosine top-k returns 10 neighbors with sims in [-1,1] descending") {
     val rows = Registry.byName("q29_cosine_topk").fn(spark, sf0001).collect()
     assert(rows.length == 10)

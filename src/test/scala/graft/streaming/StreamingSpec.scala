@@ -170,6 +170,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet == Set((2L, 1L)))
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded rows for error-free purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StreamIngest.purchasesWithErrorOutcome(df)
+      .writeStream.format("memory").queryName("ss_louter_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), 7L, "error"),
+      (2L, t("2024-01-01 10:30:00"), 7L, "purchase"),  // pairs with error 1
+      (4L, t("2024-01-01 10:20:00"), 8L, "purchase"))  // no error → null-padded
+    q.processAllAvailable()
+    // push the watermark far past purchase 4's join-window end so its
+    // outer row finalizes (outer rows are withheld until no matching
+    // error can still arrive). Two subtleties: the sentinels must
+    // SURVIVE the purchase/error filters (a "view" row is dropped
+    // before the EventTimeWatermark node and advances nothing), and the
+    // watermark only updates at the END of the sentinel batch — state
+    // eviction + outer-row emission run in the NEXT batch, so a second
+    // nudge batch is required
+    mem.addData(
+      (9L, t("2024-01-01 13:00:00"), 1L, "purchase"),
+      (10L, t("2024-01-01 13:00:00"), 2L, "error"))
+    q.processAllAvailable()
+    mem.addData(
+      (11L, t("2024-01-01 13:00:05"), 1L, "purchase"),
+      (12L, t("2024-01-01 13:00:05"), 2L, "error"))
+    q.processAllAvailable()
+    val rows = spark.table("ss_louter_test")
+      .filter(col("p_id") <= 4)
+      .select("p_id", "e_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    q.stop()
+    assert(rows.toSet == Set((2L, Some(1L)), (4L, None)))
+  }
+
   test("streaming DQ via foreachBatch writes per-batch artifacts") {
     val inbox = tmp("graft_inbox_dq")
     val ev = graft.Tables.events(spark, sf0001)
