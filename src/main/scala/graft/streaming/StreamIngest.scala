@@ -152,6 +152,21 @@ object StreamIngest {
       "leftOuter")
   }
 
+  /** Stream-static enrichment join: each micro-batch joins the stream
+    * against a static (batch) dimension table. Stateless — no watermark
+    * or state store involved, results append immediately; the static side
+    * is re-planned per micro-batch (picking up dim-table file changes) and
+    * explicitly broadcast so the stream side never shuffles. LEFT join so
+    * events with no dimension row survive with NULL attributes (the DQ
+    * orphan check q66 counts them downstream). At 100 TB of stream the
+    * dim stays broadcast-sized after column pruning; a genuinely huge dim
+    * flips this to a shuffle join on the stream side — the broadcast hint
+    * is the knob.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Drain the inbox into a parquet sink via AvailableNow. */
   def drainToParquet(df: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
     df.writeStream

@@ -208,6 +208,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet == Set((2L, Some(1L)), (4L, None)))
   }
 
+  test("stream-static enrichment join attaches dim attributes, null for orphans") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "alice", "BUILDING"), (8L, "bob", "MACHINERY"))
+      .toDF("d_user", "d_name", "d_segment")
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StreamIngest.enrichWithDim(df, dim, "user_id", "d_user")
+      .writeStream.format("memory").queryName("ss_enrich_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), 7L, "view"),
+      (2L, t("2024-01-01 10:01:00"), 9L, "view")) // no dim row → nulls
+    q.processAllAvailable()
+    val rows = spark.table("ss_enrich_test")
+      .select("event_id", "d_name").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("d_name"))))
+    q.stop()
+    assert(rows.toSet == Set((1L, Some("alice")), (2L, None)))
+  }
+
   test("streaming DQ via foreachBatch writes per-batch artifacts") {
     val inbox = tmp("graft_inbox_dq")
     val ev = graft.Tables.events(spark, sf0001)
