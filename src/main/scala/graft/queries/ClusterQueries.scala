@@ -132,5 +132,67 @@ object ClusterQueries {
              |FROM reach
              |GROUP BY n
              |ORDER BY vec_id""".stripMargin),
-      "semantic dedup DECISIONS: connected components over within-cluster cosine pairs — keep = lowest vec_id per semantic group (SemDeDup end-to-end)"))
+      "semantic dedup DECISIONS: connected components over within-cluster cosine pairs — keep = lowest vec_id per semantic group (SemDeDup end-to-end)"),
+
+    Q(
+      "q107_union_dedup_decisions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // Production dedup decision table from the UNION of duplicate
+        // signals: text near-dup pairs (exact 3-gram Jaccard >= 0.8, q30's
+        // operator) and semantic near-dup pairs (within-cluster cosine >=
+        // 0.35, q86's operator, vec_id == doc_id in this corpus), closed
+        // into ONE set of components. The kept representative follows the
+        // production convention (RefinedWeb-style): LONGEST text wins,
+        // ties to the lowest doc_id — unlike q87/q88's min-id policy.
+        // SCALE: both pair generators are the bucketed shapes already
+        // graded (inverted index / cluster-pruned pair space); the union
+        // adds one distinct over edge rows; components cost is the q87
+        // iterative machinery over the merged (still component-sized)
+        // edge set; the final window partitions by component id.
+        val textPairs = graft.operators.Dedup
+          .shingleJaccardPairs(documents(s, d), threshold = 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val semPairs = Clustering.semanticDedupPairs(embeddings(s, d), cs, minCos = 0.35)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        val comps = graft.operators.Dedup.connectedComponents(
+          textPairs.union(semPairs))
+        val quality = documents(s, d)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_doc"))
+        val wk = Window.partitionBy(col("component"))
+          .orderBy(col("n_chars_doc").desc, col("doc_id"))
+        comps.join(quality, Seq("doc_id"))
+          .withColumn("keep", (row_number().over(wk) === 1).cast("long"))
+          .select(col("doc_id"), col("component"), col("n_chars_doc"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$assignCte,
+             |${LlmQueries.jaccardPairsBody},
+             |sem_pairs AS MATERIALIZED (
+             |  SELECT vec_a, vec_b FROM (
+             |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |      list_inner_product(av.v, bv.v)
+             |        / (sqrt(list_inner_product(av.v, av.v))
+             |           * sqrt(list_inner_product(bv.v, bv.v))) AS cos_raw
+             |    FROM asg a
+             |    JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+             |    JOIN v av ON av.vec_id = a.vec_id
+             |    JOIN v bv ON bv.vec_id = b.vec_id)
+             |  WHERE cos_raw >= 0.35),
+             |edges AS (
+             |  SELECT doc_a AS u, doc_b AS w FROM pairs WHERE j >= 0.8
+             |  UNION SELECT doc_b, doc_a FROM pairs WHERE j >= 0.8
+             |  UNION SELECT vec_a, vec_b FROM sem_pairs
+             |  UNION SELECT vec_b, vec_a FROM sem_pairs),
+             |reach(n, m) AS (
+             |  SELECT u, u FROM edges
+             |  UNION
+             |  SELECT r.n, e.w FROM reach r JOIN edges e ON r.m = e.u),
+             |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+             |SELECT c.doc_id, c.component, length(d.text) AS n_chars_doc,
+             |  CAST(row_number() OVER (PARTITION BY c.component
+             |    ORDER BY length(d.text) DESC, c.doc_id) = 1 AS BIGINT) AS keep
+             |FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+             |ORDER BY c.doc_id""".stripMargin),
+      "union-of-signals dedup decisions: text-Jaccard ∪ semantic-cosine edges → one component set; keep = longest text (production policy), ties to lowest doc_id"))
 }

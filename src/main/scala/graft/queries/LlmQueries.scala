@@ -56,8 +56,11 @@ object LlmQueries {
     * RECURSIVE is declared here (it scopes the whole WITH list and is
     * harmless for the non-recursive consumers).
     */
-  private val jaccardPairsCte: String =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** CTE body without the WITH prefix so q107's twin can splice it into a
+    * WITH list that also carries ClusterQueries' centroid CTEs.
+    */
+  private[queries] val jaccardPairsBody: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS MATERIALIZED (SELECT doc_id,
       |         list_distinct(list_transform(range(len(t) - 2),
       |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
@@ -67,6 +70,8 @@ object LlmQueries {
       |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
       |      / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val jaccardPairsCte: String = "WITH RECURSIVE " + jaccardPairsBody
 
   private val jaccardOracleSql: String =
     s"""$jaccardPairsCte

@@ -94,6 +94,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 union decisions: one longest keeper per component; union only merges q87/q88 groups") {
+    val rows = Registry.byName("q107_union_dedup_decisions").fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("component")).values.foreach { g =>
+      assert(g.count(_.getAs[Long]("keep") == 1L) == 1, "exactly one keeper")
+      val kept = g.find(_.getAs[Long]("keep") == 1L).get
+      assert(kept.getAs[Long]("n_chars_doc") == g.map(_.getAs[Long]("n_chars_doc")).max,
+        "keeper is a longest doc in its component")
+    }
+    // adding edges can only MERGE groups: docs sharing a q87 (text) or q88
+    // (semantic) component must share a q107 component
+    val comp107 = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    Seq("q87_dedup_components" -> "doc_id", "q88_semantic_dedup_decisions" -> "vec_id")
+      .foreach { case (qn, idCol) =>
+        Registry.byName(qn).fn(spark, sf0001).collect()
+          .groupBy(_.getAs[Long]("component")).values.foreach { g =>
+            val mapped = g.map(r => comp107(r.getAs[Long](idCol))).distinct
+            assert(mapped.size == 1, s"$qn component split in q107")
+          }
+      }
+  }
+
   test("q29 cosine top-k returns 10 neighbors with sims in [-1,1] descending") {
     val rows = Registry.byName("q29_cosine_topk").fn(spark, sf0001).collect()
     assert(rows.length == 10)
