@@ -194,5 +194,34 @@ object EventQueries {
              |        ELSE -((2 * -micros + 100 * n_events) // (200 * n_events)) END) / 10000.0 AS avg_value
              |FROM g
              |ORDER BY event_date, event_type""".stripMargin),
-      "gold layer: daily per-type consumption aggregates (medallion layer from reference README.md:81)"))
+      "gold layer: daily per-type consumption aggregates (medallion layer from reference README.md:81)"),
+
+    Q(
+      "q108_events_profile",
+      (s, d) =>
+        graft.pipeline.Profiler.profile(
+          events(s, d), Seq("event_id", "user_id", "event_type"))
+          .orderBy(col("col_name")),
+      // min/max stringification is oracle-portable for BIGINT and VARCHAR
+      // columns; doubles/timestamps are profiled Spark-side only (their
+      // string renderings are engine-specific) — the operator takes any
+      // column, the twin pins the portable ones.
+      Some("""SELECT * FROM (
+             |  SELECT 'event_id' AS col_name, count(*) AS n_rows,
+             |    count(*) - count(event_id) AS n_null,
+             |    count(DISTINCT event_id) AS n_distinct,
+             |    CAST(min(event_id) AS VARCHAR) AS min_val,
+             |    CAST(max(event_id) AS VARCHAR) AS max_val
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'event_type', count(*), count(*) - count(event_type),
+             |    count(DISTINCT event_type), min(event_type), max(event_type)
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'user_id', count(*), count(*) - count(user_id),
+             |    count(DISTINCT user_id),
+             |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+             |  FROM events)
+             |ORDER BY col_name""".stripMargin),
+      "one-pass column profiler (Profiler.profile): rows/nulls/exact-distinct/min/max per column in a single Expand scan; approx_count_distinct is the 100 TB swap"))
 }

@@ -676,5 +676,31 @@ object ExtraQueries {
              |  CAST(c.nk IS NULL OR s.nk IS NULL AS BIGINT) AS coverage_gap
              |FROM c FULL OUTER JOIN s ON c.nk = s.nk
              |ORDER BY nationkey""".stripMargin),
-      "FULL OUTER join as dimension-coverage reconciliation: per-nation customer vs supplier presence, pre-aggregated sides"))
+      "FULL OUTER join as dimension-coverage reconciliation: per-nation customer vs supplier presence, pre-aggregated sides"),
+
+    Q(
+      "q109_join_key_skew",
+      (s, d) =>
+        // Join-key skew diagnosis — the measurement feeding
+        // operators/Skew.saltedJoin's salt factor (and AQE's skew-join
+        // threshold choice): per-key cardinality of the join column,
+        // top-20 hottest keys. One map-side-combined groupBy then a
+        // global top-k — Spark plans TakeOrderedAndProject over the agg
+        // (no full sort shuffle), so the diagnosis costs one pass at any
+        // scale. Boundary ties broken by key in BOTH engines; final
+        // re-sort by key for the deterministic compare.
+        lineitem(s, d)
+          .groupBy(col("l_suppkey").cast("long").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("key"))
+          .limit(20)
+          .orderBy(col("key")),
+      Some("""SELECT key, cnt FROM (
+             |  SELECT CAST(l_suppkey AS BIGINT) AS key, count(*) AS cnt
+             |  FROM lineitem
+             |  GROUP BY 1
+             |  ORDER BY cnt DESC, key
+             |  LIMIT 20)
+             |ORDER BY key""".stripMargin),
+      "join-key skew diagnosis: top-20 hottest join keys by row count (feeds saltedJoin's salt factor / AQE skew thresholds); TakeOrderedAndProject, no full sort"))
 }

@@ -116,6 +116,18 @@ class QueriesSpec extends AnyFunSuite {
       }
   }
 
+  test("q108 profile: single scan, consistent totals, event_id unique") {
+    val df = Registry.byName("q108_events_profile").fn(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1, "profiler must read the input once")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n_rows")).distinct.length == 1)
+    val eid = rows.find(_.getAs[String]("col_name") == "event_id").get
+    assert(eid.getAs[Long]("n_null") == 0L)
+    assert(eid.getAs[Long]("n_distinct") == eid.getAs[Long]("n_rows"))
+  }
+
   test("q29 cosine top-k returns 10 neighbors with sims in [-1,1] descending") {
     val rows = Registry.byName("q29_cosine_topk").fn(spark, sf0001).collect()
     assert(rows.length == 10)
