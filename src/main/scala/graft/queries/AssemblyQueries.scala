@@ -316,5 +316,59 @@ object AssemblyQueries {
              |FROM f JOIN m ON f.dim = m.dim
              |GROUP BY f.vec_id
              |ORDER BY vec_id""".stripMargin),
-      "per-vector mean-centering diagnostics: 64-row dim-means broadcast back, exact fixed-point deviation sums (floor-division parity via pmod)"))
+      "per-vector mean-centering diagnostics: 64-row dim-means broadcast back, exact fixed-point deviation sums (floor-division parity via pmod)"),
+
+    Q(
+      "q113_packing_waste",
+      (s, d) => {
+        // Padding-waste diagnostic for length-bucketed batching — the
+        // standard report a training loader emits to choose bucket edges
+        // (complements q99, which packs; this measures what padding-only
+        // batching would cost). Buckets are a fixed power-of-two CASE
+        // ladder (16/32/64/128) rather than ceil(log2(n)) — a float log2
+        // at a power-of-two boundary is exactly the bit-portability trap
+        // the Registry rules ban from grouping keys. All outputs are
+        // integers; fill_permille is integer division in both engines.
+        // SCALE: one scan, one map-side-combined agg on a bounded ladder
+        // key — the ≤5-row result is a report row, not a data path, so
+        // the bounded key is fine here (ScaleGuard's window rule targets
+        // per-row windows, not aggregates).
+        val capCol = when(col("n_tok") <= 16, 16L)
+          .when(col("n_tok") <= 32, 32L)
+          .when(col("n_tok") <= 64, 64L)
+          .when(col("n_tok") <= 128, 128L)
+          .otherwise(256L)
+        documents(s, d)
+          .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cap", capCol)
+          .groupBy(col("cap"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tok"),
+            sum(col("cap") - col("n_tok")).as("pad_waste"))
+          .withColumn("fill_permille",
+            expr("(sum_tok * 1000) DIV (n_docs * cap)"))
+          .orderBy(col("cap"))
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |b AS (
+             |  SELECT n_tok,
+             |    CASE WHEN n_tok <= 16 THEN 16
+             |         WHEN n_tok <= 32 THEN 32
+             |         WHEN n_tok <= 64 THEN 64
+             |         WHEN n_tok <= 128 THEN 128
+             |         ELSE 256 END AS cap
+             |  FROM t)
+             |SELECT CAST(cap AS BIGINT) AS cap,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             |  CAST(sum(cap - n_tok) AS BIGINT) AS pad_waste,
+             |  (CAST(sum(n_tok) AS BIGINT) * 1000)
+             |    // (count(*) * CAST(cap AS BIGINT)) AS fill_permille
+             |FROM b
+             |GROUP BY cap
+             |ORDER BY cap""".stripMargin),
+      "padding-waste diagnostic for length-bucketed batching: per power-of-two cap, docs/tokens/pad-waste/fill-permille (integer-exact)"))
 }

@@ -378,5 +378,46 @@ object DocQueries {
              |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
              |GROUP BY source_a, source_b
              |ORDER BY source_a, source_b""".stripMargin),
-      "cross-source duplication matrix: distinct shared word-8-grams per source pair (source-weighting signal)"))
+      "cross-source duplication matrix: distinct shared word-8-grams per source pair (source-weighting signal)"),
+
+    Q(
+      "q110_bpe_pair_counts",
+      (s, d) => {
+        // The BPE-training inner loop: corpus-wide counts of ADJACENT
+        // token pairs, top-100 by count (the merge-candidate ranking each
+        // BPE iteration consumes). Pure integers + binary-collated
+        // strings — hash-exact across engines; the (cnt DESC, l, r)
+        // order is total, so the LIMIT cut is deterministic in both.
+        // SCALE: explode is linear in token count (start offsets only,
+        // the q83/q98 Generate discipline — the token array is projected
+        // once, never recomputed per output row); the only shuffle is the
+        // map-side-combined (l, r) count; top-100 is TakeOrderedAndProject
+        // (per-partition heaps + a 100-row driver merge), never a global
+        // sort. One BPE merge round at 100 TB is exactly this job.
+        val base = graft.operators.Par.fanOut(documents(s, d))
+          .select(split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 2)
+        base
+          .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+          .select(
+            element_at(col("t"), col("i")).as("l"),
+            element_at(col("t"), col("i") + 1).as("r"))
+          .groupBy(col("l"), col("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (
+             |  SELECT string_split(text, ' ') AS t FROM documents),
+             |idx AS (
+             |  SELECT t, unnest(range(1, len(t))) AS i
+             |  FROM tok WHERE len(t) >= 2),
+             |pairs AS (
+             |  SELECT t[i] AS l, t[i + 1] AS r FROM idx)
+             |SELECT l, r, count(*) AS cnt
+             |FROM pairs
+             |GROUP BY l, r
+             |ORDER BY cnt DESC, l, r
+             |LIMIT 100""".stripMargin),
+      "BPE-training inner loop: corpus-wide adjacent token-pair counts, top-100 merge candidates (deterministic total order)"))
 }

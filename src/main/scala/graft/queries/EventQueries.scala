@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -223,5 +224,57 @@ object EventQueries {
              |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
              |  FROM events)
              |ORDER BY col_name""".stripMargin),
-      "one-pass column profiler (Profiler.profile): rows/nulls/exact-distinct/min/max per column in a single Expand scan; approx_count_distinct is the 100 TB swap"))
+      "one-pass column profiler (Profiler.profile): rows/nulls/exact-distinct/min/max per column in a single Expand scan; approx_count_distinct is the 100 TB swap"),
+
+    Q(
+      "q111_user_status_history",
+      (s, d) => {
+        // SCD Type-2 history build (the dimension-table side of CDC,
+        // complementing q67's latest-record materialization): collapse
+        // each user's event-type stream into change rows, then stamp
+        // half-open validity intervals [valid_from, valid_to) with
+        // lead(); the open current row has valid_to NULL. Timestamps are
+        // emitted as epoch micros (BIGINT) per the parity rules; the
+        // (t_us, event_id) compound order makes same-microsecond events
+        // deterministic in both engines.
+        // SCALE: two window passes over the SAME (user_id, t_us,
+        // event_id) sort — Catalyst reuses one exchange+sort for both
+        // (the filter between them is sort-preserving), so this is one
+        // user_id shuffle end-to-end. user_id is the natural high-
+        // cardinality partition key at 100 TB.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("status"),
+            unix_micros(col("ts").cast("timestamp")).as("t_us"))
+          .withColumn("prev", lag(col("status"), 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("status"))
+          .select(col("user_id"), col("status"),
+            col("t_us").as("valid_from_us"),
+            lead(col("t_us"), 1).over(w).as("valid_to_us"),
+            row_number().over(w).cast("long").as("version"))
+          .withColumn("is_current", col("valid_to_us").isNull.cast("long"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, event_type AS status,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, status, t_us,
+             |    lag(status) OVER (PARTITION BY user_id
+             |      ORDER BY t_us, event_id) AS prev
+             |  FROM x),
+             |changes AS (
+             |  SELECT user_id, event_id, status, t_us FROM flagged
+             |  WHERE prev IS NULL OR prev <> status)
+             |SELECT user_id, status,
+             |  t_us AS valid_from_us,
+             |  lead(t_us) OVER w AS valid_to_us,
+             |  row_number() OVER w AS version,
+             |  CAST(lead(t_us) OVER w IS NULL AS BIGINT) AS is_current
+             |FROM changes
+             |WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+             |ORDER BY user_id, version""".stripMargin),
+      "SCD Type-2 history build: per-user status change rows with half-open validity intervals (lead) and current-row flag"))
 }

@@ -351,5 +351,41 @@ object StarQueries {
              |  abs(l_quantity - 25) AS qty_dev
              |FROM lineitem WHERE l_orderkey % 100 = 0
              |ORDER BY l_orderkey, l_linenumber, sqrt_price""".stripMargin),
-      "math scalar family: sqrt/ln/ceil/floor/abs (int widths matched to DuckDB)"))
+      "math scalar family: sqrt/ln/ceil/floor/abs (int widths matched to DuckDB)"),
+
+    Q(
+      "q112_bloom_semi_join",
+      (s, d) => {
+        // Bloom-prefiltered semi join (operators/BloomJoin): the fact
+        // table is filtered by a ~MB broadcast Bloom sketch of the hot
+        // orders' keys BEFORE its exchange, then an exact LEFT SEMI join
+        // removes the sketch's false positives — so the answer is
+        // bit-equal to the plain `IN` subquery the oracle runs, and the
+        // sketch is purely a shuffle-volume lever. This is the explicit,
+        // author-controlled form of Spark's InjectRuntimeFilter (which
+        // won't fire when it can't estimate the build side's
+        // selectivity). At 100 TB the >450k predicate keeps ~10% of
+        // orders, so ~90% of lineitem never enters the join exchange.
+        val hot = orders(s, d)
+          .where(col("o_totalprice") > 450000.0d)
+          .select(col("o_orderkey"))
+        graft.operators.BloomJoin
+          .semiJoin(lineitem(s, d), hot, "l_orderkey", "o_orderkey",
+            expectedItems = 200000L)
+          .select(col("l_returnflag"),
+            expr("CAST(floor(l_extendedprice * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  count(*) AS n_items,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM lineitem
+             |WHERE l_orderkey IN (
+             |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      "Bloom-prefiltered semi join (BloomJoin.semiJoin): sketch cuts the probe side pre-shuffle, exact semi join removes false positives — bit-equal to the plain IN subquery"))
 }

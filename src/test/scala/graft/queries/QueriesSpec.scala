@@ -136,4 +136,57 @@ class QueriesSpec extends AnyFunSuite {
     assert(sims.sameElements(sims.sorted.reverse))
     assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
   }
+
+  test("q110 BPE pairs: matches a driver-side brute-force recount exactly") {
+    val got = Registry.byName("q110_bpe_pair_counts").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"), r.getAs[Long]("cnt")))
+      .toSeq
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val brute = texts
+      .flatMap(t => { val w = t.split(" ", -1); w.dropRight(1).zip(w.drop(1)) })
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((l, r), c) => (l, r, c) }
+      .sortBy { case (l, r, c) => (-c, l, r) }
+      .take(100)
+    assert(got == brute)
+  }
+
+  test("q111 SCD2: intervals chain, versions consecutive, one current row per user") {
+    val rows = Registry.byName("q111_user_status_history").fn(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, hs) =>
+      val sorted = hs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to hs.length).toSeq,
+        s"user $u versions not consecutive")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u intervals do not chain")
+          assert(a.getAs[String]("status") != b.getAs[String]("status"),
+            s"user $u has consecutive identical statuses — change filter broken")
+        case _ => ()
+      }
+      assert(sorted.count(_.getAs[Long]("is_current") == 1L) == 1, s"user $u current rows != 1")
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")),
+        s"user $u last interval not open")
+    }
+    // every event-owning user appears
+    assert(byUser.size ==
+      graft.Tables.events(spark, sf0001).select("user_id").distinct().count())
+  }
+
+  test("q113 packing waste: docs conserve and waste complements fill per bucket") {
+    val rows = Registry.byName("q113_packing_waste").fn(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("cap")
+      assert((cap & (cap - 1)) == 0L, s"cap $cap not a power of two")
+      assert(cap * r.getAs[Long]("n_docs") - r.getAs[Long]("sum_tok") ==
+        r.getAs[Long]("pad_waste"))
+      val fill = r.getAs[Long]("fill_permille")
+      assert(fill > 0 && fill <= 1000)
+    }
+  }
 }
