@@ -205,5 +205,48 @@ object CurationQueries {
              |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
              |GROUP BY s.doc_id
              |ORDER BY doc_id""".stripMargin),
-      "benchmark-contamination screen: distinct word-8-gram overlap of every doc against an eval set"))
+      "benchmark-contamination screen: distinct word-8-gram overlap of every doc against an eval set"),
+
+    Q(
+      "q114_epoch_mixing",
+      (s, d) => {
+        // Epoch mixing / language up-sampling: repeat under-represented
+        // languages toward the largest language's doc count, capped at 4
+        // epochs (the standard "don't repeat data more than a few times"
+        // rule — the multilingual rebalancing every major pretraining mix
+        // documents). The repeat factor is exact ceil division — no
+        // floats anywhere — and the explode materializes (doc_id,
+        // copy_idx) rows, the exact list a training loader consumes. The
+        // per-language counts are a map-side-combined agg; the factor
+        // join back is broadcast (the language dimension is orders of
+        // magnitude smaller than the corpus); only the global max
+        // crosses the driver (one row, same class as the DQ report row).
+        // SCALE: output rows = Σ n_docs·factor ≤ 4× corpus — linear, and
+        // the explode is over a computed ≤4-element sequence per row (no
+        // data-dependent blowup).
+        val counts = documents(s, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val maxDocs = counts.agg(max(col("n_docs"))).head().getLong(0)
+        val factors = counts.select(col("lang"),
+          least(expr(s"($maxDocs + n_docs - 1) DIV n_docs"), lit(4L)).as("factor"))
+        documents(s, d).select(col("doc_id"), col("lang"))
+          .join(broadcast(factors), Seq("lang"))
+          .select(col("doc_id"), col("lang"),
+            explode(sequence(lit(1L), col("factor"))).as("copy_idx"))
+          .orderBy(col("doc_id"), col("copy_idx"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+             |m AS (SELECT max(n_docs) AS max_docs FROM c),
+             |f AS (
+             |  SELECT lang,
+             |    least((max_docs + n_docs - 1) // n_docs, 4) AS factor
+             |  FROM c, m)
+             |SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx
+             |FROM (
+             |  SELECT d.doc_id, d.lang,
+             |    unnest(range(1, f.factor + 1)) AS copy_idx
+             |  FROM documents d JOIN f USING (lang))
+             |ORDER BY doc_id, copy_idx""".stripMargin),
+      "epoch mixing: per-language repeat factors (exact ceil division toward the largest language, capped at 4) exploded into the (doc_id, copy_idx) list a training loader consumes"))
 }

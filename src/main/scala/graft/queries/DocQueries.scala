@@ -419,5 +419,53 @@ object DocQueries {
              |GROUP BY l, r
              |ORDER BY cnt DESC, l, r
              |LIMIT 100""".stripMargin),
-      "BPE-training inner loop: corpus-wide adjacent token-pair counts, top-100 merge candidates (deterministic total order)"))
+      "BPE-training inner loop: corpus-wide adjacent token-pair counts, top-100 merge candidates (deterministic total order)"),
+
+    Q(
+      "q115_vocab_coverage",
+      (s, d) => {
+        // Vocabulary coverage / OOV-rate scoring: fix a top-k corpus
+        // vocabulary (count DESC, token ASC — a deterministic total
+        // order, so the LIMIT cut is identical in both engines), then
+        // score every document by how much of it falls outside that
+        // vocabulary. The per-doc OOV rate is THE gating signal for
+        // tokenizer/vocab sizing, and a high rate flags gibberish the
+        // q75-style gates miss. Integer permille, never a float ratio.
+        // k=16 against this synthetic corpus's 31-token vocabulary keeps
+        // both sides of the cut populated (a real run uses 32k–256k —
+        // k shifts the broadcast size, never the plan shape).
+        // SCALE: vocab is top-k over a map-side-combined token count
+        // (TakeOrderedAndProject), then broadcast — the probe side never
+        // shuffles for the join; the only probe-side shuffle is the
+        // final doc_id agg. Vocab size is a constant, not data-scaled.
+        val toks = graft.operators.Par.fanOut(documents(s, d))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(16)
+          .select(col("tok"), lit(1L).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_toks"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_permille", expr("(n_oov * 1000) DIV n_toks"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |v AS (
+             |  SELECT tok, 1 AS in_vocab FROM (
+             |    SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+             |    ORDER BY cnt DESC, tok LIMIT 16))
+             |SELECT t.doc_id,
+             |  count(*) AS n_toks,
+             |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  (CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000) // count(*) AS oov_permille
+             |FROM t LEFT JOIN v USING (tok)
+             |GROUP BY t.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      "vocabulary coverage / OOV-rate scoring: per-doc out-of-vocabulary tokens against a deterministic top-k corpus vocab (integer permille)"))
 }

@@ -176,6 +176,47 @@ class QueriesSpec extends AnyFunSuite {
       graft.Tables.events(spark, sf0001).select("user_id").distinct().count())
   }
 
+  test("q114 epoch mixing: copies per doc equal the recomputed ceil factor, capped") {
+    val rows = Registry.byName("q114_epoch_mixing").fn(spark, sf0001).collect()
+    val langCounts = graft.Tables.documents(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val maxDocs = langCounts.values.max
+    val expectedFactor = langCounts.map { case (l, n) =>
+      l -> math.min((maxDocs + n - 1) / n, 4L)
+    }
+    // per-doc copy count matches the factor for its language and copy_idx is 1..factor
+    rows.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).foreach {
+      case ((id, lang), copies) =>
+        assert(copies.length.toLong == expectedFactor(lang), s"doc $id")
+        assert(copies.map(_.getAs[Long]("copy_idx")).sorted.toSeq ==
+          (1L to copies.length).toSeq, s"doc $id copy_idx not 1..n")
+    }
+    assert(rows.length.toLong ==
+      langCounts.map { case (l, n) => n * expectedFactor(l) }.sum)
+    // the dominant language is never repeated
+    val dominant = langCounts.maxBy(_._2)._1
+    assert(expectedFactor(dominant) == 1L)
+    // and at least one language IS up-sampled, else the fixture is degenerate
+    assert(expectedFactor.values.exists(_ > 1L), "all factors 1 — explode untested")
+  }
+
+  test("q115 vocab coverage: OOV bounded by token count, permille is floor division") {
+    val rows = Registry.byName("q115_vocab_coverage").fn(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, oov, pm) = (r.getAs[Long]("n_toks"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("oov_permille"))
+      assert(oov >= 0 && oov <= n)
+      assert(pm == oov * 1000 / n)
+    }
+    // a 256-token vocab over a Zipf-ish corpus must leave SOME docs with
+    // OOV tokens and cover others well — both sides non-degenerate
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0))
+    assert(rows.map(_.getAs[Long]("n_oov")).sum <
+      rows.map(_.getAs[Long]("n_toks")).sum, "vocab covered nothing")
+  }
+
   test("q113 packing waste: docs conserve and waste complements fill per bucket") {
     val rows = Registry.byName("q113_packing_waste").fn(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==

@@ -70,10 +70,17 @@ class ScaleGuardSpec extends AnyFunSuite {
     * embedding vectors, so an aggregate grouped only by it yields at most
     * |embedding width| rows regardless of input size (q103 broadcasts the
     * 64-row per-dim means back against the full table — the correct
-    * two-pass shape). Keep this list short and physical: a key belongs
-    * here only if its cardinality is set by the SCHEMA, not the data.
+    * two-pass shape); `lang` is an ISO language code, bounded by the
+    * world's ~200 languages however large the corpus grows (q114
+    * broadcasts the per-language repeat factors — the dimension side of
+    * epoch mixing). Keep this list short and physical: a key belongs here
+    * only if its cardinality is set by the SCHEMA or the physical world,
+    * never by data volume. NOTE the asymmetry with enumCols: an AGGREGATE
+    * on a bounded key is broadcast-safe (tiny output); a WINDOW
+    * partitioned by one is the opposite (bounded parallelism) — the two
+    * guards pull in opposite directions on purpose.
     */
-  private val boundedAggCols = Set("dim")
+  private val boundedAggCols = Set("dim", "lang")
 
   private def isBoundedSubtree(p: LogicalPlan): Boolean = stripBenign(p) match {
     case a: Aggregate if a.groupingExpressions.isEmpty => true
