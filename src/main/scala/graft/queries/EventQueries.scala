@@ -276,5 +276,42 @@ object EventQueries {
              |FROM changes
              |WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
              |ORDER BY user_id, version""".stripMargin),
-      "SCD Type-2 history build: per-user status change rows with half-open validity intervals (lead) and current-row flag"))
+      "SCD Type-2 history build: per-user status change rows with half-open validity intervals (lead) and current-row flag"),
+
+    Q(
+      "q116_trailing_features",
+      (s, d) => {
+        // Trailing time-window features — the ML feature-engineering
+        // staple (how many events / how much value did this user generate
+        // in the hour before each event): a value-RANGE frame over epoch
+        // micros, partitioned by user_id. This is the RANGE-frame shape
+        // that IS scale-right — q78's frame partitions by a 3-value enum
+        // (documented exemption, q89 sketch pair), this one partitions by
+        // the high-cardinality user key, so parallelism grows with users.
+        // RANGE (not ROWS) so same-microsecond peers get identical
+        // frames in both engines; money in exact cents.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+          .rangeBetween(-3600000000L, 0L)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("t_us"),
+            expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+          .select(col("user_id"), col("event_id"), col("t_us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("cents")).over(w).as("cents_1h"))
+          .orderBy(col("user_id"), col("t_us"), col("event_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT user_id, event_id, t_us,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+             |FROM x
+             |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, t_us, event_id""".stripMargin),
+      "trailing time-window features: per-user 1-hour RANGE frame over epoch micros (count + exact-cents sum) — the scale-right RANGE shape (high-cardinality partition key)"))
 }

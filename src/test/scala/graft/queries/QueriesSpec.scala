@@ -217,6 +217,22 @@ class QueriesSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("n_toks")).sum, "vocab covered nothing")
   }
 
+  test("q116 trailing features: matches a driver-side brute-force window recount") {
+    val rows = Registry.byName("q116_trailing_features").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("t_us"), r.getAs[Long]("n_1h"), r.getAs[Long]("cents_1h")))
+    val byUser = rows.groupBy(_._1)
+    // independent per-event cents lookup (not the query's own output)
+    val cents = graft.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "CAST(floor(value * 100.0D + 0.5D) AS BIGINT) AS c")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (u, _, t, n1h, c1h) =>
+      val window = byUser(u).filter(e => e._3 >= t - 3600000000L && e._3 <= t)
+      assert(window.length.toLong == n1h, s"user $u t $t count")
+      assert(window.map(e => cents(e._2)).sum == c1h, s"user $u t $t sum")
+    }
+  }
+
   test("q113 packing waste: docs conserve and waste complements fill per bucket") {
     val rows = Registry.byName("q113_packing_waste").fn(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
