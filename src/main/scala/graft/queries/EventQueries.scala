@@ -313,5 +313,82 @@ object EventQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, t_us, event_id""".stripMargin),
-      "trailing time-window features: per-user 1-hour RANGE frame over epoch micros (count + exact-cents sum) — the scale-right RANGE shape (high-cardinality partition key)"))
+      "trailing time-window features: per-user 1-hour RANGE frame over epoch micros (count + exact-cents sum) — the scale-right RANGE shape (high-cardinality partition key)"),
+
+    Q(
+      "q117_value_anomaly",
+      (s, d) => {
+        // Quantile-threshold anomaly screen: learn a per-type p99 cutoff
+        // from the distribution, then re-scan to count exceedances — the
+        // canonical two-pass "fit a threshold, broadcast it back" shape
+        // (monitoring/alerting; also outlier-filtering training data).
+        // Exact-cents integers end to end; percentile_disc picks an ACTUAL
+        // data value (Spark ≡ DuckDB quantile_disc, the q46-proven pair) so
+        // no interpolation arithmetic exists to diverge. SCALE: pass 1 is a
+        // per-enum-key sort aggregate — the oracle-exact baseline; at
+        // 100 TB swap percentile_disc for approx_percentile (q68 pairing)
+        // and the threshold frame (≤|event_type| rows) still broadcasts.
+        val ev = events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+        val thr = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+            .as("p99_cents"),
+          max(col("cents")).as("max_cents"))
+        ev.join(broadcast(thr), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"), col("p99_cents"), col("max_cents"))
+          .agg(count(when(col("cents") > col("p99_cents"), 1)).as("n_above"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE value IS NOT NULL),
+             |thr AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99_cents,
+             |    max(cents) AS max_cents
+             |  FROM cents GROUP BY event_type)
+             |SELECT t.event_type, t.n, t.p99_cents, t.max_cents,
+             |  CAST(count(CASE WHEN c.cents > t.p99_cents THEN 1 END) AS BIGINT) AS n_above
+             |FROM cents c JOIN thr t USING (event_type)
+             |GROUP BY t.event_type, t.n, t.p99_cents, t.max_cents
+             |ORDER BY t.event_type""".stripMargin),
+      "quantile-threshold anomaly screen: per-type exact p99 (integer cents) broadcast back to count exceedances — two-pass fit-then-apply; 100 TB swap is approx_percentile (q68 pairing)"),
+
+    Q(
+      "q118_rolling_active_users",
+      (s, d) => {
+        // Retention / engagement rollup: daily active users beside the
+        // trailing-7-day distinct count. Rolling DISTINCT can't ride a
+        // window frame (no distinct-over-RANGE), so each (day, user) pair
+        // is fanned out to the ≤7 report days it supports (bounded ×7
+        // Generate), then de-duplicated — both distincts shuffle on the
+        // high-cardinality (day, user) key, so parallelism grows with
+        // users and days; only the final per-day counts are small.
+        val du = events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+            col("user_id"))
+          .distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day")).orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events WHERE user_id IS NOT NULL),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+             |wau AS (
+             |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+             |    SELECT DISTINCT du.day + x.i AS day, du.user_id
+             |    FROM du CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS i) x)
+             |  GROUP BY day)
+             |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin),
+      "retention rollup: DAU + trailing-7-day distinct users per day — rolling distinct via bounded ×7 fan-out + re-distinct on the high-cardinality (day, user) key (no enum-key window)"))
 }

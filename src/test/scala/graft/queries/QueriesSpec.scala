@@ -246,4 +246,45 @@ class QueriesSpec extends AnyFunSuite {
       assert(fill > 0 && fill <= 1000)
     }
   }
+
+  test("q117 anomaly screen: p99 is a data value with ~1% above, broadcast in plan") {
+    val df = Registry.byName("q117_value_anomaly").fn(spark, sf0001)
+    val cents = graft.Tables.events(spark, sf0001)
+      .filter("value IS NOT NULL")
+      .selectExpr("event_type", "CAST(floor(value * 100.0D + 0.5D) AS BIGINT) AS c")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    df.collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vals = cents.filter(_._1 == t).map(_._2).sorted
+      val p99 = r.getAs[Long]("p99_cents")
+      assert(vals.contains(p99), s"$t p99 not an actual data value")
+      // percentile_disc(q) = value at rank ceil(q*n): recount independently
+      val target = (vals.length * 99 + 99) / 100 // ceil(0.99*n) in integers
+      assert(p99 == vals(target - 1), s"$t p99 rank pick")
+      assert(r.getAs[Long]("n") == vals.length.toLong)
+      assert(r.getAs[Long]("n_above") == vals.count(_ > p99).toLong)
+      assert(r.getAs[Long]("max_cents") == vals.max)
+    }
+    // the threshold frame must come back as a broadcast, not a shuffle join
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("q118 rolling active users: WAU >= DAU, and WAU recounts brute-force") {
+    val rows = Registry.byName("q118_rolling_active_users").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+    assert(rows.nonEmpty)
+    val du = graft.Tables.events(spark, sf0001)
+      .filter("user_id IS NOT NULL")
+      .selectExpr("CAST(ts AS DATE) AS day", "user_id").distinct()
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toLocalDate, r.getLong(1)))
+    rows.foreach { case (day, dau, wau) =>
+      assert(wau >= dau, s"$day wau < dau")
+      val brute = du.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length.toLong
+      assert(wau == brute, s"$day wau brute-force recount")
+      assert(dau == du.count(_._1 == day).toLong, s"$day dau recount")
+    }
+  }
 }

@@ -73,14 +73,17 @@ class ScaleGuardSpec extends AnyFunSuite {
     * two-pass shape); `lang` is an ISO language code, bounded by the
     * world's ~200 languages however large the corpus grows (q114
     * broadcasts the per-language repeat factors — the dimension side of
-    * epoch mixing). Keep this list short and physical: a key belongs here
+    * epoch mixing); `event_type` is a closed event-taxonomy code (q117
+    * broadcasts the ≤|taxonomy|-row p99-threshold frame back against the
+    * full event stream — the fit-then-apply two-pass shape). Keep this
+    * list short and physical: a key belongs here
     * only if its cardinality is set by the SCHEMA or the physical world,
     * never by data volume. NOTE the asymmetry with enumCols: an AGGREGATE
     * on a bounded key is broadcast-safe (tiny output); a WINDOW
     * partitioned by one is the opposite (bounded parallelism) — the two
     * guards pull in opposite directions on purpose.
     */
-  private val boundedAggCols = Set("dim", "lang")
+  private val boundedAggCols = Set("dim", "lang", "event_type")
 
   private def isBoundedSubtree(p: LogicalPlan): Boolean = stripBenign(p) match {
     case a: Aggregate if a.groupingExpressions.isEmpty => true
