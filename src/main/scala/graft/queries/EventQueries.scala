@@ -390,5 +390,41 @@ object EventQueries {
              |  GROUP BY day)
              |SELECT day, dau, wau FROM dau JOIN wau USING (day)
              |ORDER BY day""".stripMargin),
-      "retention rollup: DAU + trailing-7-day distinct users per day — rolling distinct via bounded ×7 fan-out + re-distinct on the high-cardinality (day, user) key (no enum-key window)"))
+      "retention rollup: DAU + trailing-7-day distinct users per day — rolling distinct via bounded ×7 fan-out + re-distinct on the high-cardinality (day, user) key (no enum-key window)"),
+
+    Q(
+      "q119_cohort_retention",
+      (s, d) => {
+        // Weekly cohort retention matrix: users grouped by first-seen day,
+        // counted in each subsequent activity week — the classic
+        // product-analytics triangle. Every stage keys on user_id or on
+        // (cohort_day, week_idx) — a grid whose size is days×weeks, not
+        // data volume — so the heavy shuffles (distinct, first-seen agg,
+        // cohort join-back) all ride the high-cardinality user key; week
+        // index is exact integer floor-division of a day delta (DIV both
+        // engines, non-negative by construction).
+        val ue = events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohort = ue.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+        ue.join(cohort, Seq("user_id"))
+          .select(col("c0").as("cohort_day"), col("user_id"),
+            expr("CAST(datediff(day, c0) DIV 7 AS BIGINT)").as("week_idx"))
+          .distinct()
+          .groupBy(col("cohort_day"), col("week_idx"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_day"), col("week_idx"))
+      },
+      Some("""WITH ue AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events WHERE user_id IS NOT NULL),
+             |c AS (SELECT user_id, min(day) AS c0 FROM ue GROUP BY user_id)
+             |SELECT c.c0 AS cohort_day,
+             |  CAST((ue.day - c.c0) // 7 AS BIGINT) AS week_idx,
+             |  CAST(count(DISTINCT ue.user_id) AS BIGINT) AS n_users
+             |FROM ue JOIN c USING (user_id)
+             |GROUP BY c.c0, CAST((ue.day - c.c0) // 7 AS BIGINT)
+             |ORDER BY cohort_day, week_idx""".stripMargin),
+      "weekly cohort retention matrix: first-seen-day cohorts × activity-week index (exact integer day-delta DIV 7); all shuffles on the high-cardinality user key"))
 }

@@ -287,4 +287,28 @@ class QueriesSpec extends AnyFunSuite {
       assert(dau == du.count(_._1 == day).toLong, s"$day dau recount")
     }
   }
+
+  test("q119 cohort retention: triangle recounts brute-force, week0 = cohort size") {
+    val rows = Registry.byName("q119_cohort_retention").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toLocalDate,
+        r.getAs[Long]("week_idx"), r.getAs[Long]("n_users")))
+    assert(rows.nonEmpty)
+    val du = graft.Tables.events(spark, sf0001)
+      .filter("user_id IS NOT NULL")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct()
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toLocalDate))
+    val firstSeen = du.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min(
+      Ordering.by((d: java.time.LocalDate) => d.toEpochDay)) }
+    // brute force: distinct (user, week) memberships per cohort
+    val brute = du.map { case (u, day) =>
+      val c0 = firstSeen(u)
+      ((c0, java.time.temporal.ChronoUnit.DAYS.between(c0, day) / 7), u)
+    }.distinct.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.length == brute.size)
+    rows.foreach { case (c0, w, n) => assert(brute((c0, w)) == n, s"cohort $c0 week $w") }
+    // week 0 of each cohort counts exactly its members (everyone is active
+    // in their own first week by definition)
+    val cohortSize = firstSeen.groupBy(_._2).map { case (d, m) => d -> m.size.toLong }
+    rows.filter(_._2 == 0L).foreach { case (c0, _, n) => assert(n == cohortSize(c0)) }
+  }
 }
