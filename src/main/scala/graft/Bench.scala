@@ -41,6 +41,10 @@ object Bench {
     // executions in one JVM was the prime suspect). clearCache drops any
     // CacheManager entries; the persistent-RDD sweep frees localCheckpoint
     // blocks (the iterative components queries) that clearCache can't see.
+    // INVARIANT: the sweep unpersists ALL persistent RDDs, including
+    // localCheckpoints that cannot be recomputed once dropped — safe only
+    // because every query fully materializes (noop sink) before the sweep
+    // runs. A design that caches data ACROSS queries must not reuse this.
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -52,21 +56,34 @@ object Bench {
       catch { case NonFatal(_) => () }
       sweep()
     }
+    // SPARK_GRAFT_REPS > 1 repeats each timed query and reports the MEDIAN
+    // second (r5 verdict #3: a handful of per-query numbers moved ~2x on
+    // unchanged code under n=1 — single-run noise and median-of-n separate
+    // noise from real regressions). Default 1 keeps the driver's pace.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val rt = Runtime.getRuntime
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(name); true }
-        catch { case NonFatal(_) => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // per-query used heap AFTER the run: makes a driver-vs-builder bench
-      // discrepancy diagnosable from the artifact alone (GC pressure shows
-      // up as a climbing floor across the alphabetical run order)
-      val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
-      sweep()
-      (name, sec, ok, heapMb)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(name); true }
+          catch { case NonFatal(_) => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // per-query used heap AFTER the run: makes a driver-vs-builder bench
+        // discrepancy diagnosable from the artifact alone (GC pressure shows
+        // up as a climbing floor across the alphabetical run order)
+        val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+        sweep()
+        (sec, ok, heapMb)
+      }
+      (name, median(runs.map(_._1)), runs.forall(_._2), runs.last._3)
     }
-    val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val heaps = results.map { case (k, _, _, h) => s"\"" + k + "\":" + h }
       .mkString("{", ",", "}")
@@ -76,8 +93,11 @@ object Bench {
     val total = results.collect { case (_, v, true, _) => v }.sum
     // method flag: r1/r2 timed count() (Catalyst prunes computed columns
     // and final sorts under a count), r3+ times full materialization —
-    // cross-round per-query comparisons must account for the change
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs,"heap_mb":$heaps$errsJson,"sf":"$sfDir"}"""
+    // cross-round per-query comparisons must account for the change.
+    // Field ORDER is load-bearing: the driver keeps only the tail of the
+    // log line, so the per-query seconds map goes LAST (r5's artifact kept
+    // only heap_mb because queries came first and was truncated away).
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","heap_mb":$heaps$errsJson,"queries":$qs}"""
     println(line)
     // the driver keeps only the log tail, which truncates the per-query map
     // — persist the full line so each round's complete numbers can be

@@ -367,17 +367,26 @@ object EventQueries {
         // Generate), then de-duplicated — both distincts shuffle on the
         // high-cardinality (day, user) key, so parallelism grows with
         // users and days; only the final per-day counts are small.
+        // The report is driven from the WAU side (left join, dau
+        // coalesced to 0) so a calendar day with trailing-7-day activity
+        // but zero same-day events still appears, capped at the last
+        // OBSERVED day so the ×7 fan-out can't invent future report days
+        // (r5 advisor: the old inner join silently dropped gap days).
         val du = events(s, d)
           .filter(col("user_id").isNotNull)
           .select(to_date(col("ts")).as("day"), col("user_id"))
           .distinct()
         val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val maxDay = du.agg(max(col("day")).as("max_day"))
         val wau = du
           .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
             col("user_id"))
           .distinct()
           .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-        dau.join(wau, Seq("day")).orderBy(col("day"))
+        wau.join(broadcast(maxDay), col("day") <= col("max_day"))
+          .join(dau, Seq("day"), "left")
+          .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+          .orderBy(col("day"))
       },
       Some("""WITH du AS (
              |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
@@ -388,9 +397,11 @@ object EventQueries {
              |    SELECT DISTINCT du.day + x.i AS day, du.user_id
              |    FROM du CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS i) x)
              |  GROUP BY day)
-             |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+             |SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau
+             |FROM wau w LEFT JOIN dau d USING (day)
+             |WHERE w.day <= (SELECT max(day) FROM du)
              |ORDER BY day""".stripMargin),
-      "retention rollup: DAU + trailing-7-day distinct users per day — rolling distinct via bounded ×7 fan-out + re-distinct on the high-cardinality (day, user) key (no enum-key window)"),
+      "retention rollup: DAU + trailing-7-day distinct users per day — rolling distinct via bounded ×7 fan-out + re-distinct on the high-cardinality (day, user) key; WAU-driven left join (dau=0 gap days) capped at the last observed day"),
 
     Q(
       "q119_cohort_retention",
@@ -426,5 +437,34 @@ object EventQueries {
              |FROM ue JOIN c USING (user_id)
              |GROUP BY c.c0, CAST((ue.day - c.c0) // 7 AS BIGINT)
              |ORDER BY cohort_day, week_idx""".stripMargin),
-      "weekly cohort retention matrix: first-seen-day cohorts × activity-week index (exact integer day-delta DIV 7); all shuffles on the high-cardinality user key"))
+      "weekly cohort retention matrix: first-seen-day cohorts × activity-week index (exact integer day-delta DIV 7); all shuffles on the high-cardinality user key"),
+
+    Q(
+      "q120_value_anomaly_approx",
+      (s, d) => {
+        // q117's 100 TB scale path, registered as a runnable query (r5
+        // verdict #5): identical fit-then-apply shape, but pass 1 fits the
+        // per-type p99 with approx_percentile — a map-side-combining
+        // sketch aggregate whose per-partition state is a bounded buffer,
+        // so the fact column no longer funnels through ≤|taxonomy| exact
+        // sort tasks; parallelism is the input partition count at any
+        // scale. Pass 2 is unchanged: the ≤|taxonomy|-row threshold frame
+        // broadcasts back against the stream. Rows-only (DuckDB's
+        // approx sketch differs); agreement with q117's exact answer is
+        // pinned by a ScalaTest tolerance check (the q68 pattern).
+        val ev = events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+        val thr = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(cents, 0.99, 10000)").as("p99_cents"),
+          max(col("cents")).as("max_cents"))
+        ev.join(broadcast(thr), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"), col("p99_cents"), col("max_cents"))
+          .agg(count(when(col("cents") > col("p99_cents"), 1)).as("n_above"))
+          .orderBy(col("event_type"))
+      },
+      None,
+      "q117's sketch scale path: per-type approx_percentile(0.99) threshold (fully-parallel sketch agg, no enum-key sort funnel) broadcast back to count exceedances; tolerance vs q117 pinned in ScalaTest"))
 }

@@ -14,7 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * DuckDB-VERSION-SENSITIVE idioms (observed round 4: q78/q82 passed local
   * DuckDB 1.0.0 tri-scale bit-exact yet failed the driver's newer build;
-  * q90–q97 probes adjudicate). Avoid in new twins; use the stable form:
+  * round-5 probes q90–q97 adjudicated the candidates — the single red row,
+  * q96, convicted UNCAST `list_aggregate(l,'sum')` result typing; the
+  * probes are deleted now that the verdict is in). Avoid in new twins;
+  * use the stable form:
   *  - `CAST(<double> AS DECIMAL(p,s))` — double→decimal rounding is an
   *    engine/version implementation detail. Stable: the binary-fixed-point
   *    idiom `CAST(floor(x * scale + 0.5) AS BIGINT)` with a power-of-ten
@@ -40,7 +43,7 @@ object Registry {
   val all: Seq[Q] =
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++ VectorQueries.all ++
       LlmQueries.all ++ ExtraQueries.all ++ CurationQueries.all ++
-      ClusterQueries.all ++ AssemblyQueries.all ++ ProbeQueries.all
+      ClusterQueries.all ++ AssemblyQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -311,4 +311,82 @@ class QueriesSpec extends AnyFunSuite {
     val cohortSize = firstSeen.groupBy(_._2).map { case (d, m) => d -> m.size.toLong }
     rows.filter(_._2 == 0L).foreach { case (c0, _, n) => assert(n == cohortSize(c0)) }
   }
+
+  /** Hand-built 5-doc corpus with engineered unigram frequencies and
+    * cross-source 8-gram overlaps, written as a documents.parquet the
+    * registered queries read like any scale dir. An independent plain-Scala
+    * recount (the q110 standard) checks q105/q106 exactly; a few literal
+    * expectations pin the engineered overlaps on top.
+    */
+  private lazy val microDir: String = {
+    val common = (1 to 8).map(i => s"t$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$common a9", "en", "alpha"), // shares the t1..t8 shingle with 2 & 5
+      (2L, s"$common b9", "en", "beta"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7", "en", "beta"), // 7 tokens: below shingle width
+      (4L, "x y x z", "en", "gamma"), // freq: x twice here + once in doc 5
+      (5L, s"x $common", "en", "gamma")) // 9 tokens: shingles t1..t8 and x t1..t7
+    val dir = java.nio.file.Files.createTempDirectory("graft-micro").toString
+    import spark.implicits._
+    corpus.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def microTokens: Map[Long, Seq[String]] = Map(
+    1L -> s"${(1 to 8).map(i => s"t$i").mkString(" ")} a9",
+    2L -> s"${(1 to 8).map(i => s"t$i").mkString(" ")} b9",
+    3L -> "u1 u2 u3 u4 u5 u6 u7",
+    4L -> "x y x z",
+    5L -> s"x ${(1 to 8).map(i => s"t$i").mkString(" ")}")
+    .map { case (k, v) => k -> v.split(" ", -1).toSeq }
+
+  test("q105 unigram freq: exact brute-force recount on a hand-built micro-corpus") {
+    val toks = microTokens
+    val freq = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val expected = toks.map { case (id, ts) =>
+      id -> (ts.size.toLong, ts.distinct.size.toLong,
+        ts.map(freq).sum, ts.map(freq).min, ts.map(freq).max)
+    }
+    val got = Registry.byName("q105_docs_unigram_freq").fn(spark, microDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_uniq"), r.getAs[Long]("sum_freq"),
+          r.getAs[Long]("min_freq"), r.getAs[Long]("max_freq"))).toMap
+    assert(got == expected)
+    // engineered landmark: x appears 3 times corpus-wide, so doc 4 (x y x z)
+    // sums 3+1+3+1 = 8 with extremes {1, 3}
+    assert(got(4L) == ((4L, 3L, 8L, 1L, 3L)))
+  }
+
+  test("q106 source overlap: exact brute-force recount on a hand-built micro-corpus") {
+    val shingles = microTokens.toSeq
+      .map { case (id, ts) => microSource(id) -> ts }
+      .groupBy(_._1)
+      .map { case (src, docs) =>
+        src -> docs.flatMap { case (_, ts) =>
+          if (ts.size >= 8) ts.sliding(8).map(_.mkString(" ")).toSeq else Seq.empty
+        }.toSet
+      }
+    val expected = (for {
+      a <- shingles.keys; b <- shingles.keys if a < b
+      n = (shingles(a) & shingles(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    val got = Registry.byName("q106_source_overlap").fn(spark, microDir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got == expected)
+    // engineered landmarks: the t1..t8 window is the only cross-source
+    // shingle, shared by all three source pairs; doc 3 (7 tokens) and the
+    // offset x-prefixed windows contribute nothing
+    assert(got == Map(("alpha", "beta") -> 1L, ("alpha", "gamma") -> 1L,
+      ("beta", "gamma") -> 1L))
+  }
+
+  private def microSource(id: Long): String = id match {
+    case 1L => "alpha"
+    case 2L | 3L => "beta"
+    case _ => "gamma"
+  }
 }

@@ -27,7 +27,8 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q63_ivf_topk" -> "cross-joins of the 1-row query vector / <=nProbe list ids",
     "q52_above_average_orders" -> "cross-join of a 1-row global-average aggregate",
     "q61_tfidf_top_terms" -> "cross-join of the 1-row corpus-size aggregate",
-    "q66_dq_structural" -> "cross-joins of 1-row count aggregates")
+    "q66_dq_structural" -> "cross-joins of 1-row count aggregates",
+    "q118_rolling_active_users" -> "cross-join of the 1-row max-observed-day aggregate (report-day cap)")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
@@ -74,9 +75,12 @@ class ScaleGuardSpec extends AnyFunSuite {
     * world's ~200 languages however large the corpus grows (q114
     * broadcasts the per-language repeat factors — the dimension side of
     * epoch mixing); `event_type` is a closed event-taxonomy code (q117
-    * broadcasts the ≤|taxonomy|-row p99-threshold frame back against the
-    * full event stream — the fit-then-apply two-pass shape). Keep this
-    * list short and physical: a key belongs here
+    * and its sketch scale path q120 broadcast the ≤|taxonomy|-row
+    * p99-threshold frame back against the full event stream — the
+    * fit-then-apply two-pass shape; q117's exact percentile FIT is the
+    * oracle baseline, q120's approx_percentile fit is the 100 TB form,
+    * the q46→q68 pairing). Keep this list short and physical: a key
+    * belongs here
     * only if its cardinality is set by the SCHEMA or the physical world,
     * never by data volume. NOTE the asymmetry with enumCols: an AGGREGATE
     * on a bounded key is broadcast-safe (tiny output); a WINDOW
@@ -89,7 +93,18 @@ class ScaleGuardSpec extends AnyFunSuite {
     case a: Aggregate if a.groupingExpressions.isEmpty => true
     case a: Aggregate if a.groupingExpressions.nonEmpty &&
       a.groupingExpressions.forall(
-        _.references.map(_.name).toSet.subsetOf(boundedAggCols)) => true
+        _.references.map(_.name).toSet.subsetOf(boundedAggCols)) &&
+      // bounded ROW COUNT alone doesn't bound the broadcast: a
+      // collect_list/collect_set over a bounded key still carries the
+      // whole input in one row (r5 advisor). Require every output
+      // column to be a scalar (no array/map/struct) so the frame is
+      // fixed-width as well as fixed-height.
+      a.aggregateExpressions.forall(e => e.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }) => true
     case _: GlobalLimit | _: LocalLimit => true
     case f: Filter if f.condition.exists {
       // literal may sit under a cast — foldable covers both
@@ -124,9 +139,7 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q78_range_frame" ->
       "exact RANGE-frame oracle baseline (3-value o_orderstatus); 100 TB path = q89 pre-bucketed histogram, same pairing as q46->q68",
     "q89_range_frame_hist" ->
-      "q78's sketch scale path: the window runs over the PRE-AGGREGATED histogram (O(price-range/bucket) rows per status, independent of input rows), not raw data",
-    "q92_probe_range_frame" ->
-      "temporary round-5 driver probe isolating q78's frame machinery; removed once CORRECTNESS_r05 adjudicates")
+      "q78's sketch scale path: the window runs over the PRE-AGGREGATED histogram (O(price-range/bucket) rows per status, independent of input rows), not raw data")
 
   test("windows partitioned only by bounded-cardinality keys are documented baselines") {
     val offenders = Registry.all.flatMap { q =>

@@ -57,6 +57,27 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx anomaly screen tracks the exact one (q120 vs q117)") {
+    // q120 is q117's sketch scale path: same fit-then-apply shape with
+    // approx_percentile fitting the threshold. Per event_type the sketch
+    // p99 must sit within 2% of the exact p99, and the exceedance count
+    // must stay in the p99 ballpark (<= 2x the nominal 1% tail).
+    def byType(name: String) = graft.queries.Registry.byName(name)
+      .fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p99_cents"), r.getAs[Long]("n_above")))
+      .toMap
+    val exact = byType("q117_value_anomaly")
+    val approx = byType("q120_value_anomaly_approx")
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (t, (n, p99a, above)) =>
+      val (nE, p99e, _) = exact(t)
+      assert(n == nE, s"$t row counts diverge: $n vs $nE")
+      assert(math.abs(p99a - p99e).toDouble / p99e <= 0.02, s"$t p99 $p99a vs $p99e")
+      assert(above <= (n * 0.02).ceil.toLong + 1, s"$t n_above $above of $n")
+    }
+  }
+
   test("hash-based exact dedup equals text-based dedup (q56 vs q24)") {
     val byText = graft.queries.Registry.byName("q24_docs_dedup_exact")
       .fn(spark, sf0001).select("keep_id", "n_copies").collect()

@@ -244,4 +244,47 @@ class StreamingSpec extends AnyFunSuite {
       arts.head.listFiles().head.toPath))
     assert(body.contains("error_events"))
   }
+
+  test("checkpoint recovery: stopped query restarts from its checkpoint exactly-once") {
+    // The production property the reference's CSV-drop simulation
+    // (simulate_stream.py) never exercises: a query that stops after some
+    // batches and is RESTARTED against the same checkpoint directory must
+    // resume where it left off — new files processed once, already-seen
+    // files never reprocessed, nothing dropped. The file source records
+    // consumed files in the checkpoint; the parquet sink's _spark_metadata
+    // commits make the output transactional across the restart.
+    val staging = tmp("graft_ckpt_staging")
+    val inbox = tmp("graft_ckpt_inbox")
+    val ev = graft.Tables.events(spark, sf0001)
+    val files = InboxGenerator.generate(ev, staging, n = 4)
+    def publish(fs: Seq[String]): Unit = fs.foreach { f =>
+      val p = new java.io.File(f).toPath
+      Files.copy(p, new java.io.File(inbox, p.getFileName.toString).toPath)
+    }
+    val out = tmp("graft_ckpt_out")
+    def drain(): Unit =
+      StreamIngest.drainToParquet(
+        StreamIngest.readInbox(spark, inbox), s"$out/data", s"$out/ckpt")
+        .awaitTermination()
+    def seenIds(): Seq[Long] = spark.read.parquet(s"$out/data")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+
+    publish(files.take(2))
+    drain() // run 1: first two batches, then the query stops
+    val afterRun1 = seenIds()
+    assert(afterRun1.nonEmpty && afterRun1.size < 1000,
+      "run 1 must process a strict subset of the events")
+    assert(afterRun1.distinct.size == afterRun1.size, "run 1 emitted duplicates")
+
+    publish(files.drop(2))
+    drain() // run 2: restart from the same checkpoint picks up ONLY the new files
+    val afterRun2 = seenIds()
+    assert(afterRun2.size == 1000, s"resume dropped rows: ${afterRun2.size}")
+    assert(afterRun2.distinct.size == 1000, "resume reprocessed already-seen files")
+    assert(afterRun2.toSet == ev.select("event_id").collect().map(_.getLong(0)).toSet,
+      "streamed ids diverge from the batch table")
+
+    drain() // run 3: nothing new — restart must be a no-op
+    assert(seenIds().size == 1000, "idle restart changed the output")
+  }
 }
