@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) over the `embeddings` table — the third leg
+  * of the ANN family (brute force q29/q33 → hash buckets q37/q70 →
+  * IVF-flat q63 → PQ codes), and the one that actually pays for itself at
+  * 100 TB: a 64-dim float vector (256 B) compresses to ONE 8-byte code
+  * (8 subspaces × 4-bit centroid ids), so a billion-vector index fits in
+  * executor memory and candidate scoring never touches the raw vectors.
+  *
+  * Spark-first shape:
+  *  - ENCODING is a pure projection — each subspace's nearest-centroid
+  *    argmin is an expression over a codebook LITERAL (the Clustering
+  *    assign pattern), so encoding 100 TB is one codegen'd scan with zero
+  *    shuffles and zero joins.
+  *  - FITTING reuses the exact-int64 Lloyd machinery (Clustering's
+  *    fixed-point discipline): one scan + one slim
+  *    (subspace, code, pos) aggregate per iteration — M·K·DSUB = 1024
+  *    cells at these parameters — folded on the driver like DqChecks'
+  *    report row (a scalar read, not a data collect).
+  *  - ADC SCORING (asymmetric distance computation) joins the 1-row query
+  *    vector against the codes and sums per-subspace centroid dot
+  *    products. Mathematically identical to the classical 128-entry
+  *    lookup-table formulation; at scale the LUT is what a custom
+  *    expression would precompute per query, but the algebra — and the
+  *    answer — is the same.
+  *
+  * Determinism: seeded Gaussian start codebooks, assignment ties to the
+  * lowest code id, update sums in exact int64 fixed point — identical
+  * codebooks and codes on any cluster size, which is what lets q121's
+  * DuckDB twin replay encoding bit-for-bit from centroid literals.
+  */
+object Pq {
+
+  /** 8 subspaces × 8 dims × 16 centroids: 4-bit codes, 64-dim vectors. */
+  val M = 8
+  val DSUB = 8
+  val KSUB = 16
+
+  /** Deterministic seeded codebooks, one per subspace (M × KSUB × DSUB). */
+  def codebooks(seed: Long = 23L): Seq[Seq[Seq[Double]]] =
+    (0 until M).map(m => Clustering.centroids(KSUB, DSUB, seed + m))
+
+  /** (vec_id, v, code_0..code_{M-1}): per-subspace nearest centroid by
+    * squared L2 distance. argmin ||s−c||² ≡ argmax (⟨s,c⟩ − ||c||²/2) —
+    * the ||s||² term is code-independent — so the comparison is one dot
+    * product against a literal plus a literal half-norm; ties break to
+    * the lowest code id via the (score, −code) struct sort.
+    */
+  def encode(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val base = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    (0 until M).foldLeft(base) { (df, m) =>
+      val cbLit = typedlit(cbs(m))
+      val sub = slice(col("v"), m * DSUB + 1, DSUB)
+      val scored = (0 until KSUB).map { c =>
+        val halfNorm = lit(cbs(m)(c).map(x => x * x).sum / 2)
+        struct((dot(sub, element_at(cbLit, c + 1)) - halfNorm).as("s"),
+          lit(-c).as("negc"))
+      }
+      val best = element_at(sort_array(array(scored: _*), asc = false), 1)
+      df.withColumn(s"code_$m", (-best.getField("negc")).cast("long"))
+    }
+  }
+
+  /** (vec_id, pq_code): the M 4-bit codes packed little-endian into one
+    * int64 — the 8-byte index payload. Pure integer arithmetic, exact in
+    * both engines.
+    */
+  def packedCodes(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    encode(emb, cbs)
+      .select(col("vec_id"),
+        (0 until M).map(m => col(s"code_$m") * lit(1L << (4 * m)))
+          .reduce(_ + _).as("pq_code"))
+
+  /** Lloyd refinement of the codebooks: `iters` exact deterministic
+    * iterations (all M subspaces updated from ONE scan + ONE slim
+    * aggregate per iteration). Empty cells keep their previous centroid.
+    */
+  def fit(emb: DataFrame, iters: Int = 2, seed: Long = 23L): Seq[Seq[Seq[Double]]] = {
+    var cbs = codebooks(seed)
+    for (_ <- 1 to iters) {
+      val enc = encode(emb, cbs)
+      val cells = enc
+        .select(col("v"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), col(s"code_$m").as("code"))): _*)).as("mc"))
+        .select(col("mc.m").as("m"), col("mc.code").as("code"),
+          posexplode(slice(col("v"), col("mc.m") * DSUB + 1, lit(DSUB))).as(Seq("pos", "x")))
+        .select(col("m"), col("code"), col("pos"),
+          floor(col("x") * Clustering.FixedPointUnit).as("fx"))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum(col("fx")).as("sum_fx"), count(lit(1)).as("n"))
+        .collect() // M·KSUB·DSUB = 1024 cells max — a scalar fold, not a data collect
+      val byCell = cells.map { r =>
+        (r.getInt(0), r.getLong(1).toInt, r.getInt(2)) -> (r.getLong(3), r.getLong(4))
+      }.toMap
+      cbs = (0 until M).map { m =>
+        (0 until KSUB).map { c =>
+          (0 until DSUB).map { p =>
+            byCell.get((m, c, p)) match {
+              case Some((s, n)) if n > 0 =>
+                s.toDouble / Clustering.FixedPointUnit.toDouble / n.toDouble
+              case _ => cbs(m)(c)(p)
+            }
+          }
+        }
+      }
+    }
+    cbs
+  }
+
+  /** Approximate top-k neighbors of `queryVecId` by ADC score: for each
+    * encoded vector, Σ_m ⟨query_sub(m), centroid(m, code_m)⟩ — the dot
+    * product of the query with the code's RECONSTRUCTION. The raw corpus
+    * vectors are never touched after encoding; only the 1-row query side
+    * carries a real vector (broadcast, BNLJ — the q37/q63 pattern).
+    */
+  def adcTopK(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]], queryVecId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val enc = encode(emb, cbs).filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"))
+    val score: Column = (0 until M).map { m =>
+      val cbLit = typedlit(cbs(m))
+      dot(slice(col("qv"), m * DSUB + 1, DSUB),
+        element_at(cbLit, (col(s"code_$m") + 1).cast("int")))
+    }.reduce(_ + _)
+    enc.join(broadcast(qv))
+      .withColumn("adc_score", score)
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("adc_score"), 6).as("adc_score"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Pq
+
+/** Product-quantization family over `embeddings` (q121/q122): the 8-byte
+  * PQ code column and ADC approximate top-k — the index payload + query
+  * path of an IVF-PQ system (IVF lists are q63's operator; composing the
+  * two is a one-line filter on the list id).
+  *
+  * q121's DuckDB twin replays encoding from the SAME seeded codebook
+  * literals (`Double.toString` round-trips IEEE doubles; list_inner_product
+  * ≡ VecDot is the q28/q29-proven bit parity), with the argmin as
+  * `row_number ORDER BY s DESC, c ASC` — identical pick on bit-equal
+  * scores, ties to the lowest code. q122 fits 2 exact Lloyd iterations
+  * first (data-dependent codebooks, so rows-only; recall floor vs the
+  * exact answer pinned in PqSpec).
+  */
+object PqQueries {
+
+  private val cbs = Pq.codebooks()
+
+  private val encodeCte: String = {
+    val rows = (0 until Pq.M).flatMap { m =>
+      (0 until Pq.KSUB).map { c =>
+        val ctr = cbs(m)(c)
+        val halfNorm = ctr.map(x => x * x).sum / 2
+        s"($m, $c, CAST([${ctr.map(_.toString).mkString(", ")}] AS DOUBLE[]), ${halfNorm.toString})"
+      }
+    }.mkString(",\n    ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb(m, c, ctr, halfn) AS (VALUES
+       |    $rows),
+       |sc AS (
+       |  SELECT vec_id, m, c,
+       |    list_inner_product(list_slice(v.v, m * ${Pq.DSUB} + 1, m * ${Pq.DSUB} + ${Pq.DSUB}), cb.ctr)
+       |      - cb.halfn AS s
+       |  FROM v CROSS JOIN cb),
+       |best AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, c ASC) AS rn
+       |    FROM sc)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q121_emb_pq_codes",
+      (s, d) =>
+        Pq.packedCodes(embeddings(s, d), cbs).orderBy(col("vec_id")),
+      Some(s"""$encodeCte
+             |SELECT vec_id,
+             |  CAST(sum(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT) AS pq_code
+             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      "product quantization: 8 subspaces x 16 seeded centroids -> one packed 8-byte code per vector; encoding is a zero-shuffle codegen'd projection (the 100 TB index payload)"),
+
+    Q(
+      "q122_pq_adc_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Pq.adcTopK(emb, Pq.fit(emb, iters = 2), queryVecId = 0L, k = 10)
+      },
+      None,
+      "PQ ADC approximate top-10 for the query vector after 2 exact Lloyd refinement iterations — codes only on the corpus side (1-row query broadcast); recall floor vs exact top-k in PqSpec"))
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import graft.Tables
+
+class PqSpec extends AnyFunSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val seeded = Pq.codebooks()
+
+  /** Driver-side reconstruction MSE of an encoding under a codebook set —
+    * the quantity Lloyd iterations monotonically reduce.
+    */
+  private def reconError(cbs: Seq[Seq[Seq[Double]]]): Double = {
+    val rows = Pq.encode(emb, cbs)
+      .select(col("v") +: (0 until Pq.M).map(m => col(s"code_$m")): _*)
+      .collect()
+    val errs = rows.map { r =>
+      val v = r.getSeq[Double](0)
+      (0 until Pq.M).map { m =>
+        val c = cbs(m)(r.getLong(m + 1).toInt)
+        val sub = v.slice(m * Pq.DSUB, (m + 1) * Pq.DSUB)
+        sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+    }
+    errs.sum / errs.length
+  }
+
+  test("encode: codes in [0,16), deterministic, and the packed code reconstructs them") {
+    val enc = Pq.encode(emb, seeded)
+      .select(col("vec_id") +: (0 until Pq.M).map(m => col(s"code_$m")): _*)
+      .collect()
+    assert(enc.length == emb.count())
+    enc.foreach { r =>
+      (0 until Pq.M).foreach { m =>
+        val c = r.getLong(m + 1)
+        assert(c >= 0 && c < Pq.KSUB, s"code_$m=$c out of range")
+      }
+    }
+    val packed = Pq.packedCodes(emb, seeded).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    enc.foreach { r =>
+      val expect = (0 until Pq.M).map(m => r.getLong(m + 1) << (4 * m)).sum
+      assert(packed(r.getLong(0)) == expect, s"vec ${r.getLong(0)} pack mismatch")
+    }
+    // deterministic across runs
+    val again = Pq.packedCodes(emb, seeded).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == packed)
+  }
+
+  test("fit: Lloyd refinement strictly reduces reconstruction error and is deterministic") {
+    val fitted = Pq.fit(emb, iters = 2)
+    assert(reconError(fitted) < reconError(seeded),
+      "2 Lloyd iterations must reduce quantization MSE")
+    val fitted2 = Pq.fit(emb, iters = 2)
+    assert(fitted == fitted2, "fit must be deterministic")
+  }
+
+  test("ADC top-k: recall vs the exact inner-product top-10 clears the floor") {
+    // ADC approximates the INNER PRODUCT (query · reconstruction), so the
+    // recall baseline is the exact inner-product top-10, not cosine.
+    import graft.functions.VectorFunctions._
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(asDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(qv))
+      .withColumn("ip", dot(col("v"), col("qv")))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val adc = Pq.adcTopK(emb, Pq.fit(emb, iters = 2), queryVecId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adc.size == 10)
+    assert(!adc.contains(0L))
+    val recall = (adc intersect exact).size / 10.0
+    assert(recall >= 0.2, s"ADC recall too low: $recall") // 4-bit codes, 8 subspaces
+  }
+}
