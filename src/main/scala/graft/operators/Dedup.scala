@@ -113,6 +113,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-set near-dup matches: for each `incoming` doc, the lowest-id
+    * `corpus` doc with n-gram Jaccard ≥ threshold. Pairs form ONLY across
+    * the two sets via a shingle-keyed equi-join of the two inverted
+    * indexes — never incoming×incoming or corpus×corpus.
+    *
+    * This is the INCREMENTAL dedup shape: at 100 TB the corpus index
+    * (distinct postings + per-doc sizes) is computed once and STORED,
+    * bucketed by shingle hash; a daily delta builds only its own
+    * (|delta|×shingles) postings and joins into the bucketed corpus index
+    * with no corpus-side shuffle. `dfCap` drops corpus-hot shingles
+    * (boilerplate) before the join — the posting-blowup lever, same
+    * contract as [[shingleJaccardPairs]]: only ever drops matches.
+    */
+  def crossJaccardMatches(incoming: DataFrame, corpus: DataFrame,
+      threshold: Double, n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
+    val incIdx = shingleIndex(incoming, n).distinct()
+    val corpIdxAll = shingleIndex(corpus, n).distinct()
+    val corpIdx = dfCap.fold(corpIdxAll) { cap =>
+      val hot = corpIdxAll.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("sh"))
+      corpIdxAll.join(hot, Seq("sh"), "left_anti")
+    }
+    val incSizes = shingleSizes(incIdx)
+    val corpSizes = shingleSizes(corpIdxAll) // FULL sizes: capped J stays a lower bound
+    incIdx.toDF("inc_id", "sh")
+      .join(corpIdx.toDF("corp_id", "sh2"), col("sh") === col("sh2"))
+      .groupBy(col("inc_id"), col("corp_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(incSizes.toDF("inc_id", "na"), "inc_id")
+      .join(corpSizes.toDF("corp_id", "nb"), "corp_id")
+      .filter(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double") >= threshold)
+      .groupBy(col("inc_id"))
+      .agg(min(col("corp_id")).as("near_dup_of"))
+  }
+
+  /** Incremental dedup DECISIONS for a delta batch against an existing
+    * corpus — the production shape (a daily batch is deduped against the
+    * standing index; the 100 TB corpus is never re-deduped). Per incoming
+    * doc: the lowest-id exact corpus match, the first earlier occurrence
+    * of the same text WITHIN the batch, the lowest-id near-dup corpus
+    * match (Jaccard ≥ threshold), and keep = no signal fired. Exact
+    * matching joins on the text key (at scale: on xxhash64(text) with an
+    * equality re-check — same answer, 8-byte shuffle key).
+    */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
+    val inc = incoming.select(col("doc_id"), col("text"))
+    val exact = inc
+      .join(corpus.select(col("doc_id").as("corp_id"), col("text")), Seq("text"), "left")
+      .groupBy(col("doc_id")).agg(min(col("corp_id")).as("exact_dup_of"))
+    val firstInBatch = inc.groupBy(col("text")).agg(min(col("doc_id")).as("first_id"))
+    val batch = inc.join(firstInBatch, "text")
+      .select(col("doc_id"),
+        when(col("first_id") < col("doc_id"), col("first_id")).as("batch_dup_of"))
+    val near = crossJaccardMatches(incoming, corpus, threshold, n, dfCap)
+      .toDF("doc_id", "near_dup_of")
+    inc.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(batch, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("batch_dup_of"),
+        col("near_dup_of"),
+        (col("exact_dup_of").isNull && col("batch_dup_of").isNull &&
+          col("near_dup_of").isNull).cast("long").as("keep"))
+  }
+
   /** MinHash signatures from the inverted index: sig[j] = min over shingles
     * of xxhash64(j, sh) — k independent families by seeding with j, computed
     * as k plain `min` aggregates in ONE hash-agg pass (fully codegen'd; no

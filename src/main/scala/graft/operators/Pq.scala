@@ -44,26 +44,33 @@ object Pq {
   def codebooks(seed: Long = 23L): Seq[Seq[Seq[Double]]] =
     (0 until M).map(m => Clustering.centroids(KSUB, DSUB, seed + m))
 
-  /** (vec_id, v, code_0..code_{M-1}): per-subspace nearest centroid by
-    * squared L2 distance. argmin ||s−c||² ≡ argmax (⟨s,c⟩ − ||c||²/2) —
-    * the ||s||² term is code-independent — so the comparison is one dot
-    * product against a literal plus a literal half-norm; ties break to
-    * the lowest code id via the (score, −code) struct sort.
+  /** (vec_id, embedding) → fanned-out (vec_id, v: array<double>). */
+  private def vecs(emb: DataFrame): DataFrame =
+    Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+
+  /** Append code_0..code_{M-1} for the array column `vCol`: per-subspace
+    * nearest centroid by squared L2 distance. argmin ||s−c||² ≡
+    * argmax (⟨s,c⟩ − ||c||²/2) — the ||s||² term is code-independent —
+    * so the comparison is one dot product against a literal plus a
+    * literal half-norm; ties break to the lowest code id via the
+    * (score, −code) struct sort.
     */
-  def encode(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val base = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
-    (0 until M).foldLeft(base) { (df, m) =>
+  def withCodes(df: DataFrame, vCol: Column, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    (0 until M).foldLeft(df) { (d, m) =>
       val cbLit = typedlit(cbs(m))
-      val sub = slice(col("v"), m * DSUB + 1, DSUB)
+      val sub = slice(vCol, m * DSUB + 1, DSUB)
       val scored = (0 until KSUB).map { c =>
         val halfNorm = lit(cbs(m)(c).map(x => x * x).sum / 2)
         struct((dot(sub, element_at(cbLit, c + 1)) - halfNorm).as("s"),
           lit(-c).as("negc"))
       }
       val best = element_at(sort_array(array(scored: _*), asc = false), 1)
-      df.withColumn(s"code_$m", (-best.getField("negc")).cast("long"))
+      d.withColumn(s"code_$m", (-best.getField("negc")).cast("long"))
     }
-  }
+
+  /** (vec_id, v, code_0..code_{M-1}) over the raw embeddings. */
+  def encode(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    withCodes(vecs(emb), col("v"), cbs)
 
   /** (vec_id, pq_code): the M 4-bit codes packed little-endian into one
     * int64 — the 8-byte index payload. Pure integer arithmetic, exact in
@@ -79,10 +86,16 @@ object Pq {
     * iterations (all M subspaces updated from ONE scan + ONE slim
     * aggregate per iteration). Empty cells keep their previous centroid.
     */
-  def fit(emb: DataFrame, iters: Int = 2, seed: Long = 23L): Seq[Seq[Seq[Double]]] = {
+  def fit(emb: DataFrame, iters: Int = 2, seed: Long = 23L): Seq[Seq[Seq[Double]]] =
+    fitOn(vecs(emb), iters, seed)
+
+  /** fit() over a prepared (…, v: array<double>) frame — the residual
+    * frame in IVF-PQ fits its codebooks through this entry point.
+    */
+  def fitOn(prepared: DataFrame, iters: Int = 2, seed: Long = 23L): Seq[Seq[Seq[Double]]] = {
     var cbs = codebooks(seed)
     for (_ <- 1 to iters) {
-      val enc = encode(emb, cbs)
+      val enc = withCodes(prepared, col("v"), cbs)
       val cells = enc
         .select(col("v"), explode(array((0 until M).map(m =>
           struct(lit(m).as("m"), col(s"code_$m").as("code"))): _*)).as("mc"))
@@ -133,5 +146,73 @@ object Pq {
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("adc_score"), 6).as("adc_score"))
+  }
+
+  /** The full IVF-PQ composition — the classical billion-vector index
+    * layout (coarse inverted lists + PQ codes of the RESIDUAL v − c_list):
+    *
+    *  - index side: one coarse assignment pass (argmin over `coarse`
+    *    literals), residual via zip_with, residual PQ codes — all one
+    *    zero-shuffle projection; the stored index row is
+    *    (vec_id, list_id, 8 nibbles), no raw vectors.
+    *  - query side: probe the query's `nProbe` nearest lists (1-row
+    *    frame), score only those lists' codes by
+    *    ⟨q, c_list⟩ + Σ_m ⟨q_sub, ctr_m[code_m]⟩ — the exact expansion of
+    *    ⟨q, c_list + recon(residual)⟩, so ADC error comes ONLY from
+    *    quantizing the residual, which is why residual PQ beats raw PQ.
+    *
+    * At 100 TB: list_id is the partition/skip key (probe prunes whole
+    * lists before any scoring), the per-row work is 9 tiny dot products
+    * against literals, and recall/cost is tuned by (nLists, nProbe, M).
+    */
+  def ivfPqTopK(emb: DataFrame, coarse: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Double]]], queryVecId: Long = 0L, k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val nLists = coarse.size
+    val coarseLit = typedlit(coarse)
+    def listScores(v: Column): Column = sort_array(array((0 until nLists).map { c =>
+      val halfNorm = lit(coarse(c).map(x => x * x).sum / 2)
+      struct((dot(v, element_at(coarseLit, c + 1)) - halfNorm).as("s"),
+        lit(-c).as("negc"))
+    }: _*), asc = false)
+    val base = vecs(emb)
+      .withColumn("list_id", (-element_at(listScores(col("v")), 1).getField("negc")).cast("int"))
+      .withColumn("resid",
+        zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, c) => x - c))
+    val index = withCodes(base, col("resid"), cbs)
+      .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    val qv = base.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val probeLists = base.filter(col("vec_id") === queryVecId)
+      .select(explode(slice(listScores(col("v")), 1, nProbe)).as("ls"))
+      .select((-col("ls.negc")).cast("int").as("probe_list"))
+    val score: Column = dot(col("qv"), element_at(coarseLit, col("list_id") + 1)) +
+      (0 until M).map { m =>
+        val cbLit = typedlit(cbs(m))
+        dot(slice(col("qv"), m * DSUB + 1, DSUB),
+          element_at(cbLit, (col(s"code_$m") + 1).cast("int")))
+      }.reduce(_ + _)
+    index.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probeLists), col("list_id") === col("probe_list"))
+      .join(broadcast(qv))
+      .withColumn("adc_score", score)
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("list_id"), round(col("adc_score"), 6).as("adc_score"))
+  }
+
+  /** Residual frame for IVF-PQ codebook fitting: (vec_id, v = residual). */
+  def residuals(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
+    val nLists = coarse.size
+    val coarseLit = typedlit(coarse)
+    val scored = (0 until nLists).map { c =>
+      val halfNorm = lit(coarse(c).map(x => x * x).sum / 2)
+      struct((dot(col("v"), element_at(coarseLit, c + 1)) - halfNorm).as("s"),
+        lit(-c).as("negc"))
+    }
+    vecs(emb)
+      .withColumn("list_id",
+        (-element_at(sort_array(array(scored: _*), asc = false), 1).getField("negc")).cast("int"))
+      .select(col("vec_id"),
+        zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, c) => x - c).as("v"))
   }
 }

@@ -298,5 +298,64 @@ object LlmQueries {
             concat_ws("_", col("sketch").cast("array<string>")).as("sketch"))
           .orderBy(col("doc_id")),
       None,
-      "winnowing-style min-hash sketch (k smallest 4-gram hashes) per doc, serialized scalar"))
+      "winnowing-style min-hash sketch (k smallest 4-gram hashes) per doc, serialized scalar"),
+
+    Q(
+      "q124_incremental_dedup",
+      (s, d) => {
+        // Incremental (delta-vs-corpus) dedup decisions — the production
+        // shape at 100 TB: a daily batch is screened against the standing
+        // corpus index, the corpus is never re-deduped. Here the batch is
+        // carved deterministically from `documents` with q73's portable
+        // multiplicative-hash bucket (corpus = buckets 0–79, incoming =
+        // 80–99), so DuckDB replays the same split. Signals per incoming
+        // doc: lowest-id exact corpus match, first earlier same-text doc
+        // within the batch, lowest-id Jaccard≥0.8 corpus match; keep =
+        // nothing fired. SCALE: the cross-set join touches only
+        // delta-side postings against the (stored, shingle-bucketed)
+        // corpus index — see Dedup.crossJaccardMatches.
+        val b = documents(s, d)
+          .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100)))
+        val corpus = b.filter(col("bucket") < 80).select(col("doc_id"), col("text"))
+        val incoming = b.filter(col("bucket") >= 80).select(col("doc_id"), col("text"))
+        graft.operators.Dedup.incrementalDedup(incoming, corpus, threshold = 0.8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, text, (doc_id * 2654435761) % 100 AS bucket FROM documents),
+             |corpus AS (SELECT doc_id, text FROM b WHERE bucket < 80),
+             |inc AS (SELECT doc_id, text FROM b WHERE bucket >= 80),
+             |exact AS (
+             |  SELECT i.doc_id, min(c.doc_id) AS exact_dup_of
+             |  FROM inc i LEFT JOIN corpus c ON c.text = i.text
+             |  GROUP BY i.doc_id),
+             |batch AS (
+             |  SELECT i.doc_id, min(j.doc_id) AS batch_dup_of
+             |  FROM inc i LEFT JOIN inc j ON j.text = i.text AND j.doc_id < i.doc_id
+             |  GROUP BY i.doc_id),
+             |si AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             |    i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM inc)),
+             |sc AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             |    i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)),
+             |near AS (
+             |  SELECT i.doc_id, min(c.doc_id) AS near_dup_of
+             |  FROM si i JOIN sc c
+             |    ON len(list_intersect(i.sg, c.sg)) > 0
+             |    AND CAST(len(list_intersect(i.sg, c.sg)) AS DOUBLE)
+             |      / CAST(len(i.sg) + len(c.sg) - len(list_intersect(i.sg, c.sg)) AS DOUBLE)
+             |      >= 0.8
+             |  GROUP BY i.doc_id)
+             |SELECT i.doc_id, e.exact_dup_of, bt.batch_dup_of, nr.near_dup_of,
+             |  CAST(e.exact_dup_of IS NULL AND bt.batch_dup_of IS NULL
+             |       AND nr.near_dup_of IS NULL AS BIGINT) AS keep
+             |FROM inc i
+             |LEFT JOIN exact e ON e.doc_id = i.doc_id
+             |LEFT JOIN batch bt ON bt.doc_id = i.doc_id
+             |LEFT JOIN near nr ON nr.doc_id = i.doc_id
+             |ORDER BY i.doc_id""".stripMargin),
+      "incremental dedup: delta batch screened against the standing corpus (exact + within-batch + cross-set Jaccard>=0.8 signals, keep flag) — delta-side postings only; corpus index is stored at scale"))
 }

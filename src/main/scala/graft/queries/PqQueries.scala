@@ -64,5 +64,16 @@ object PqQueries {
         Pq.adcTopK(emb, Pq.fit(emb, iters = 2), queryVecId = 0L, k = 10)
       },
       None,
-      "PQ ADC approximate top-10 for the query vector after 2 exact Lloyd refinement iterations — codes only on the corpus side (1-row query broadcast); recall floor vs exact top-k in PqSpec"))
+      "PQ ADC approximate top-10 for the query vector after 2 exact Lloyd refinement iterations — codes only on the corpus side (1-row query broadcast); recall floor vs exact top-k in PqSpec"),
+
+    Q(
+      "q123_ivfpq_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val coarse = graft.operators.Clustering.centroids(16, 64, seed = 7L)
+        val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
+        Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 4)
+      },
+      None,
+      "full IVF-PQ: coarse inverted lists + residual PQ codes, query probes 4 of 16 lists and ADC-scores codes only — the classical billion-vector index layout; recall floor in PqSpec"))
 }

@@ -259,4 +259,35 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Multimodal.repartitionByBytes(media, totalBytes = 1L << 22, targetBytes = 1L << 20)
     assert(out.rdd.getNumPartitions == 4)
   }
+
+  test("incremental dedup: hand-built delta fires exact / batch / near signals correctly") {
+    import graft.SparkTestSession.spark.implicits._
+    val twenty = (1 to 20).map(i => s"t$i").mkString(" ")
+    // 19 tokens shared with `twenty`, last token differs: 18 3-gram shingles
+    // each, 17 common -> J = 17/19 ≈ 0.895 >= 0.8
+    val nearTwin = (1 to 19).map(i => s"t$i").mkString(" ") + " zz"
+    val corpus = Seq(
+      (1L, twenty),
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, twenty),                         // exact corpus dup (and J=1 near)
+      (11L, nearTwin),                       // near-dup of corpus 1, not exact
+      (12L, "completely different words entirely unrelated"), // clean
+      (13L, twenty),                         // batch dup of 10 + exact dup of 1
+      (14L, "x y z")).toDF("doc_id", "text") // too short to shingle-match, clean
+    val got = Dedup.incrementalDedup(incoming, corpus, threshold = 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4)))).toMap
+    assert(got(10L) == ((Some(1L), None, Some(1L), 0L)))
+    assert(got(11L) == ((None, None, Some(1L), 0L)))
+    assert(got(12L) == ((None, None, None, 1L)))
+    assert(got(13L) == ((Some(1L), Some(10L), Some(1L), 0L)))
+    assert(got(14L) == ((None, None, None, 1L)))
+    // df-cap only ever clears signals, never invents them
+    val capped = Dedup.incrementalDedup(incoming, corpus, threshold = 0.8,
+      dfCap = Some(1)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(capped.forall { case (id, nd) => nd.isEmpty || nd == got(id)._3 })
+  }
 }

@@ -78,4 +78,26 @@ class PqSpec extends AnyFunSuite {
     val recall = (adc intersect exact).size / 10.0
     assert(recall >= 0.2, s"ADC recall too low: $recall") // 4-bit codes, 8 subspaces
   }
+
+  test("IVF-PQ: probed subset only, and residual coding clears the recall floor") {
+    import graft.functions.VectorFunctions._
+    val coarse = Clustering.centroids(16, 64, seed = 7L)
+    val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
+    val got = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 4)
+      .collect()
+    assert(got.length == 10)
+    assert(!got.map(_.getLong(0)).contains(0L))
+    // results only come from probed lists (<= nProbe distinct list ids)
+    assert(got.map(_.getInt(1)).distinct.length <= 4)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(asDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(qv))
+      .withColumn("ip", dot(col("v"), col("qv")))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recall = (got.map(_.getLong(0)).toSet intersect exact).size / 10.0
+    assert(recall >= 0.2, s"IVF-PQ recall too low: $recall") // 4/16 lists probed
+  }
 }
