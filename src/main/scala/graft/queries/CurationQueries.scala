@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -41,6 +41,63 @@ object CurationQueries {
     */
   private def hashBucket(m: Int) =
     pmod(col("doc_id") * lit(2246822519L), lit(m.toLong)).cast("long")
+
+  /** Exact per-source token-budget cut via TWO-LEVEL prefix sums — the
+    * "sample each source down to N tokens" curation op. Semantics: order
+    * each source's docs by a deterministic hash priority (pr, doc_id) and
+    * keep every doc whose EXCLUSIVE running token sum is < budget (the
+    * boundary doc that crosses the budget is kept; everything after it is
+    * cut).
+    *
+    * The naive shape is one cumulative-sum window partitioned by source —
+    * fine when sources are small, but a single hot source (one domain
+    * with billions of docs at 100 TB) becomes one giant per-partition
+    * sort. This implementation never sorts a whole source: the priority
+    * range [0, 1e6) is pre-split into `nBuckets` contiguous spans, a slim
+    * (source, bkt, Σtok) aggregate classifies each span against the
+    * budget — wholly-kept spans pass via a semi join with NO doc-level
+    * sort, wholly-cut spans never materialize — and only the single
+    * boundary span per source is refined with a doc-level window over
+    * ~1/nBuckets of that source. Exactness is oracle-proven: the DuckDB
+    * twin IS the naive single-window form.
+    *
+    * Priority multiplier 3266489917 (xxhash prime3) is distinct from the
+    * q73/q80/q81 constants (see hashBucket's collinearity note); same
+    * int64-overflow bound (doc_id < ~2.8e9, beyond which the xxhash64
+    * bit-mixing variant applies).
+    */
+  def tokenBudgetCut(docs: DataFrame, budget: Long, nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prRange = 1000000L
+    val span = prRange / nBuckets
+    val d = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("pr", pmod(col("doc_id") * lit(3266489917L), lit(prRange)))
+      .withColumn("bkt", (col("pr") / lit(span)).cast("long"))
+    val buckets = d.groupBy(col("source"), col("bkt")).agg(sum(col("n_tok")).as("btok"))
+    val wb = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classed = buckets
+      .withColumn("cum_before", coalesce(sum(col("btok")).over(wb), lit(0L)))
+    // kept whole: even its LAST doc's exclusive prefix stays under budget
+    val whole = classed.filter(col("cum_before") + col("btok") <= budget)
+      .select(col("source"), col("bkt"))
+    // boundary: the budget lands inside this span — refine at doc level
+    val boundary = classed.filter(col("cum_before") < budget &&
+        col("cum_before") + col("btok") > budget)
+      .select(col("source"), col("bkt"), col("cum_before"))
+    val wd = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("pr"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val refined = d.join(boundary, Seq("source", "bkt"))
+      .withColumn("before",
+        col("cum_before") + coalesce(sum(col("n_tok")).over(wd), lit(0L)))
+      .filter(col("before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    d.join(whole, Seq("source", "bkt"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .unionByName(refined)
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -248,5 +305,21 @@ object CurationQueries {
              |    unnest(range(1, f.factor + 1)) AS copy_idx
              |  FROM documents d JOIN f USING (lang))
              |ORDER BY doc_id, copy_idx""".stripMargin),
-      "epoch mixing: per-language repeat factors (exact ceil division toward the largest language, capped at 4) exploded into the (doc_id, copy_idx) list a training loader consumes"))
+      "epoch mixing: per-language repeat factors (exact ceil division toward the largest language, capped at 4) exploded into the (doc_id, copy_idx) list a training loader consumes"),
+
+    Q(
+      "q125_token_budget_cut",
+      (s, d) => tokenBudgetCut(documents(s, d), budget = 700L).orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+             |    (doc_id * 3266489917) % 1000000 AS pr
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tok,
+             |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM d)
+             |SELECT doc_id, source, n_tok FROM c WHERE cum_before < 700
+             |ORDER BY doc_id""".stripMargin),
+      "per-source token-budget cut (700 tok): two-level prefix sums — bucket-level classification keeps/cuts whole priority spans, only the boundary span gets a doc-level window — vs DuckDB's naive full window (exactness proof)"))
 }

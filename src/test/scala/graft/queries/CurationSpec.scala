@@ -99,4 +99,39 @@ class CurationSpec extends AnyFunSuite {
     // the screen must be non-trivial: some non-benchmark doc shares no 8-gram
     assert(rows.exists(r => r.getLong(0) % 50 != 0 && r.getLong(2) == 0))
   }
+
+  test("q125 token-budget cut: two-level refinement equals the naive window, any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+    // the naive single-window reference (the DuckDB twin's shape, in Spark)
+    def naive(budget: Long) = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(pmod(col("doc_id") * lit(3266489917L), lit(1000000L)), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .filter(col("before") < budget)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // tight, mid, and over-total budgets; 1 bucket (pure window) and 32
+    for (budget <- Seq(40L, 700L, 1000000L); nb <- Seq(1, 32)) {
+      val got = ids(CurationQueries.tokenBudgetCut(docs, budget, nb))
+      assert(got == ids(naive(budget)), s"budget=$budget nBuckets=$nb")
+    }
+    // the boundary doc that CROSSES the budget is kept: per-source kept
+    // token mass is >= min(budget, source total) and every source appears
+    val kept = CurationQueries.tokenBudgetCut(docs, 700L)
+      .groupBy("source").agg(sum("n_tok").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == totals.keySet)
+    kept.foreach { case (src, tok) =>
+      assert(tok >= math.min(700L, totals(src)), s"$src kept only $tok")
+    }
+  }
 }
