@@ -702,5 +702,35 @@ object ExtraQueries {
              |  ORDER BY cnt DESC, key
              |  LIMIT 20)
              |ORDER BY key""".stripMargin),
-      "join-key skew diagnosis: top-20 hottest join keys by row count (feeds saltedJoin's salt factor / AQE skew thresholds); TakeOrderedAndProject, no full sort"))
+      "join-key skew diagnosis: top-20 hottest join keys by row count (feeds saltedJoin's salt factor / AQE skew thresholds); TakeOrderedAndProject, no full sort"),
+
+    Q(
+      "q126_not_in_null_aware",
+      (s, d) => {
+        // NOT IN <subquery> carries three-valued NULL semantics (one NULL
+        // in the subquery empties the result; a NULL probe key never
+        // qualifies), so Spark cannot plan a plain anti join unless both
+        // sides are provably non-null — here the parquet schema declares
+        // neither, forcing the NULL-AWARE anti join (PlanSpec pins the
+        // shape). SCALE NOTE: null-aware anti join is broadcast-only by
+        // construction; with a data-proportional build side the 100 TB
+        // rewrite is the null-checked left_anti (q07's shape) after an
+        // explicit IS NOT NULL on both keys — same answer when the keys
+        // are in fact non-null, shuffle-joinable when they aren't tiny.
+        orders(s, d).createOrReplaceTempView("q126_orders")
+        customer(s, d).createOrReplaceTempView("q126_customer")
+        s.sql("""SELECT o_orderpriority, count(*) AS n
+                |FROM q126_orders
+                |WHERE o_custkey NOT IN
+                |  (SELECT c_custkey FROM q126_customer WHERE c_acctbal < 0)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE o_custkey NOT IN
+             |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      "NOT IN subquery with three-valued NULL semantics: plans as Spark's null-aware anti join (broadcast-only by construction; the documented scale rewrite is IS NOT NULL + left_anti)"))
 }

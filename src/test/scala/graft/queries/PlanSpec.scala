@@ -66,4 +66,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q29_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q126: NOT IN plans as a NULL-AWARE anti join, not a plain LeftAnti") {
+    val p = plan("q126_not_in_null_aware")
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the bare
+    // trailing boolean ("LeftAnti, BuildRight, true"); a plain anti join
+    // (wrong under NULLs) prints no trailing true, a nested-loop fallback
+    // (wrong at scale) is a different node entirely
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
