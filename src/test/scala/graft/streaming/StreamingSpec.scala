@@ -287,4 +287,57 @@ class StreamingSpec extends AnyFunSuite {
     drain() // run 3: nothing new — restart must be a no-op
     assert(seenIds().size == 1000, "idle restart changed the output")
   }
+
+  test("streaming incremental dedup: standing corpus grows, later batches catch earlier keeps") {
+    import graft.streaming.DedupStream
+    val inbox = tmp("graft_dedup_inbox")
+    val base = tmp("graft_dedup_state")
+    val (corpusDir, decisionsDir, ckpt) =
+      (s"$base/corpus", s"$base/decisions", s"$base/ckpt")
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+
+    import spark.implicits._
+    DedupStream.seedCorpus(
+      Seq((1L, twenty), (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      corpusDir)
+
+    def publish(name: String, rows: Seq[(Long, String)]): Unit = {
+      val body = "doc_id,text\n" + rows.map { case (id, t) => s"$id,$t" }.mkString("\n")
+      Files.write(new java.io.File(inbox, name).toPath, body.getBytes)
+      ()
+    }
+    def screen(): Unit = DedupStream.screen(
+      DedupStream.readDocs(spark, inbox), corpusDir, decisionsDir, ckpt)
+      .awaitTermination()
+    def decisions(): Map[Long, (Option[Long], Long)] =
+      spark.read.parquet(decisionsDir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((Option(r.getAs[Any]("exact_dup_of")).map(_.asInstanceOf[Long]),
+            r.getAs[Long]("keep")))).toMap
+
+    publish("b1.csv", Seq(10L -> twenty, 11L -> "totally fresh novel content here"))
+    screen() // batch 1: 10 dups the seed corpus, 11 is kept
+    val d1 = decisions()
+    assert(d1(10L) == ((Some(1L), 0L)))
+    assert(d1(11L) == ((None, 1L)))
+
+    publish("b2.csv", Seq(
+      12L -> "totally fresh novel content here", // exact dup of batch-1 KEEP 11
+      13L -> "yet another clean document body",
+      14L -> "alpha beta gamma delta epsilon")) // exact dup of seed corpus 2
+    screen() // batch 2 restarts from the checkpoint, sees the grown corpus
+    val d2 = decisions()
+    assert(d2(12L) == ((Some(11L), 0L)), "cross-batch dup not caught against the grown corpus")
+    assert(d2(13L) == ((None, 1L)))
+    assert(d2(14L) == ((Some(2L), 0L)))
+
+    // standing corpus = seed + every kept doc, exactly once
+    val corpusIds = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpusIds == Seq(1L, 2L, 11L, 13L))
+
+    screen() // idle restart: no new files, nothing changes
+    assert(decisions().keySet == Set(10L, 11L, 12L, 13L, 14L))
+    assert(spark.read.parquet(corpusDir).count() == 4)
+  }
 }
