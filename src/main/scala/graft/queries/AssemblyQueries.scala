@@ -370,5 +370,67 @@ object AssemblyQueries {
              |FROM b
              |GROUP BY cap
              |ORDER BY cap""".stripMargin),
-      "padding-waste diagnostic for length-bucketed batching: per power-of-two cap, docs/tokens/pad-waste/fill-permille (integer-exact)"))
+      "padding-waste diagnostic for length-bucketed batching: per power-of-two cap, docs/tokens/pad-waste/fill-permille (integer-exact)"),
+
+    Q(
+      "q127_span_dedup",
+      (s, d) => {
+        // Exact-substring dedup signal (Lee et al., "Deduplicating
+        // Training Data Makes Language Models Better"): EVERY 48-token
+        // window is hashed; a window whose (doc_id, offset) order key is
+        // not the global first occurrence of that hash is a SHARED span.
+        // Guarantee: any copied run of >= 48 consecutive tokens is
+        // caught, at ANY alignment — the property q102's fixed 64-token
+        // chunk grid loses for runs that straddle chunk boundaries.
+        // (A strided-both-sides variant would only catch runs aligned
+        // mod stride: two equal-stride grids over the same content
+        // intersect only at matching residues — which is why the stride
+        // stays 1 and sub-linear cost comes from winnowing instead: pick
+        // q41's per-window minimum hash as the posting key to keep the
+        // same guarantee probabilistically at |tokens|/window postings.)
+        // SCALE: the only data shuffle is |tokens| slim (hash, ord)
+        // postings — the same volume class as Dedup.shingleIndex's
+        // inverted index; at 100 TB the md5 key becomes xxhash64. ord
+        // packs (doc_id, offset) into one int64 (valid while
+        // offset < 2^20 — q102's documented bound family).
+        val W = 48
+        val base = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val p = base
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1),
+              greatest(size(col("t")) - lit(W - 1), lit(1)))).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(W)))).as("h"),
+            (col("doc_id") * lit(1048576L) + col("i")).as("ord"))
+        val winners = p.groupBy(col("h")).agg(min(col("ord")).as("w"))
+        p.join(winners, "h")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(when(col("ord") > col("w"), 1L).otherwise(0L)).as("n_shared_spans"),
+            min(when(col("ord") > col("w"),
+              expr("CAST(w DIV 1048576 AS BIGINT)"))).as("earliest_src_doc"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |p AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(t[i:i+47], ' ')) AS h,
+             |    doc_id * 1048576 + i AS ord
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(1, greatest(len(t) - 47, 1) + 1)) AS i
+             |        FROM tok)),
+             |w AS (SELECT h, min(ord) AS w FROM p GROUP BY h)
+             |SELECT p.doc_id,
+             |  count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN p.ord > w.w THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shared_spans,
+             |  min(CASE WHEN p.ord > w.w THEN w.w // 1048576 END)
+             |    AS earliest_src_doc
+             |FROM p JOIN w USING (h)
+             |GROUP BY p.doc_id
+             |ORDER BY p.doc_id""".stripMargin),
+      "exact-substring dedup signal (Lee et al.): every 48-token window hashed, global first-occurrence winners — any copied run >=48 tokens is caught at any alignment, unlike fixed-chunk passage dedup (q102)"))
 }

@@ -389,4 +389,45 @@ class QueriesSpec extends AnyFunSuite {
     case 2L | 3L => "beta"
     case _ => "gamma"
   }
+
+  test("q127 span dedup: brute-force recount; unaligned 48-run caught, 47-run not") {
+    val a = (1 to 60).map(i => s"a$i")
+    val corpus = Map(
+      1L -> a,                                                      // the source run
+      2L -> ((1 to 20).map(i => s"u$i") ++ a.slice(4, 52) ++        // a5..a52 at offset 21:
+        (1 to 5).map(i => s"v$i")),                                 //   48-run, unaligned
+      3L -> ((1 to 10).map(i => s"w$i") ++ a.take(47) ++            // 47-run: one short,
+        (1 to 10).map(i => s"x$i")),                                //   must NOT fire
+      4L -> a,                                                      // exact copy of 1
+      5L -> (1 to 10).map(i => s"s$i"))                             // shorter than W
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    import spark.implicits._
+    corpus.toSeq.map { case (id, ts) =>
+      (id, ts.mkString(" "), "en", microSource(id), ts.mkString(" ").length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent recount on raw window STRINGS (no hashing)
+    val posts = corpus.toSeq.flatMap { case (id, ts) =>
+      val starts = 1 to math.max(ts.size - 47, 1)
+      starts.map(i => (ts.slice(i - 1, i - 1 + 48).mkString(" "), id * 1048576L + i))
+    }
+    val winner = posts.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    val expected = posts.groupBy(_._2 / 1048576L).map { case (id, xs) =>
+      val shared = xs.filter { case (k, ord) => ord > winner(k) }
+      id -> ((xs.size.toLong, shared.size.toLong,
+        if (shared.isEmpty) None else Some(shared.map(x => winner(x._1) / 1048576L).min)))
+    }
+    val got = Registry.byName("q127_span_dedup").fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared_spans"),
+          Option(r.getAs[Any]("earliest_src_doc")).map(_.asInstanceOf[Long])))).toMap
+    assert(got == expected)
+    // engineered landmarks: the unaligned 48-run fires exactly once and
+    // points at doc 1; the 47-run is invisible; the exact copy shares all
+    // 13 windows; the short doc's single whole-text window is unique
+    assert(got(2L) == ((26L, 1L, Some(1L))))
+    assert(got(3L) == ((20L, 0L, None)))
+    assert(got(4L) == ((13L, 13L, Some(1L))))
+    assert(got(5L) == ((1L, 0L, None)))
+  }
 }
