@@ -432,5 +432,50 @@ object AssemblyQueries {
              |FROM p JOIN w USING (h)
              |GROUP BY p.doc_id
              |ORDER BY p.doc_id""".stripMargin),
-      "exact-substring dedup signal (Lee et al.): every 48-token window hashed, global first-occurrence winners — any copied run >=48 tokens is caught at any alignment, unlike fixed-chunk passage dedup (q102)"))
+      "exact-substring dedup signal (Lee et al.): every 48-token window hashed, global first-occurrence winners — any copied run >=48 tokens is caught at any alignment, unlike fixed-chunk passage dedup (q102)"),
+
+    Q(
+      "q128_span_dedup_winnow",
+      (s, d) => {
+        // Winnowing (Schleimer/Wilkerson/Aiken) — q127's sub-linear
+        // shuffle path: the per-doc stream of 48-gram xxhash64 values is
+        // reduced to the MINIMUM of each 16-hash winnow window, distinct
+        // per doc. Only these fingerprints shuffle (~|tokens|/16 expected
+        // postings vs q127's |tokens|), and the winnowing theorem keeps a
+        // real guarantee: ANY shared run of >= W + V - 1 = 63 tokens
+        // contains one full winnow window common to both docs, whose min
+        // is selected on both sides — so the pair still shares a posted
+        // fingerprint. Runs in [48, 62] may be missed: that recall band
+        // is the price of the 16x shuffle cut (q127 stays the exact
+        // oracle). The per-doc hash stream and window minima are pure
+        // projections (transform/array_min — no shuffle, no explode until
+        // the distinct fingerprint list); cross-doc state is only the
+        // slim (fp, doc_id) posting. AssemblySpec pins the subset
+        // relation vs q127, the 63-token guarantee at an unaligned
+        // offset, and the postings reduction.
+        val W = 48
+        val V = 16
+        val base = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val withHs = base.select(col("doc_id"),
+          transform(
+            sequence(lit(1), greatest(size(col("t")) - lit(W - 1), lit(1))),
+            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(W))))).as("hs"))
+        val fps = withHs.select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("hs")) - lit(V - 1), lit(1))),
+            j => array_min(slice(col("hs"), j, lit(V)))))).as("fp"))
+        val owners = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
+        fps.join(owners, "fp")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_fp"),
+            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_shared_fp"),
+            min(when(col("first_doc") < col("doc_id"), col("first_doc")))
+              .as("earliest_src_doc"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      "winnowing scale path for q127: min-xxhash64 fingerprint per 16-hash window, ~1/16 the shuffled postings; shared runs >= 63 tokens (W+V-1) still guarantee a shared fingerprint — subset/guarantee/reduction pinned in AssemblySpec"))
 }

@@ -142,4 +142,44 @@ class AssemblySpec extends AnyFunSuite {
       .count()
     assert(got.length.toLong == naive, s"banded ${got.length} vs naive $naive")
   }
+
+  test("q128 winnow: subset of q127, 63-token guarantee fires unaligned, postings shrink") {
+    // subset: a shared fingerprint is a shared 48-window (xxhash64
+    // injective in practice), so every q128-flagged doc must be
+    // q127-flagged with the SAME-or-earlier source bound
+    val exact = run("q127_span_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[Any]("earliest_src_doc")).map(_.asInstanceOf[Long])).toMap
+    val winnowRows = run("q128_span_dedup_winnow").collect()
+    val winnow = winnowRows.map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[Any]("earliest_src_doc")).map(_.asInstanceOf[Long])).toMap
+    winnow.foreach { case (id, src) =>
+      if (src.isDefined)
+        assert(exact(id).isDefined && exact(id).get <= src.get,
+          s"doc $id: winnow flags $src but exact says ${exact(id)}")
+    }
+    // reduction: winnowed postings are a small fraction of the window count
+    val nFp = winnowRows.map(_.getAs[Long]("n_fp")).sum.toDouble
+    val nWin = run("q127_span_dedup").collect().map(_.getAs[Long]("n_spans")).sum.toDouble
+    assert(nFp <= nWin / 4, s"winnow posted $nFp of $nWin windows — no reduction")
+
+    // guarantee: a 63-token run shared at an UNALIGNED offset must fire
+    val a = (1 to 80).map(i => s"g$i")
+    val corpus = Seq(
+      (1L, a.mkString(" ")),
+      (2L, ((1 to 11).map(i => s"h$i") ++ a.slice(9, 72) ++ // g10..g72: 63 tokens
+        (1 to 7).map(i => s"k$i")).mkString(" ")),
+      (3L, ((1 to 30).map(i => s"m$i") ++ (1 to 30).map(i => s"n$i")).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    corpus.map { case (id, t) => (id, t, "en", "w", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q128_span_dedup_winnow").fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared_fp"),
+          Option(r.getAs[Any]("earliest_src_doc")).map(_.asInstanceOf[Long])))).toMap
+    assert(got(2L)._1 >= 1L, "63-token shared run missed by winnowing")
+    assert(got(2L)._2 == Some(1L))
+    assert(got(3L) == ((0L, None)))
+  }
 }
