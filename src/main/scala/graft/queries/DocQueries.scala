@@ -467,5 +467,82 @@ object DocQueries {
              |FROM t LEFT JOIN v USING (tok)
              |GROUP BY t.doc_id
              |ORDER BY t.doc_id""".stripMargin),
-      "vocabulary coverage / OOV-rate scoring: per-doc out-of-vocabulary tokens against a deterministic top-k corpus vocab (integer permille)"))
+      "vocabulary coverage / OOV-rate scoring: per-doc out-of-vocabulary tokens against a deterministic top-k corpus vocab (integer permille)"),
+
+    Q(
+      "q129_curation_funnel",
+      (s, d) => {
+        import graft.operators.TextAnalysis.bigramArray
+        // Pipeline observability: the survival funnel through the
+        // curation ladder — raw → token bounds → +stopword floor →
+        // +repetition ceiling (the conjunction is exactly q75's
+        // keep_flag; CurationSpec pins that identity) → +exact-dedup
+        // winner. One scan computes every per-doc flag; the only extra
+        // shuffle is the dedup-winner stage keyed on text (at 100 TB:
+        // xxhash64(text) with equality re-check — q124's documented key
+        // swap); the output is one 5-counter row via a single
+        // conditional-sum aggregate (the A2 shape at corpus level). The
+        // funnel is monotone by construction — a report where a later
+        // stage exceeds an earlier one is structurally impossible, not
+        // just untested.
+        val base = documents(s, d)
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("__t"))
+          .select(col("doc_id"), col("text"), col("__t"),
+            bigramArray(col("__t")).as("__g2"))
+          .select(col("doc_id"), col("text"),
+            size(col("__t")).cast("long").as("__n"),
+            size(filter(col("__t"), t => t.isin(stopwords: _*))).cast("long")
+              .as("__nstop"),
+            size(col("__g2")).cast("long").as("__n2"),
+            (size(col("__g2")) - size(array_distinct(col("__g2")))).cast("long")
+              .as("__ndup"))
+        val winners = base.groupBy(col("text")).agg(min(col("doc_id")).as("__w"))
+        base.join(winners, "text")
+          .select(
+            col("__n").between(10, 5000).as("s1"),
+            (col("__nstop").cast("double") / col("__n").cast("double") >= 0.02)
+              .as("s2"),
+            (when(col("__n2") > 0,
+              col("__ndup").cast("double") / col("__n2").cast("double")) <= 0.2)
+              .as("s3"),
+            (col("doc_id") === col("__w")).as("s4"))
+          .agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(col("s1"), 1L).otherwise(0L)).as("n_len_ok"),
+            sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("n_stop_ok"),
+            sum(when(col("s1") && col("s2") && col("s3"), 1L).otherwise(0L))
+              .as("n_rep_ok"),
+            sum(when(col("s1") && col("s2") && col("s3") && col("s4"), 1L)
+              .otherwise(0L)).as("n_final"))
+      },
+      Some(s"""WITH s AS (
+             |  SELECT doc_id, text,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frac_stop,
+             |    list_transform(range(greatest(len(string_split(text, ' ')) - 1, 0)),
+             |      i -> string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]) AS g2
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, text, n_tokens, frac_stop,
+             |    CASE WHEN len(g2) > 0 THEN
+             |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+             |    END AS dup_raw
+             |  FROM s),
+             |w AS (SELECT text, min(doc_id) AS w FROM documents GROUP BY text),
+             |f AS (
+             |  SELECT d.doc_id,
+             |    d.n_tokens BETWEEN 10 AND 5000 AS s1,
+             |    d.frac_stop >= 0.02 AS s2,
+             |    d.dup_raw <= 0.2 AS s3,
+             |    d.doc_id = w.w AS s4
+             |  FROM d JOIN w ON w.text = d.text)
+             |SELECT count(*) AS n_raw,
+             |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+             |  CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+             |  CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+             |  CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+             |FROM f""".stripMargin),
+      "curation-funnel observability: one-pass staged survival counts (raw -> token bounds -> +stopword floor -> +repetition ceiling [= q75's gate] -> +exact-dedup winner), monotone by construction"))
 }

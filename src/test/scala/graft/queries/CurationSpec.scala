@@ -134,4 +134,17 @@ class CurationSpec extends AnyFunSuite {
       assert(tok >= math.min(700L, totals(src)), s"$src kept only $tok")
     }
   }
+
+  test("q129 funnel: monotone, stage-3 equals q75's keep count, final bounded by distinct texts") {
+    val r = run("q129_curation_funnel").collect().head
+    val Seq(raw, len, stop, rep, fin) =
+      Seq("n_raw", "n_len_ok", "n_stop_ok", "n_rep_ok", "n_final").map(r.getAs[Long])
+    assert(raw >= len && len >= stop && stop >= rep && rep >= fin)
+    val q75Keep = run("q75_docs_quality_filter")
+      .agg(sum(col("keep_flag"))).collect().head.getLong(0)
+    assert(rep == q75Keep, s"funnel stage 3 ($rep) != q75 keep sum ($q75Keep)")
+    val nTexts = Tables.documents(spark, sf0001).select("text").distinct().count()
+    assert(fin <= nTexts)
+    assert(raw == Tables.documents(spark, sf0001).count())
+  }
 }
