@@ -308,6 +308,53 @@ object CurationQueries {
       "epoch mixing: per-language repeat factors (exact ceil division toward the largest language, capped at 4) exploded into the (doc_id, copy_idx) list a training loader consumes"),
 
     Q(
+      "q130_temperature_sample",
+      (s, d) => {
+        // Temperature-based source rebalancing (the mC4/multilingual
+        // alpha-sampling op, alpha = 0.5): target mixture p(s) ∝
+        // n_s^0.5, realized as deterministic per-doc keep rates
+        // r_s = B·p(s)/n_s with output budget B = n_total/2 — large
+        // sources are down-weighted toward the flattened mixture, small
+        // sources keep (up to) everything. ALL integer math: the only
+        // irrational, n_s^0.5, is taken as w_s = isqrt(n_s·10^6) (exact
+        // — floor of a correctly-rounded IEEE sqrt of an integer < 2^52),
+        // and the keep test h·n_s·Σw·2 < n_total·w_s·10^6 compares
+        // int64s, so there is no partition-order-dependent double sum
+        // anywhere and both engines agree bit-for-bit. SCALE: one slim
+        // per-source count agg (map-side combined), a 1-row totals
+        // broadcast, and a rate join back on the many-valued source key;
+        // int64 headroom holds to ~10^16 (beyond that, rescale the ppm
+        // constant or widen to DECIMAL(38,0) — documented, not hit at
+        // any test SF). Hash multiplier 374761393 (xxhash prime5) is
+        // distinct from the q73/q80/q81/q125 constants.
+        val docs = documents(s, d).select(col("doc_id"), col("source"))
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT)"))
+        val tot = counts.agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("s_w"))
+        docs.join(counts, "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("h", pmod(col("doc_id") * lit(374761393L), lit(1000000L)))
+          .filter(col("h") * col("n_docs") * col("s_w") * lit(2L) <
+            col("n_total") * col("w") * lit(1000000L))
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             |sw AS (
+             |  SELECT source, n_docs,
+             |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT) AS w
+             |  FROM c),
+             |t AS (SELECT sum(n_docs) AS n_total, sum(w) AS s_w FROM sw)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN sw USING (source) CROSS JOIN t
+             |WHERE ((d.doc_id * 374761393) % 1000000) * n_docs * s_w * 2
+             |    < n_total * w * 1000000
+             |ORDER BY d.doc_id""".stripMargin),
+      "temperature (alpha=0.5) source rebalancing toward n_s^0.5 mixture at half-corpus budget — integer-exact isqrt weights, no partition-order-dependent float sums; deterministic hash keep"),
+
+    Q(
       "q125_token_budget_cut",
       (s, d) => tokenBudgetCut(documents(s, d), budget = 700L).orderBy(col("doc_id")),
       Some("""WITH d AS (

@@ -135,6 +135,72 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 temperature sample: exact integer recount on a skewed corpus, flattening ordering") {
+    import spark.implicits._
+    // skewed sources: 64 / 16 / 4 docs — alpha=0.5 weights 8:4:2, so keep
+    // RATES must be ordered small-source-highest (the flattening property)
+    val docs = ((1 to 64).map(i => (i.toLong, "big")) ++
+      (1 to 16).map(i => (100L + i, "mid")) ++
+      (1 to 4).map(i => (200L + i, "small")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-temp").toString
+    docs.map { case (id, src) => (id, s"tok$id body", "en", src, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // exact integer recount (same math, plain Scala)
+    val n = docs.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    val w = n.map { case (s, c) => s -> math.sqrt(c.toDouble * 1000000).toLong }
+    val (nTotal, sW) = (n.values.sum, w.values.sum)
+    val expected = docs.filter { case (id, src) =>
+      ((id * 374761393L) % 1000000L) * n(src) * sW * 2 < nTotal * w(src) * 1000000L
+    }.map(_._1).toSet
+    val got = Registry.byName("q130_temperature_sample").fn(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    // flattening: keep fraction ordered small > mid > big (exact, from the
+    // deterministic rates, not sampling noise — rates are n_total*w/(2*n*S))
+    val frac = Seq("big", "mid", "small").map { s =>
+      s -> docs.filter(_._2 == s).count(d => expected(d._1)).toDouble / n(s)
+    }.toMap
+    assert(frac("small") > frac("mid") && frac("mid") > frac("big"),
+      s"no flattening: $frac")
+  }
+
+  test("q125 property: two-level cut equals the naive window on random corpora") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docGen = for {
+      id <- Gen.choose(1L, 4000L)
+      src <- Gen.oneOf("s0", "s1", "s2")
+      n <- Gen.choose(1, 40)
+    } yield (id, src, n)
+    val caseGen = for {
+      docs <- Gen.listOfN(50, docGen)
+      budget <- Gen.choose(1L, 400L)
+      nb <- Gen.oneOf(1, 4, 32)
+    } yield (docs, budget, nb)
+    val seed0 = org.scalacheck.rng.Seed(7L)
+    Iterator.iterate(seed0)(_.next).take(8).foreach { seed =>
+      caseGen.apply(Gen.Parameters.default, seed).foreach { case (docs0, budget, nb) =>
+        val docs = docs0.groupBy(_._1).map(_._2.head).toSeq
+        val df = docs.map { case (id, src, n) =>
+          (id, (1 to n).map(i => s"w$i").mkString(" "), "en", src, 0L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(pmod(col("doc_id") * lit(3266489917L), lit(1000000L)), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val naive = df.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .filter(col("before") < budget)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        val got = CurationQueries.tokenBudgetCut(df, budget, nb)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == naive, s"budget=$budget nb=$nb docs=${docs.size}")
+      }
+    }
+  }
+
   test("q129 funnel: monotone, stage-3 equals q75's keep count, final bounded by distinct texts") {
     val r = run("q129_curation_funnel").collect().head
     val Seq(raw, len, stop, rep, fin) =

@@ -30,7 +30,8 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q66_dq_structural" -> "cross-joins of 1-row count aggregates",
     "q122_pq_adc_topk" -> "cross-join of the 1-row query vector (ADC scoring touches codes only)",
     "q123_ivfpq_topk" -> "cross-joins of the 1-row query vector / <=nProbe probed list ids",
-    "q118_rolling_active_users" -> "cross-join of the 1-row max-observed-day aggregate (report-day cap)")
+    "q118_rolling_active_users" -> "cross-join of the 1-row max-observed-day aggregate (report-day cap)",
+    "q130_temperature_sample" -> "cross-join of the 1-row (n_total, sum-of-weights) totals aggregate")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
