@@ -82,7 +82,10 @@ object Bench {
       }
       (name, median(runs.map(_._1)), runs.forall(_._2), runs.last._3)
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would turn this line into invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val heaps = results.map { case (k, _, _, h) => s"\"" + k + "\":" + h }
