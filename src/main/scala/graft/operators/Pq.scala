@@ -124,6 +124,41 @@ object Pq {
     cbs
   }
 
+  /** Sorted (score, −list) structs of `v` against the `coarse` centroids,
+    * descending — element 1 is the nearest list; a head slice is the
+    * probe set. Single definition serving index-side assignment,
+    * query-side probing, and residual fitting, so the tie-break algebra
+    * cannot drift between them.
+    */
+  private def listScores(v: Column, coarse: Seq[Seq[Double]]): Column = {
+    val coarseLit = typedlit(coarse)
+    sort_array(array(coarse.indices.map { c =>
+      val halfNorm = lit(coarse(c).map(x => x * x).sum / 2)
+      struct((dot(v, element_at(coarseLit, c + 1)) - halfNorm).as("s"),
+        lit(-c).as("negc"))
+    }: _*), asc = false)
+  }
+
+  /** (vec_id, v, list_id, resid): the one coarse-assignment projection. */
+  private def coarseAssigned(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
+    val coarseLit = typedlit(coarse)
+    vecs(emb)
+      .withColumn("list_id",
+        (-element_at(listScores(col("v"), coarse), 1).getField("negc")).cast("int"))
+      .withColumn("resid",
+        zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, c) => x - c))
+  }
+
+  /** Σ_m ⟨qv_sub(m), ctr_m[code_m]⟩ — the ADC reconstruction dot product
+    * over a row carrying `qv` and `code_0..code_{M-1}`.
+    */
+  private def adcSum(cbs: Seq[Seq[Seq[Double]]]): Column =
+    (0 until M).map { m =>
+      val cbLit = typedlit(cbs(m))
+      dot(slice(col("qv"), m * DSUB + 1, DSUB),
+        element_at(cbLit, (col(s"code_$m") + 1).cast("int")))
+    }.reduce(_ + _)
+
   /** Approximate top-k neighbors of `queryVecId` by ADC score: for each
     * encoded vector, Σ_m ⟨query_sub(m), centroid(m, code_m)⟩ — the dot
     * product of the query with the code's RECONSTRUCTION. The raw corpus
@@ -136,13 +171,8 @@ object Pq {
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select(asDouble(col("embedding")).as("qv"))
-    val score: Column = (0 until M).map { m =>
-      val cbLit = typedlit(cbs(m))
-      dot(slice(col("qv"), m * DSUB + 1, DSUB),
-        element_at(cbLit, (col(s"code_$m") + 1).cast("int")))
-    }.reduce(_ + _)
     enc.join(broadcast(qv))
-      .withColumn("adc_score", score)
+      .withColumn("adc_score", adcSum(cbs))
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("adc_score"), 6).as("adc_score"))
@@ -168,29 +198,16 @@ object Pq {
   def ivfPqTopK(emb: DataFrame, coarse: Seq[Seq[Double]],
       cbs: Seq[Seq[Seq[Double]]], queryVecId: Long = 0L, k: Int = 10,
       nProbe: Int = 4): DataFrame = {
-    val nLists = coarse.size
     val coarseLit = typedlit(coarse)
-    def listScores(v: Column): Column = sort_array(array((0 until nLists).map { c =>
-      val halfNorm = lit(coarse(c).map(x => x * x).sum / 2)
-      struct((dot(v, element_at(coarseLit, c + 1)) - halfNorm).as("s"),
-        lit(-c).as("negc"))
-    }: _*), asc = false)
-    val base = vecs(emb)
-      .withColumn("list_id", (-element_at(listScores(col("v")), 1).getField("negc")).cast("int"))
-      .withColumn("resid",
-        zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, c) => x - c))
+    val base = coarseAssigned(emb, coarse)
     val index = withCodes(base, col("resid"), cbs)
       .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     val qv = base.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     val probeLists = base.filter(col("vec_id") === queryVecId)
-      .select(explode(slice(listScores(col("v")), 1, nProbe)).as("ls"))
+      .select(explode(slice(listScores(col("v"), coarse), 1, nProbe)).as("ls"))
       .select((-col("ls.negc")).cast("int").as("probe_list"))
-    val score: Column = dot(col("qv"), element_at(coarseLit, col("list_id") + 1)) +
-      (0 until M).map { m =>
-        val cbLit = typedlit(cbs(m))
-        dot(slice(col("qv"), m * DSUB + 1, DSUB),
-          element_at(cbLit, (col(s"code_$m") + 1).cast("int")))
-      }.reduce(_ + _)
+    val score: Column =
+      dot(col("qv"), element_at(coarseLit, col("list_id") + 1)) + adcSum(cbs)
     index.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(probeLists), col("list_id") === col("probe_list"))
       .join(broadcast(qv))
@@ -201,18 +218,6 @@ object Pq {
   }
 
   /** Residual frame for IVF-PQ codebook fitting: (vec_id, v = residual). */
-  def residuals(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
-    val nLists = coarse.size
-    val coarseLit = typedlit(coarse)
-    val scored = (0 until nLists).map { c =>
-      val halfNorm = lit(coarse(c).map(x => x * x).sum / 2)
-      struct((dot(col("v"), element_at(coarseLit, c + 1)) - halfNorm).as("s"),
-        lit(-c).as("negc"))
-    }
-    vecs(emb)
-      .withColumn("list_id",
-        (-element_at(sort_array(array(scored: _*), asc = false), 1).getField("negc")).cast("int"))
-      .select(col("vec_id"),
-        zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, c) => x - c).as("v"))
-  }
+  def residuals(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame =
+    coarseAssigned(emb, coarse).select(col("vec_id"), col("resid").as("v"))
 }
