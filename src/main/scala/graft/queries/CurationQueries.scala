@@ -315,28 +315,38 @@ object CurationQueries {
         // n_s^0.5, realized as deterministic per-doc keep rates
         // r_s = B·p(s)/n_s with output budget B = n_total/2 — large
         // sources are down-weighted toward the flattened mixture, small
-        // sources keep (up to) everything. ALL integer math: the only
-        // irrational, n_s^0.5, is taken as w_s = isqrt(n_s·10^6) (exact
-        // — floor of a correctly-rounded IEEE sqrt of an integer < 2^52),
-        // and the keep test h·n_s·Σw·2 < n_total·w_s·10^6 compares
-        // int64s, so there is no partition-order-dependent double sum
-        // anywhere and both engines agree bit-for-bit. SCALE: one slim
-        // per-source count agg (map-side combined), a 1-row totals
-        // broadcast, and a rate join back on the many-valued source key;
-        // int64 headroom holds to ~10^16 (beyond that, rescale the ppm
-        // constant or widen to DECIMAL(38,0) — documented, not hit at
-        // any test SF). Hash multiplier 374761393 (xxhash prime5) is
-        // distinct from the q73/q80/q81/q125 constants.
+        // sources keep (up to) everything. Determinism without a single
+        // order-dependent float sum: the only irrational, n_s^0.5, is
+        // taken as w_s = isqrt(n_s·10^6) (exact — floor of a
+        // correctly-rounded IEEE sqrt of an integer < 2^52); n_total and
+        // Σw are INTEGER aggregates (order-independent); the per-source
+        // rate_ppm = floor(n_total·w_s·10^6 / (2·n_s·Σw)) is ONE double
+        // expression over those exact integers — the identical IEEE tree
+        // in both engines (the q82 floor-idiom family), computed on the
+        // |sources|-row frame, never per doc — and the per-doc keep test
+        // h < rate_ppm compares int64s. Doubles don't overflow, so the
+        // bound is 2^53 on the integer INPUTS (doc counts), not on any
+        // product — a naive all-int64 cross-multiplied test
+        // (h·n_s·Σw·2 < n_total·w_s·10^6) silently wraps once the
+        // largest source passes ~3·10^6 docs, exactly the scale this
+        // query exists for. SCALE: one slim per-source count agg
+        // (map-side combined), a 1-row totals broadcast, a rate join
+        // back on the many-valued source key. Hash multiplier 374761393
+        // (xxhash prime5) is distinct from the q73/q80/q81/q125
+        // constants.
         val docs = documents(s, d).select(col("doc_id"), col("source"))
         val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
           .withColumn("w",
             expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT)"))
         val tot = counts.agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("s_w"))
-        docs.join(counts, "source")
-          .crossJoin(broadcast(tot))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("rate_ppm", expr(
+            "CAST(floor(CAST(n_total AS DOUBLE) * CAST(w AS DOUBLE) * 1000000.0" +
+              " / (2.0 * CAST(n_docs AS DOUBLE) * CAST(s_w AS DOUBLE))) AS BIGINT)"))
+          .select(col("source"), col("rate_ppm"))
+        docs.join(rates, "source")
           .withColumn("h", pmod(col("doc_id") * lit(374761393L), lit(1000000L)))
-          .filter(col("h") * col("n_docs") * col("s_w") * lit(2L) <
-            col("n_total") * col("w") * lit(1000000L))
+          .filter(col("h") < col("rate_ppm"))
           .select(col("doc_id"), col("source"))
           .orderBy(col("doc_id"))
       },
@@ -346,13 +356,18 @@ object CurationQueries {
              |  SELECT source, n_docs,
              |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT) AS w
              |  FROM c),
-             |t AS (SELECT sum(n_docs) AS n_total, sum(w) AS s_w FROM sw)
+             |t AS (SELECT sum(n_docs) AS n_total, sum(w) AS s_w FROM sw),
+             |r AS (
+             |  SELECT source,
+             |    CAST(floor(CAST(n_total AS DOUBLE) * CAST(w AS DOUBLE) * 1000000.0
+             |      / (2.0 * CAST(n_docs AS DOUBLE) * CAST(s_w AS DOUBLE))) AS BIGINT)
+             |      AS rate_ppm
+             |  FROM sw CROSS JOIN t)
              |SELECT d.doc_id, d.source
-             |FROM documents d JOIN sw USING (source) CROSS JOIN t
-             |WHERE ((d.doc_id * 374761393) % 1000000) * n_docs * s_w * 2
-             |    < n_total * w * 1000000
+             |FROM documents d JOIN r USING (source)
+             |WHERE ((d.doc_id * 374761393) % 1000000) < rate_ppm
              |ORDER BY d.doc_id""".stripMargin),
-      "temperature (alpha=0.5) source rebalancing toward n_s^0.5 mixture at half-corpus budget — integer-exact isqrt weights, no partition-order-dependent float sums; deterministic hash keep"),
+      "temperature (alpha=0.5) source rebalancing toward n_s^0.5 mixture at half-corpus budget — integer isqrt weights + integer totals, one floor'd double rate per source, int64 keep test; deterministic hash keep, no overflow at any corpus size"),
 
     Q(
       "q125_token_budget_cut",

@@ -150,8 +150,12 @@ class CurationSpec extends AnyFunSuite {
     val n = docs.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
     val w = n.map { case (s, c) => s -> math.sqrt(c.toDouble * 1000000).toLong }
     val (nTotal, sW) = (n.values.sum, w.values.sum)
+    val rate = n.keys.map { s =>
+      s -> math.floor(nTotal.toDouble * w(s).toDouble * 1000000.0 /
+        (2.0 * n(s).toDouble * sW.toDouble)).toLong
+    }.toMap
     val expected = docs.filter { case (id, src) =>
-      ((id * 374761393L) % 1000000L) * n(src) * sW * 2 < nTotal * w(src) * 1000000L
+      (id * 374761393L) % 1000000L < rate(src)
     }.map(_._1).toSet
     val got = Registry.byName("q130_temperature_sample").fn(spark, dir).collect()
       .map(_.getLong(0)).toSet
