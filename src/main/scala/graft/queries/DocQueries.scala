@@ -18,6 +18,16 @@ object DocQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Gopher-gate thresholds — the single source of truth for q75's
+    * keep_flag AND q129's funnel stages (CurationSpec pins the identity;
+    * these constants make it structural). Interpolated into BOTH engines'
+    * texts so the four copies cannot drift.
+    */
+  private val MinTok = 10
+  private val MaxTok = 5000
+  private val StopFloor = 0.02
+  private val DupCeil = 0.2
+
   val all: Seq[Q] = Seq(
     Q(
       "q24_docs_dedup_exact",
@@ -264,11 +274,12 @@ object DocQueries {
             // NB three-valued logic: a single-token doc has NULL dup_frac,
             // but n_tokens<10 is already FALSE, and FALSE AND NULL = FALSE
             // in both engines, so keep_flag stays 0, never NULL
-            (col("n_tokens").between(10, 5000) && fracStop >= 0.02 && dupFrac <= 0.2)
+            (col("n_tokens").between(MinTok, MaxTok) && fracStop >= StopFloor &&
+              dupFrac <= DupCeil)
               .cast("long").as("keep_flag"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH s AS (
+      Some(s"""WITH s AS (
              |  SELECT doc_id,
              |    len(string_split(text, ' ')) AS n_tokens,
              |    CAST(len(list_filter(string_split(text, ' '),
@@ -286,9 +297,9 @@ object DocQueries {
              |SELECT doc_id, n_tokens,
              |  round(frac_stop, 4) AS frac_stop,
              |  round(dup_raw, 4) AS dup_frac,
-             |  CAST(COALESCE(n_tokens BETWEEN 10 AND 5000
-             |    AND frac_stop >= 0.02
-             |    AND dup_raw <= 0.2, FALSE) AS BIGINT) AS keep_flag
+             |  CAST(COALESCE(n_tokens BETWEEN $MinTok AND $MaxTok
+             |    AND frac_stop >= $StopFloor
+             |    AND dup_raw <= $DupCeil, FALSE) AS BIGINT) AS keep_flag
              |FROM d
              |ORDER BY doc_id""".stripMargin),
       "Gopher-style composite quality gate: token-count bounds + stopword floor + repetition ceiling"),
@@ -499,11 +510,11 @@ object DocQueries {
         val winners = base.groupBy(col("text")).agg(min(col("doc_id")).as("__w"))
         base.join(winners, "text")
           .select(
-            col("__n").between(10, 5000).as("s1"),
-            (col("__nstop").cast("double") / col("__n").cast("double") >= 0.02)
+            col("__n").between(MinTok, MaxTok).as("s1"),
+            (col("__nstop").cast("double") / col("__n").cast("double") >= StopFloor)
               .as("s2"),
             (when(col("__n2") > 0,
-              col("__ndup").cast("double") / col("__n2").cast("double")) <= 0.2)
+              col("__ndup").cast("double") / col("__n2").cast("double")) <= DupCeil)
               .as("s3"),
             (col("doc_id") === col("__w")).as("s4"))
           .agg(
@@ -533,9 +544,9 @@ object DocQueries {
              |w AS (SELECT text, min(doc_id) AS w FROM documents GROUP BY text),
              |f AS (
              |  SELECT d.doc_id,
-             |    d.n_tokens BETWEEN 10 AND 5000 AS s1,
-             |    d.frac_stop >= 0.02 AS s2,
-             |    d.dup_raw <= 0.2 AS s3,
+             |    d.n_tokens BETWEEN $MinTok AND $MaxTok AS s1,
+             |    d.frac_stop >= $StopFloor AS s2,
+             |    d.dup_raw <= $DupCeil AS s3,
              |    d.doc_id = w.w AS s4
              |  FROM d JOIN w ON w.text = d.text)
              |SELECT count(*) AS n_raw,
