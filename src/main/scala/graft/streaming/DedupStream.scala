@@ -40,6 +40,36 @@ object DedupStream {
     docs.select(col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$corpusDir/batch_id=-1")
 
+  /** One micro-batch of the screen — exposed so the replay property is
+    * directly testable. CRASH-REPLAY SAFETY: the corpus read keeps the
+    * `batch_id` partition column and filters to batch_id < batchId. A
+    * replayed batch (foreachBatch is at-least-once; the JVM can die after
+    * the corpus write but before the checkpoint commit) would otherwise
+    * see its OWN previous `batch_id=N` output, match every
+    * previously-kept doc against itself as an exact dup, and overwrite
+    * the partition with an empty kept set — silently losing documents.
+    * With the filter, a replay recomputes from exactly the pre-batch-N
+    * corpus state and overwrites both outputs with identical rows.
+    */
+  def screenBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      corpusDir: String, decisionsDir: String, threshold: Double = 0.8): Unit = {
+    val b = batch.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val corpus = spark.read.parquet(corpusDir)
+      .filter(col("batch_id") < batchId)
+      .select(col("doc_id"), col("text"))
+    val decisions = Dedup.incrementalDedup(b, corpus, threshold)
+    decisions.write.mode("overwrite")
+      .parquet(s"$decisionsDir/batch_id=$batchId")
+    // read back the just-committed decisions so the corpus append is a
+    // child of durable state, not of a recomputation that could drift
+    val kept = spark.read.parquet(s"$decisionsDir/batch_id=$batchId")
+      .filter(col("keep") === 1L).select(col("doc_id"))
+    b.join(kept, "doc_id")
+      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+    ()
+  }
+
   /** Screen the doc stream against the standing corpus in `corpusDir`.
     * Per batch: decisions (q124 columns + batch_id) land in
     * `decisionsDir/batch_id=N`, and the KEPT docs join the corpus as
@@ -53,21 +83,8 @@ object DedupStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col("doc_id"), col("text"))
-          .filter(col("doc_id").isNotNull)
-        val corpus = spark.read.parquet(corpusDir)
-          .select(col("doc_id"), col("text"))
-        val decisions = Dedup.incrementalDedup(b, corpus, threshold)
-        decisions.write.mode("overwrite")
-          .parquet(s"$decisionsDir/batch_id=$batchId")
-        // read back the just-committed decisions so the corpus append is a
-        // child of durable state, not of a recomputation that could drift
-        val kept = spark.read.parquet(s"$decisionsDir/batch_id=$batchId")
-          .filter(col("keep") === 1L).select(col("doc_id"))
-        b.join(kept, "doc_id")
-          .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
-        ()
+        screenBatch(batch.sparkSession, batch.toDF(), batchId,
+          corpusDir, decisionsDir, threshold)
       }
       .start()
 }

@@ -339,5 +339,23 @@ class StreamingSpec extends AnyFunSuite {
     screen() // idle restart: no new files, nothing changes
     assert(decisions().keySet == Set(10L, 11L, 12L, 13L, 14L))
     assert(spark.read.parquet(corpusDir).count() == 4)
+
+    // crash-replay: foreachBatch is at-least-once, so re-running batch 2's
+    // body with its ORIGINAL batch id (after its corpus partition was
+    // already written) must reproduce identical decisions and corpus —
+    // in particular doc 13 must NOT match its own earlier keep and vanish
+    val b2BatchId = spark.read.parquet(decisionsDir)
+      .filter(col("doc_id") === 13L).select("batch_id")
+      .collect().head.getInt(0).toLong
+    val before = decisions()
+    DedupStream.screenBatch(spark,
+      Seq(12L -> "totally fresh novel content here",
+        13L -> "yet another clean document body",
+        14L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text"),
+      b2BatchId, corpusDir, decisionsDir)
+    assert(decisions() == before, "replay changed the decisions")
+    assert(spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 11L, 13L), "replay changed the standing corpus")
   }
 }
