@@ -147,7 +147,8 @@ class AssemblySpec extends AnyFunSuite {
     // subset: a shared fingerprint is a shared 48-window (xxhash64
     // injective in practice), so every q128-flagged doc must be
     // q127-flagged with the SAME-or-earlier source bound
-    val exact = run("q127_span_dedup").collect()
+    val exactRows = run("q127_span_dedup").collect()
+    val exact = exactRows
       .map(r => r.getAs[Long]("doc_id") ->
         Option(r.getAs[Any]("earliest_src_doc")).map(_.asInstanceOf[Long])).toMap
     val winnowRows = run("q128_span_dedup_winnow").collect()
@@ -160,7 +161,7 @@ class AssemblySpec extends AnyFunSuite {
     }
     // reduction: winnowed postings are a small fraction of the window count
     val nFp = winnowRows.map(_.getAs[Long]("n_fp")).sum.toDouble
-    val nWin = run("q127_span_dedup").collect().map(_.getAs[Long]("n_spans")).sum.toDouble
+    val nWin = exactRows.map(_.getAs[Long]("n_spans")).sum.toDouble
     assert(nFp <= nWin / 4, s"winnow posted $nFp of $nWin windows — no reduction")
 
     // guarantee: a 63-token run shared at an UNALIGNED offset must fire
