@@ -27,6 +27,24 @@ import graft.Tables._
   */
 object CurationQueries {
 
+  /** q132's hashed-feature bucket count — a literal of the algorithm
+    * (fixed model size), never of data volume, so the bucket-keyed
+    * aggregate is bounded-output by construction.
+    */
+  private[queries] val DsirB = 256
+
+  /** q132's per-token log-ratio contribution in integer micros — ONE
+    * string parsed by Spark `expr` and interpolated verbatim into the
+    * DuckDB twin (the q131 [[DocQueries.bm25Micros]] discipline: identical
+    * IEEE tree, every integer cast before float math, ln portable under
+    * micros flooring). Expects columns ct, cr, t_tot, r_tot in scope;
+    * integer +1/+B Laplace shifts happen exactly, pre-cast.
+    */
+  private[queries] val dsirMicros: String =
+    s"CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / CAST(t_tot + $DsirB AS DOUBLE))" +
+      s" / (CAST(cr + 1 AS DOUBLE) / CAST(r_tot + $DsirB AS DOUBLE)))" +
+      " * 1000000 + 0.5) AS BIGINT)"
+
   /** Engine-portable bucket hash in [0, m): q73's multiplicative scheme,
     * but with a DIFFERENT odd multiplier (xxhash's prime2, not q73's
     * golden-ratio constant). The guarantee is deliberately modest — NOT
@@ -383,5 +401,69 @@ object CurationQueries {
              |  FROM d)
              |SELECT doc_id, source, n_tok FROM c WHERE cum_before < 700
              |ORDER BY doc_id""".stripMargin),
-      "per-source token-budget cut (700 tok): two-level prefix sums — bucket-level classification keeps/cuts whole priority spans, only the boundary span gets a doc-level window — vs DuckDB's naive full window (exactness proof)"))
+      "per-source token-budget cut (700 tok): two-level prefix sums — bucket-level classification keeps/cuts whole priority spans, only the boundary span gets a doc-level window — vs DuckDB's naive full window (exactness proof)"),
+
+    Q(
+      "q132_dsir_importance",
+      (s, d) => {
+        // DSIR-style importance weighting (Xie et al. 2023, "Data
+        // Selection for Language Models via Importance Resampling",
+        // public paper): per-doc log importance weight under hashed
+        // unigram bag-of-words models — target distribution = the
+        // lang='en' slice, raw distribution = the whole corpus, Laplace
+        // +1 smoothing over B=256 hash buckets. log w(doc) =
+        // Σ_tokens [ln p_target(b(tok)) − ln p_raw(b(tok))]; docs with
+        // high log-w look like the target — the standard
+        // quality-resampling signal. SCALE: the bucket hash is the
+        // engine-portable q31 rolling hash (pure per-row expression);
+        // bucket counts are ONE map-side-combined agg onto 256 keys
+        // (bounded output — tiny however large the corpus); totals are a
+        // 1-row cross-joined agg; each bucket's per-token contribution
+        // is precomputed on the 256-row frame (the q130 rate_ppm
+        // discipline — never per token) and joined back unhinted (AQE
+        // broadcasts 256 rows); the per-doc agg shuffles on the
+        // high-cardinality doc_id. DETERMINISM: the contribution is ONE
+        // shared double expression floored to int64 micros; per-doc
+        // scores are order-independent integer sums.
+        val tok = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .withColumn("bucket",
+            graft.operators.TextAnalysis.fingerprint(col("token")) % DsirB)
+        val counts = tok.groupBy(col("bucket")).agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tot = counts.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("contrib_micros", expr(dsirMicros))
+          .select(col("bucket"), col("contrib_micros"))
+        tok.join(rates, "bucket")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("contrib_micros")).as("logw_micros"))
+          .select(col("doc_id"), col("n_tok"), col("logw_micros"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, lang, token,
+             |    list_reduce(list_transform(string_split(token, ''),
+             |        c -> CAST(unicode(c) AS BIGINT)),
+             |      (a, b) -> (a * 31 + b) % 1000000000000000) % $DsirB AS bucket
+             |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  WHERE token <> ''),
+             |c AS (
+             |  SELECT bucket, count(*) AS cr,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+             |  FROM tok GROUP BY bucket),
+             |t AS (
+             |  SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+             |    CAST(sum(ct) AS BIGINT) AS t_tot FROM c),
+             |r AS (SELECT bucket, $dsirMicros AS contrib_micros FROM c CROSS JOIN t)
+             |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(contrib_micros) AS BIGINT) AS logw_micros
+             |FROM tok JOIN r USING (bucket)
+             |GROUP BY tok.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "DSIR-style importance weights: hashed-unigram (B=256, portable rolling hash) Laplace-smoothed log-ratio of the lang='en' target model vs the raw-corpus model, per-doc integer-micros sum — bounded bucket agg + 256-row contribution broadcast, doc-keyed final agg"))
 }

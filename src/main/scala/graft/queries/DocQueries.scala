@@ -28,6 +28,27 @@ object DocQueries {
   private val StopFloor = 0.02
   private val DupCeil = 0.2
 
+  /** q131's fixed query-term set (a literal in the plan — the operator is
+    * "retrieve for ONE query"; a query BATCH would broadcast a terms table
+    * instead, same plan shape).
+    */
+  private[queries] val bm25Terms = Seq("spark", "merge", "window")
+
+  /** Per-(doc, term) BM25 contribution in integer micros — ONE string,
+    * parsed by Spark's `expr` and interpolated verbatim into the DuckDB
+    * twin, so the IEEE expression tree cannot differ between engines.
+    * Every integer column is cast to DOUBLE before entering float math
+    * (the decimal-literal routing hazard in [[Q]]'s scaladoc); ln of the
+    * Lucene idf form is engine-portable under micros flooring (q61
+    * precedent). Expects columns tf, df, dl, n_docs, tot_dl in scope.
+    */
+  private[queries] val bm25Micros: String =
+    "CAST(floor(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
+      " / (CAST(df AS DOUBLE) + 0.5)) * CAST(tf AS DOUBLE) * 2.2" +
+      " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)" +
+      " / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))" +
+      " * 1000000 + 0.5) AS BIGINT)"
+
   val all: Seq[Q] = Seq(
     Q(
       "q24_docs_dedup_exact",
@@ -555,5 +576,64 @@ object DocQueries {
              |  CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
              |  CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
              |FROM f""".stripMargin),
-      "curation-funnel observability: one-pass staged survival counts (raw -> token bounds -> +stopword floor -> +repetition ceiling [= q75's gate] -> +exact-dedup winner), monotone by construction"))
+      "curation-funnel observability: one-pass staged survival counts (raw -> token bounds -> +stopword floor -> +repetition ceiling [= q75's gate] -> +exact-dedup winner), monotone by construction"),
+
+    Q(
+      "q131_bm25_topk",
+      (s, d) => {
+        // BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene
+        // idf = ln(1 + (N-df+0.5)/(df+0.5)) variant, k1=1.2, b=0.75):
+        // top-20 docs for a fixed query-term set — the keyword-search
+        // complement of the ANN operators (q37/q63/q122). SCALE: the
+        // postings frame is filtered to the query terms BEFORE its
+        // (doc_id, token) agg, so the shuffle carries only matching
+        // postings — at 100 TB that is |terms| inverted-index slices,
+        // not the corpus; df is a |terms|-row agg (AQE broadcasts it);
+        // corpus stats (N, total length) are a 1-row cross-joined agg;
+        // doc length joins back on the high-cardinality doc_id; final
+        // ranking is a TakeOrderedAndProject top-k, no global sort.
+        // DETERMINISM: per-(doc,term) contribution is ONE shared
+        // double expression ([[bm25Micros]], identical IEEE tree in
+        // both engines — every integer column cast before float math,
+        // the q130 rate_ppm discipline) floored to int64 micros; the
+        // per-doc score is then an order-independent integer sum, and
+        // the top-20 cut ties-breaks on doc_id over integer scores.
+        val docs = documents(s, d)
+        val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+        val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+        val tf = docs
+          .select(col("doc_id"), explode(toks).as("token"))
+          .filter(col("token").isin(bm25Terms: _*))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        tf.join(dfc, "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("c_micros", expr(bm25Micros))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hit"), sum(col("c_micros")).as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("n_hit"), col("score_micros"))
+      },
+      Some(s"""WITH dl AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+             |st AS (
+             |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+             |tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  WHERE token IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+             |  GROUP BY doc_id, token),
+             |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+             |sc AS (
+             |  SELECT tf.doc_id, $bm25Micros AS c_micros
+             |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             |  CAST(sum(c_micros) AS BIGINT) AS score_micros
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score_micros DESC, doc_id
+             |LIMIT 20""".stripMargin),
+      "BM25 top-20 lexical retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed query-term set — term-filtered postings agg, broadcast corpus stats, integer-micros scores summed order-independently; the keyword complement of the ANN operators"))
 }

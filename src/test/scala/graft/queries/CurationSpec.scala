@@ -169,6 +169,39 @@ class CurationSpec extends AnyFunSuite {
       s"no flattening: $frac")
   }
 
+  test("q132 DSIR: exact integer replay at sf0.001, and en docs outscore zh on average") {
+    // plain-Scala replay of the full pipeline: portable rolling hash →
+    // 256-bucket counts → Laplace log-ratio micros (same IEEE tree) →
+    // per-doc integer sums
+    def fp(tok: String): Long =
+      tok.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000000000000L)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).map(t => (id, lang, fp(t) % 256))
+    }
+    val cr = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = toks.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val (rTot, tTot) = (cr.values.sum, ct.values.sum)
+    val contrib = cr.keys.map { b =>
+      b -> math.floor(math.log(
+        ((ct(b) + 1).toDouble / (tTot + 256).toDouble) /
+          ((cr(b) + 1).toDouble / (rTot + 256).toDouble)) * 1000000 + 0.5).toLong
+    }.toMap
+    val expected = toks.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(x => contrib(x._3)).sum)
+    }.toMap
+    val got = Registry.byName("q132_dsir_importance").fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the weight measures en-likeness: mean log-w of en docs must exceed zh
+    val byLang = docs.map { case (id, lang, _) => lang -> got(id)._2 }
+    def mean(l: String) = { val v = byLang.filter(_._1 == l).map(_._2); v.sum.toDouble / v.length }
+    assert(mean("en") > mean("zh"), s"en=${mean("en")} zh=${mean("zh")}")
+  }
+
   test("q125 property: two-level cut equals the naive window on random corpora") {
     import org.scalacheck.Gen
     import org.apache.spark.sql.expressions.Window

@@ -152,6 +152,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("q131 BM25: matches a driver-side brute-force recount exactly") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val terms = Seq("spark", "merge", "window")
+    val nD = docs.length.toLong
+    val totDl = docs.map(_._2.length.toLong).sum
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    // same IEEE tree as bm25Micros: idf * tf * 2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl))
+    val brute = docs.flatMap { case (id, ws) =>
+      val dl = ws.length.toLong
+      val hits = terms.map(t => t -> ws.count(_ == t).toLong).filter(_._2 > 0)
+      if (hits.isEmpty) None
+      else {
+        val score = hits.map { case (t, tf) =>
+          val df = dfm(t)
+          math.floor(math.log(1 + (nD.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) *
+            tf.toDouble * 2.2 /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / (totDl.toDouble / nD.toDouble))) *
+            1000000 + 0.5).toLong
+        }.sum
+        Some((id, hits.length.toLong, score))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20).toSeq
+    val got = Registry.byName("q131_bm25_topk").fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute)
+  }
+
   test("q111 SCD2: intervals chain, versions consecutive, one current row per user") {
     val rows = Registry.byName("q111_user_status_history").fn(spark, sf0001).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))

@@ -31,7 +31,9 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q122_pq_adc_topk" -> "cross-join of the 1-row query vector (ADC scoring touches codes only)",
     "q123_ivfpq_topk" -> "cross-joins of the 1-row query vector / <=nProbe probed list ids",
     "q118_rolling_active_users" -> "cross-join of the 1-row max-observed-day aggregate (report-day cap)",
-    "q130_temperature_sample" -> "cross-join of the 1-row (n_total, sum-of-weights) totals aggregate")
+    "q130_temperature_sample" -> "cross-join of the 1-row (n_total, sum-of-weights) totals aggregate",
+    "q131_bm25_topk" -> "cross-join of the 1-row corpus-stats (N, total-length) aggregate",
+    "q132_dsir_importance" -> "cross-join of the 1-row token-totals aggregate into the 256-row bucket frame")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
