@@ -49,6 +49,15 @@ object DocQueries {
       " / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))" +
       " * 1000000 + 0.5) AS BIGINT)"
 
+  /** q133's per-bigram-instance log-prob contribution in integer micros —
+    * the [[bm25Micros]] shared-string discipline. COALESCE(…, 0) folds the
+    * left-join misses (bigram/left-word unseen in the model slice) into
+    * the Laplace smoothing. Expects columns c12, c1, v_sz in scope.
+    */
+  private[queries] val bigramLmMicros: String =
+    "CAST(floor(ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)" +
+      " / CAST(COALESCE(c1, 0) + v_sz AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
   val all: Seq[Q] = Seq(
     Q(
       "q24_docs_dedup_exact",
@@ -635,5 +644,74 @@ object DocQueries {
              |FROM sc GROUP BY doc_id
              |ORDER BY score_micros DESC, doc_id
              |LIMIT 20""".stripMargin),
-      "BM25 top-20 lexical retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed query-term set — term-filtered postings agg, broadcast corpus stats, integer-micros scores summed order-independently; the keyword complement of the ANN operators"))
+      "BM25 top-20 lexical retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed query-term set — term-filtered postings agg, broadcast corpus stats, integer-micros scores summed order-independently; the keyword complement of the ANN operators"),
+
+    Q(
+      "q133_bigram_lm_score",
+      (s, d) => {
+        // CCNet-style LM scoring (Wenzek et al. 2020 filter corpora by
+        // reference-LM perplexity; public paper): per-doc log-probability
+        // under a Laplace-smoothed bigram model fitted on the lang='en'
+        // slice — p(w2|w1) = (c12+1)/(c1+V). Low (very negative) scores
+        // per bigram = text unlike the reference slice; the
+        // perplexity-filter signal without an external model artifact.
+        // SCALE: the model is two data-proportional count aggregates
+        // (bigram and left-word) joined back UNHINTED on their
+        // high-cardinality string keys — parallel shuffle joins that grow
+        // with the vocabulary, never a broadcast of a data-sized frame
+        // (at 100 TB, swap the join key for xxhash64(b) with equality
+        // re-check, q124's documented key swap, and prune the model to a
+        // top-V' cut). V is a 1-row distinct-vocab agg, cross-joined
+        // broadcast. Each distinct (doc, bigram) scores ONCE and
+        // multiplies its floored int64-micros contribution by the exact
+        // in-doc count, so per-doc totals are order-independent integer
+        // sums ([[bigramLmMicros]] is the one shared IEEE tree). Docs
+        // with <2 tokens have no bigrams and drop out by construction.
+        val docs = documents(s, d)
+        val bgs = docs
+          .select(col("doc_id"), col("lang"),
+            explode(graft.operators.TextAnalysis.bigramArray(split(col("text"), " ")))
+              .as("b"))
+          .withColumn("w1", element_at(split(col("b"), "_"), 1))
+        val en = bgs.filter(col("lang") === "en")
+        val c12 = en.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+        val c1 = en.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val vocab = docs.filter(col("lang") === "en")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .agg(countDistinct(col("token")).as("v_sz"))
+        val dbg = bgs.groupBy(col("doc_id"), col("b"), col("w1"))
+          .agg(count(lit(1)).as("k"))
+        dbg.join(c12, Seq("b"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .withColumn("contrib", expr(bigramLmMicros) * col("k"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_bigrams"), sum(col("contrib")).as("logp_micros"))
+          .select(col("doc_id"), col("n_bigrams"), col("logp_micros"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_transform(range(greatest(len(w) - 1, 0)),
+             |      i -> w[i+1] || '_' || w[i+2])) AS b
+             |  FROM t),
+             |bgw AS (SELECT doc_id, lang, b, string_split(b, '_')[1] AS w1 FROM bg),
+             |c12 AS (SELECT b, count(*) AS c12 FROM bgw WHERE lang = 'en' GROUP BY b),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bgw WHERE lang = 'en' GROUP BY w1),
+             |v AS (
+             |  SELECT count(DISTINCT token) AS v_sz FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS token
+             |    FROM documents WHERE lang = 'en')),
+             |dbg AS (
+             |  SELECT doc_id, b, w1, count(*) AS k FROM bgw GROUP BY doc_id, b, w1),
+             |sc AS (
+             |  SELECT dbg.doc_id, dbg.k, $bigramLmMicros * dbg.k AS contrib
+             |  FROM dbg LEFT JOIN c12 USING (b) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+             |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(contrib) AS BIGINT) AS logp_micros
+             |FROM sc GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      "CCNet-style bigram-LM log-prob score: Laplace p(w2|w1)=(c12+1)/(c1+V) fitted on the en slice, per-doc integer-micros sums — data-proportional model aggs joined back on high-cardinality keys, 1-row vocab broadcast; the perplexity-filter signal"))
 }

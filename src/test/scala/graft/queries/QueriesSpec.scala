@@ -181,6 +181,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("q133 bigram LM: matches a driver-side brute-force recount; en outscores zh per bigram") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val enBgs = docs.filter(_._2 == "en")
+      .flatMap(d => d._3.dropRight(1).zip(d._3.drop(1)))
+    val c12 = enBgs.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap.withDefaultValue(0L)
+    val c1 = enBgs.groupBy(_._1).view.mapValues(_.length.toLong)
+      .toMap.withDefaultValue(0L)
+    val vSz = docs.filter(_._2 == "en").flatMap(_._3).distinct.length.toLong
+    val expected = docs.flatMap { case (id, _, ws) =>
+      val bgs = ws.dropRight(1).zip(ws.drop(1))
+      if (bgs.isEmpty) None
+      else Some((id, (bgs.length.toLong, bgs.map { bg =>
+        math.floor(math.log((c12(bg) + 1).toDouble / (c1(bg._1) + vSz).toDouble) *
+          1000000 + 0.5).toLong
+      }.sum)))
+    }.toMap
+    val got = Registry.byName("q133_bigram_lm_score").fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the model is fitted on en: per-bigram mean log-prob must rank en above zh
+    def meanPerBigram(lang: String): Double = {
+      val xs = docs.filter(_._2 == lang).flatMap(d => got.get(d._1))
+      xs.map(_._2).sum.toDouble / xs.map(_._1).sum
+    }
+    assert(meanPerBigram("en") > meanPerBigram("zh"),
+      s"en=${meanPerBigram("en")} zh=${meanPerBigram("zh")}")
+  }
+
   test("q111 SCD2: intervals chain, versions consecutive, one current row per user") {
     val rows = Registry.byName("q111_user_status_history").fn(spark, sf0001).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))

@@ -33,7 +33,8 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q118_rolling_active_users" -> "cross-join of the 1-row max-observed-day aggregate (report-day cap)",
     "q130_temperature_sample" -> "cross-join of the 1-row (n_total, sum-of-weights) totals aggregate",
     "q131_bm25_topk" -> "cross-join of the 1-row corpus-stats (N, total-length) aggregate",
-    "q132_dsir_importance" -> "cross-join of the 1-row token-totals aggregate into the 256-row bucket frame")
+    "q132_dsir_importance" -> "cross-join of the 1-row token-totals aggregate into the 256-row bucket frame",
+    "q133_bigram_lm_score" -> "cross-join of the 1-row distinct-vocab aggregate")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
