@@ -40,10 +40,23 @@ object Tables {
     events(spark, dir).createOrReplaceTempView("events")
   }
 
-  /** events with `ts` as TIMESTAMP_NTZ (µs, UTC wall clock). */
+  /** events with `ts` as TIMESTAMP_NTZ (µs, UTC wall clock).
+    *
+    * Handles BOTH testdata layouts the driver has shipped: the original
+    * TIMESTAMP(NANOS) files (arrive as BIGINT ns under the escape hatch,
+    * converted ns→µs here) and the current TIMESTAMP(MICROS) files (arrive
+    * as a native timestamp already). Either way the result is the same
+    * µs-precision TIMESTAMP_NTZ, bit-identical with DuckDB's
+    * `CAST(ts AS TIMESTAMP)` on the oracle side.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+    val raw = t(spark, dir, "events")
+    val converted = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    converted.withColumn("ts", col("ts").cast(TimestampNTZType))
   }
 }

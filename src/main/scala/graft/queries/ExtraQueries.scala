@@ -99,35 +99,32 @@ object ExtraQueries {
         // Discrete percentiles pick an ACTUAL data value, so no
         // interpolation arithmetic exists to diverge by 1 ulp between
         // engines and flip a rounded digit (interpolated quantile_cont vs
-        // percentile did exactly that at sf0.001). Computed as ONE window
-        // sort + rank targets instead of three separate sort-based
-        // percentile_disc aggregates (one shuffle+sort per group, not 3):
-        // percentile_disc(q) = the ceil(q*n)-th value in sort order, with
-        // the target derived in exact integer arithmetic (a double q*n can
-        // land a hair above an integer and shift the pick).
-        // SCALE: the window partitions by l_returnflag (3 values) — exact
-        // per-group percentiles inherently sort each group through one
-        // task, so this query is the exact ORACLE BASELINE; the 100 TB
-        // path is q68's approx_percentile sketch (fully parallel,
-        // tolerance pinned in ScalaTest). ScaleGuardSpec enforces that
-        // every bounded-key window carries this documented pairing.
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-        def target(num: Long, den: Long) = // integer ceil(n*num/den); DIV, not `/` (double)
-          expr(s"(__n * $num + ${den - 1}) DIV $den")
-        def pick(num: Long, den: Long) =
-          max(when(col("__rn") === target(num, den), col("l_extendedprice")))
-        lineitem(s, d)
-          .select(col("l_returnflag"), col("l_extendedprice"))
-          // percentile_disc ignores nulls; the rank formula must too, or a
-          // null price would shift every target (nulls sort first in Spark)
-          .filter(col("l_extendedprice").isNotNull)
-          .withColumn("__rn", row_number().over(w).cast("long"))
-          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-          .groupBy(col("l_returnflag"))
-          .agg(
-            round(pick(1, 2), 2).as("p50"),
-            round(pick(9, 10), 2).as("p90"),
-            round(pick(99, 100), 2).as("p99"))
+        // percentile did exactly that at sf0.001).
+        // SCALE (round 6): EXACT and fully parallel. Earlier rounds ran a
+        // row_number window partitioned by the 3-value l_returnflag — a
+        // whole-table sort through 3 tasks at 100 TB, tolerated only as a
+        // fenced oracle baseline. Now OrderStats.percentilesDisc reduces
+        // facts to the distinct-price table (shuffle keyed on the PRICE),
+        // builds the exact cumulative count via bucketed two-level prefix
+        // sums (within-bucket windows hold <= W distinct values; the only
+        // enum-partition window runs over O(price-range/W) HISTOGRAM
+        // rows), and picks the smallest price whose cumulative reaches
+        // ceil(q*n) in exact integer arithmetic. Same answer as
+        // percentile_disc, no bounded-parallelism sort anywhere. q68's
+        // approx_percentile sketch remains the one-pass monitoring
+        // variant.
+        graft.operators.OrderStats.percentilesDisc(
+          lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice",
+          // monotone integer order key for bucketing only (the pick
+          // returns the exact double); bit-portable floor(x*100+0.5)
+          expr("CAST(floor(l_extendedprice * 100.0D + 0.5D) AS BIGINT)"),
+          100000L,
+          Seq(("__p50", 1L, 2L), ("__p90", 9L, 10L), ("__p99", 99L, 100L)))
+          .select(col("l_returnflag"),
+            round(col("__p50"), 2).as("p50"),
+            round(col("__p90"), 2).as("p90"),
+            round(col("__p99"), 2).as("p99"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
@@ -370,33 +367,35 @@ object ExtraQueries {
     Q(
       "q78_range_frame",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         // RANGE frame over a value (not row) window: peers within $1000 of
         // the current order's price, per status — integer-exact END TO END.
         // Ordering/framing by the double price puts the ±bound comparison on
         // float parity (boundary rows flip between engines), so the frame
-        // runs over integer cents. Round 5 hardening (driver red in r4
-        // despite a local tri-scale pass — VERDICT r4 #2): cents now come
-        // from the bit-portable floor(x*100+0.5) idiom (pure IEEE ops,
-        // identical expression trees; q85's green fixed-point precedent)
-        // instead of the version-sensitive double→DECIMAL(18,6) cast, and
-        // the raw-double o_totalprice passthrough is dropped from the
-        // output in favor of the canonical integer cents. The old idioms
-        // are adjudicated separately by probes q90/q91/q93.
-        // SCALE: partitions by o_orderstatus (3 values) — exact RANGE
-        // frames need the whole group in sort order, so like q46 this is
-        // the exact ORACLE BASELINE; the 100 TB path is q89's pre-bucketed
-        // cents histogram. Pairing enforced by ScaleGuardSpec.
+        // runs over integer cents (bit-portable floor(x*100+0.5); the old
+        // DECIMAL-cast idioms were adjudicated by the retired r5 probes).
+        // SCALE (round 6): EXACT and fully parallel. Earlier rounds ran
+        // the RANGE frame as written — a whole-table sort through the
+        // 3-value o_orderstatus, tolerated only as a fenced baseline. The
+        // band sum decomposes over the inclusive cumulative as
+        // C(v+hw) − C(v−hw−1), so OrderStats.bandCountSum computes the
+        // exact cumulative on the distinct-cents table (two-level bucketed
+        // prefix sums — fact shuffles keyed on CENTS, enum-partition
+        // windows only over O(price-range/W) histogram rows) and answers
+        // per distinct value; one high-cardinality (status, cents) join
+        // brings it back per order row. Same answer as the RANGE frame at
+        // any scale. q89's coarse-bucket histogram stays as the
+        // report-sized monitoring variant.
         val staged = orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus"),
             expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)").as("cents"))
-        val w = Window.partitionBy(col("o_orderstatus"))
-          .orderBy(col("cents"))
-          .rangeBetween(-100000L, 100000L)
+        val band = graft.operators.OrderStats.bandCountSum(
+          staged.select(col("o_orderstatus"), col("cents")),
+          Seq("o_orderstatus"), "cents", halfWidth = 100000L, bucketWidth = 100000L)
         staged
+          .join(band, Seq("o_orderstatus", "cents"))
           .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
-            count(lit(1)).over(w).as("n_near"),
-            sum(col("cents")).over(w).as("sum_near_cents"))
+            col("n_band").as("n_near"),
+            col("sum_band").as("sum_near_cents"))
           .orderBy(col("o_orderkey"))
       },
       Some("""WITH c AS (
