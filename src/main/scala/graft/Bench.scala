@@ -102,6 +102,12 @@ object Bench {
     // only heap_mb because queries came first and was truncated away).
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","heap_mb":$heaps$errsJson,"queries":$qs}"""
     println(line)
+    // SECOND, compact summary line: the driver keeps only the log TAIL, so
+    // with 125 queries the big line above gets truncated mid-map and the
+    // driver's "parsed" field has been null for three rounds. This line is
+    // always short enough to survive the tail whole — the full per-query
+    // map still lives in the big line / target/bench.json.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_errors":${errors.size}}""")
     // the driver keeps only the log tail, which truncates the per-query map
     // — persist the full line so each round's complete numbers can be
     // committed as BENCH_r*_full.json and compared across rounds

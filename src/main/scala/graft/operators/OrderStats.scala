@@ -119,9 +119,13 @@ object OrderStats {
     val facts = df.filter(col(value).isNotNull)
     val cum = distinctCum(facts, parts, value, ord, bucketWidth,
       Seq("n" -> count(lit(1))))
-    // per-group totals: tiny (|groups| rows), broadcast back
+    // per-group totals: |groups| rows — tiny for enum callers, but `parts`
+    // is caller-supplied, so a STATIC broadcast hint here would force an
+    // unbounded build side for high-cardinality groupings. No hint: AQE
+    // sees the aggregate's actual runtime size and auto-broadcasts the
+    // tiny case while keeping a shuffle join safe for the large one.
     val totals = facts.groupBy(p: _*).agg(count(lit(1)).as("__n_total"))
-    val withN = cum.join(broadcast(totals), parts)
+    val withN = cum.join(totals, parts)
     // the pick row for quantile q is where cum_n first reaches the target:
     // cum_n - n < k <= cum_n  — ONE parallel scan of the distinct table
     val picks = quantiles.map { case (name, num, den) =>
@@ -236,8 +240,13 @@ object OrderStats {
       .withColumn("__side", lit("hi"))
     val lo = distinctVals
       // values are non-negative; v - hw - 1 can go negative, where C() is
-      // simply 0 — clamp the DIV-bucketing by flooring at -1 into its own
-      // bucket via greatest(-1): DIV on -1 gives bucket -1 (< all data)
+      // simply 0 — clamp at -1. Spark's DIV truncates toward zero, so
+      // -1 DIV W = 0: the clamped query lands in bucket 0 WITH the data,
+      // not below it. Still exact: within bucket 0 the query value -1
+      // sorts before every non-negative data value (so no __cum carries
+      // forward onto it), and its bucket-level fallback base is the sum
+      // of buckets strictly before bucket 0, i.e. 0 — hence C(-1) = 0.
+      // If the clamp value ever changes, it must stay < all data values.
       .withColumn("__q", greatest(col(value) - lit(halfWidth + 1), lit(-1L)))
       .withColumn("__side", lit("lo"))
     val q = hi.unionByName(lo)

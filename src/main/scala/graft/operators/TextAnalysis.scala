@@ -23,6 +23,11 @@ object TextAnalysis {
     * tie-break by reverse lang code via sort_array on (score, lang) structs.
     */
   def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // NB the repeated `toks` / `best` references here are all at the SAME
+    // projection level (arguments of filter/size/getField, not inside a
+    // lambda body), so runtime subexpression elimination dedupes them —
+    // measured neutral vs explicit staging. Contrast withSketch, where
+    // lambda-INTERIOR references defeat CSE and staging won 5.3x.
     val toks = split(lower(col(textCol)), " ")
     val scored = array(langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
@@ -112,7 +117,13 @@ object TextAnalysis {
     * the hash is engine-specific xxhash64).
     */
   def withSketch(docs: DataFrame, n: Int = 4, k: Int = 8): DataFrame = {
-    val toks = split(col("text"), " ")
+    // STAGE the token array: inlined, `split` re-tokenizes the whole text
+    // inside every element_at of the n-gram lambda — n splits per gram
+    // position = O(len²) per doc, and runtime subexpression elimination
+    // cannot reach INSIDE higher-order-function lambda bodies (measured
+    // 5.3x on q41 at sf0.1; same-level repeats, as in withLangId, are
+    // CSE'd fine). Referenced many times, so CollapseProject keeps it.
+    val toks = col("__toks")
     // guard: docs shorter than n tokens get an empty sketch (unguarded
     // element_at past the array end throws under ANSI mode)
     val grams = when(size(toks) >= n,
@@ -120,6 +131,9 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => xxhash64(concat_ws("_", (0 until n).map(o => element_at(toks, i + lit(o))): _*))))
       .otherwise(array().cast("array<bigint>"))
-    Par.fanOut(docs).withColumn("sketch", slice(array_sort(array_distinct(grams)), 1, k))
+    Par.fanOut(docs)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("sketch", slice(array_sort(array_distinct(grams)), 1, k))
+      .drop("__toks")
   }
 }

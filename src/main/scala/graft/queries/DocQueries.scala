@@ -249,11 +249,16 @@ object DocQueries {
       "q74_docs_repetition",
       (s, d) => {
         import graft.operators.TextAnalysis.bigramArray
-        // staged projections: the grams array and the distinct-size are
-        // non-cheap expressions — materialize each ONCE, then derive the
-        // scalars (inlining re-evaluates them per output column)
+        // staged projections: the token array, the grams array, and the
+        // distinct-size are non-cheap expressions — materialize each ONCE,
+        // then derive the scalars. The TOKEN stage matters most: an inline
+        // split re-tokenizes the text inside every element_at of
+        // bigramArray's lambda (lambda-interior references defeat runtime
+        // CSE — O(len²)/doc, measured 6x on q74 at sf0.1; q75 had it
+        // staged already, hence its r6 bench gap to q74 on shared work)
         documents(s, d)
-          .select(col("doc_id"), bigramArray(split(col("text"), " ")).as("__g2"))
+          .select(col("doc_id"), split(col("text"), " ").as("__t"))
+          .select(col("doc_id"), bigramArray(col("__t")).as("__g2"))
           .select(col("doc_id"),
             size(col("__g2")).cast("long").as("n_2grams"),
             (size(col("__g2")) - size(array_distinct(col("__g2")))).cast("long")
@@ -669,9 +674,11 @@ object DocQueries {
         // with <2 tokens have no bigrams and drop out by construction.
         val docs = documents(s, d)
         val bgs = docs
+          // token array staged before bigramArray (the q74 rule: an inline
+          // split re-evaluates per lambda-interior element_at, O(len²)/doc)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__t"))
           .select(col("doc_id"), col("lang"),
-            explode(graft.operators.TextAnalysis.bigramArray(split(col("text"), " ")))
-              .as("b"))
+            explode(graft.operators.TextAnalysis.bigramArray(col("__t"))).as("b"))
           .withColumn("w1", element_at(split(col("b"), "_"), 1))
         val en = bgs.filter(col("lang") === "en")
         val c12 = en.groupBy(col("b")).agg(count(lit(1)).as("c12"))

@@ -152,15 +152,21 @@ object EventQueries {
     Q(
       "q79_events_variant",
       (s, d) =>
-        // Spark 4's VariantType path: parse once into the binary variant
-        // encoding, then typed extraction — the modern engine-native
-        // answer to schemaless JSON columns (vs per-field string parsing
-        // in q23). Oracle uses DuckDB's JSON extension on the same path.
+        // Spark 4's VariantType path: parse ONCE into the binary variant
+        // encoding via a staging projection, then typed extraction — the
+        // modern engine-native answer to schemaless JSON columns (vs
+        // per-field string parsing in q23). The two variant_gets share the
+        // staged column; CollapseProject keeps the single parse because it
+        // never inlines a non-cheap alias referenced more than once
+        // (PlanSpec pins exactly one parse_json in the optimized plan —
+        // r6 bench showed the inline double-parse costing ~2x).
+        // Oracle uses DuckDB's JSON extension on the same path.
         events(s, d)
+          .select(col("event_id"), parse_json(col("props")).as("__v"))
           .select(
             col("event_id"),
-            variant_get(parse_json(col("props")), "$.k", "long").as("prop_k"),
-            variant_get(parse_json(col("props")), "$.missing", "long").isNull
+            variant_get(col("__v"), "$.k", "long").as("prop_k"),
+            variant_get(col("__v"), "$.missing", "long").isNull
               .cast("long").as("k_missing"))
           .orderBy(col("event_id")),
       Some("""SELECT event_id,

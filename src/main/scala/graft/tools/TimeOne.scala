@@ -16,10 +16,14 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
-    val n0 = fn(spark, sfDir).count()
+    // noop materialization, same as Bench: a count() would let Catalyst
+    // prune every computed output column and time a stripped plan
+    def mat(): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    mat() // warm
     val t0 = System.nanoTime()
-    val n = fn(spark, sfDir).count()
-    println(f"TIMED $name rows=$n warm_rows=$n0 sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    mat()
+    println(f"TIMED $name sec=${(System.nanoTime() - t0) / 1e9}%.3f")
     if (args.contains("--explain")) fn(spark, sfDir).explain("formatted")
     spark.stop()
   }

@@ -44,6 +44,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q79: props is parsed into a variant exactly once, shared by both extractions") {
+    // the staged projection must survive optimization: CollapseProject
+    // keeps a non-cheap alias referenced more than once, so a regression
+    // to inline parse_json-per-field shows up as 2 parses here (r6 bench
+    // measured the double parse at ~2x the query's runtime)
+    val p = Registry.byName("q79_events_variant").fn(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    // the optimizer rewrites parse_json to static_invoke(...parseJson...)
+    val parses = "parseJson".r.findAllIn(p).length
+    assert(parses == 1, s"expected exactly 1 parseJson, got $parses:\n$p")
+    assert("variant_get".r.findAllIn(p).length == 2, p)
+  }
+
   test("q01: grouped agg runs as two-phase hash aggregation under codegen") {
     val p = finalPlan("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final

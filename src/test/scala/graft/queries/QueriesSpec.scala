@@ -490,4 +490,93 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(4L) == ((13L, 13L, Some(1L))))
     assert(got(5L) == ((1L, 0L, None)))
   }
+
+  /** Micro-corpus for the q131/q133 adversarial paths: "window" (a query
+    * term) appears in NO document, so its df=0 branch must contribute
+    * nothing rather than divide-by-zero or fabricate postings; doc 3 is a
+    * non-en doc whose bigrams AND left words never occur in the en model
+    * slice, so every one of its bigrams scores through pure Laplace
+    * smoothing ln(1/(0+V)).
+    */
+  private lazy val lmDir: String = {
+    val corpus = Seq(
+      (1L, "spark spark merge alpha", "en", "alpha"),
+      (2L, "alpha beta gamma", "en", "beta"),
+      (3L, "zz qq zz qq", "fr", "beta"), // all bigrams unseen in en
+      (4L, "merge beta merge spark beta", "en", "gamma"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    import spark.implicits._
+    corpus.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+  private val lmTokens: Map[Long, Seq[String]] = Map(
+    1L -> "spark spark merge alpha", 2L -> "alpha beta gamma",
+    3L -> "zz qq zz qq", 4L -> "merge beta merge spark beta")
+    .map { case (k, v) => k -> v.split(" ", -1).toSeq }
+
+  test("q131 BM25: brute-force recount; a query term absent from every doc (df=0) contributes nothing") {
+    // plain-Scala mirror of bm25Micros — identical association order
+    val toks = lmTokens
+    val nDocs = toks.size.toDouble
+    val totDl = toks.values.map(_.size).sum.toDouble
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.filter(DocQueries.bm25Terms.contains).groupBy(identity)
+        .map { case (t, xs) => (id, t, xs.size) } }
+    val dfc = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    assert(!dfc.contains("window"), "corpus must exercise the df=0 term")
+    val expected = tf.groupBy(_._1).map { case (id, hits) =>
+      val score = hits.map { case (_, t, k) =>
+        val df = dfc(t).toDouble; val dl = toks(id).size.toDouble
+        math.floor(math.log(1 + (nDocs - df + 0.5) / (df + 0.5)) * k * 2.2 /
+          (k + 1.2 * (0.25 + 0.75 * dl / (totDl / nDocs))) * 1000000 + 0.5).toLong
+      }.sum
+      id -> ((hits.size.toLong, score))
+    }
+    val got = Registry.byName("q131_bm25_topk").fn(spark, lmDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Long]("score_micros")))).toMap
+    assert(got == expected)
+    // docs 2 (no query terms) and 3 (non-en filler) must be absent
+    assert(got.keySet == Set(1L, 4L))
+  }
+
+  test("q131 BM25: zero rows when no query term occurs anywhere in the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm0").toString
+    import spark.implicits._
+    Seq((1L, "alpha beta", "en", "alpha", 10L), (2L, "beta gamma", "en", "beta", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Registry.byName("q131_bm25_topk").fn(spark, dir).count() == 0)
+  }
+
+  test("q133 bigram LM: brute-force recount; unseen-everything doc scores pure smoothing ln(1/V)") {
+    val toks = lmTokens
+    def bigrams(ts: Seq[String]): Seq[String] =
+      if (ts.size < 2) Seq.empty else ts.sliding(2).map(_.mkString("_")).toSeq
+    val en = toks.filter { case (k, _) => Set(1L, 2L, 4L)(k) }
+    val c12 = en.values.flatMap(bigrams).groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val c1 = en.values.flatMap(bigrams).map(_.split("_", -1).head)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val v = en.values.flatten.toSet.size
+    val expected = toks.collect { case (id, ts) if ts.size >= 2 =>
+      val perB = bigrams(ts).groupBy(identity).toSeq.map { case (b, xs) =>
+        val contrib = math.floor(math.log(
+          (c12.getOrElse(b, 0) + 1).toDouble / (c1.getOrElse(b.split("_", -1).head, 0) + v).toDouble)
+          * 1000000 + 0.5).toLong
+        (xs.size.toLong, contrib * xs.size)
+      }
+      id -> ((perB.map(_._1).sum, perB.map(_._2).sum))
+    }
+    val got = Registry.byName("q133_bigram_lm_score").fn(spark, lmDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("logp_micros")))).toMap
+    assert(got == expected)
+    // doc 3's bigrams and left words are all unseen in the en slice:
+    // every bigram instance must score exactly floor(ln(1/V)*1e6 + 0.5)
+    val pure = math.floor(math.log(1.0 / v) * 1000000 + 0.5).toLong
+    assert(got(3L) == ((3L, 3L * pure)))
+  }
 }

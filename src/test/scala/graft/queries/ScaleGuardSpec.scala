@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.catalyst.expressions.EqualTo
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, LocalLimit, LogicalPlan, Project, Repartition, RepartitionByExpression, ResolvedHint, Sort, SubqueryAlias, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, Generate, GlobalLimit, LocalLimit, LogicalPlan, Project, Repartition, RepartitionByExpression, ResolvedHint, Sort, SubqueryAlias, Union, Window => LogicalWindow}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import graft.SparkTestSession.{spark, sf0001}
 
@@ -139,27 +139,76 @@ class ScaleGuardSpec extends AnyFunSuite {
   private val enumCols = Set("l_returnflag", "l_linestatus", "o_orderstatus",
     "o_orderpriority", "c_mktsegment", "event_type", "lang")
 
-  private val boundedWindowExempt: Map[String, String] = Map(
-    "q46_price_percentiles" ->
-      "exact per-flag percentiles: oracle baseline; 100 TB path = q68 approx_percentile sketch",
-    "q78_range_frame" ->
-      "exact RANGE-frame oracle baseline (3-value o_orderstatus); 100 TB path = q89 pre-bucketed histogram, same pairing as q46->q68",
-    "q89_range_frame_hist" ->
-      "q78's sketch scale path: the window runs over the PRE-AGGREGATED histogram (O(price-range/bucket) rows per status, independent of input rows), not raw data")
+  /** Columns that are integral-division buckets of a domain-bounded value
+    * (`v DIV W`): their cardinality is O(value-domain / W), set by the data
+    * model, never by row count. A column belongs here ONLY if it is such a
+    * bucket — a high-cardinality natural key (user_id, orderkey) must NOT
+    * be added, or the histogram rule below would launder fact-sized sorts.
+    */
+  private val histogramCols = Set("__bucket", "bucket")
 
-  test("windows partitioned only by bounded-cardinality keys are documented baselines") {
+  /** A window partitioned only by bounded keys is scale-safe — no exemption
+    * needed — when it runs over PRE-AGGREGATED histogram rows: its input is
+    * an aggregate (or distinct, or union of such) whose grouping keys are a
+    * STRICT superset of the window partition keys, with every extra key a
+    * declared histogram bucket column. Each sort task then handles
+    * O(domain / bucketWidth) rows regardless of input scale (the q89 /
+    * OrderStats shape). Row-preserving wrappers, filters, and stacked
+    * windows pass through; anything else — a window straight over fact
+    * rows — fails, so reverting q46/q78 to enum-partitioned fact-row
+    * windows trips this test loudly.
+    */
+  private def histogramInput(winParts: Set[String])(p: LogicalPlan): Boolean = {
+    def finerBounded(keys: Set[String]): Boolean =
+      winParts.subsetOf(keys) && (keys -- winParts).nonEmpty &&
+        (keys -- winParts).subsetOf(histogramCols)
+    stripBenign(p) match {
+      case a: Aggregate =>
+        // a computed grouping key (`cents DIV 10000 AS bucket`, q89) is
+        // known by its OUTPUT name — that's the column the histogram is
+        // keyed on. CleanupAliases strips aliases from groupingExpressions
+        // in the analyzed plan, so recover the name from the semantically
+        // equal entry in the output list; plain keys fall back to refs.
+        finerBounded(a.groupingExpressions.flatMap { g =>
+          a.aggregateExpressions.collectFirst {
+            case al: Alias if al.child.semanticEquals(g) => Seq(al.name)
+            case at: org.apache.spark.sql.catalyst.expressions.Attribute
+              if at.semanticEquals(g) => Seq(at.name)
+          }.getOrElse(g.references.map(_.name).toSeq)
+        }.toSet)
+      case d: Deduplicate =>
+        finerBounded(d.keys.flatMap(_.references.map(_.name)).toSet)
+      case u: Union => u.children.forall(histogramInput(winParts))
+      case w: LogicalWindow => histogramInput(winParts)(w.child)
+      case f: Filter => histogramInput(winParts)(f.child)
+      case _ => false
+    }
+  }
+
+  /** Exact-result fact-row windows over bounded keys are allowed only as
+    * documented oracle baselines whose 100 TB path is a separate query
+    * (the q46->q68 pattern). Currently EMPTY: every registered bounded-key
+    * window is histogram-shaped (see histogramInput) — q46/q78 route
+    * through OrderStats' bucketed prefix sums and q89 windows its own
+    * pre-bucketed histogram. Kept as the documented fence for any future
+    * baseline that genuinely must sort fact rows through an enum key.
+    */
+  private val boundedWindowExempt: Map[String, String] = Map.empty
+
+  test("windows partitioned only by bounded-cardinality keys are histogram-shaped or documented baselines") {
     val offenders = Registry.all.flatMap { q =>
       val wins = analyzed(q).collect { case w: LogicalWindow => w }
       wins.flatMap { w =>
         val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
         val bounded = w.partitionSpec.isEmpty || refs.subsetOf(enumCols)
-        if (bounded && !boundedWindowExempt.contains(q.name)) Some((q.name, refs))
+        if (bounded && !histogramInput(refs)(w.child) &&
+          !boundedWindowExempt.contains(q.name)) Some((q.name, refs))
         else None
       }
     }
     assert(offenders.isEmpty,
       offenders.map { case (n, refs) =>
-        s"$n windows over bounded keys ${refs.mkString("{", ",", "}")} — a full-table sort through <=|enum| tasks at scale; add a sketch scale path and document the exemption"
+        s"$n windows fact rows over bounded keys ${refs.mkString("{", ",", "}")} — a full-table sort through <=|enum| tasks at scale; pre-aggregate to a histogram (OrderStats / q89 shape) or document the exemption"
       }.mkString("\n"))
   }
 
