@@ -289,11 +289,16 @@ object Dedup {
     while (!converged && it < maxIters) {
       it += 1
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .join(labels.select(col("doc_id").as("v"), col("component")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("component")).as("nbr_min"))
+      // carry the pre-step label through as __old so convergence detection
+      // below is a plain filter over the new checkpoint — the old
+      // formulation re-joined next against labels on doc_id, one whole
+      // extra shuffle-join job per iteration just to ask "did anything
+      // move?"
       val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
       // pointer jump: component := min(component, label(component)).
@@ -302,13 +307,13 @@ object Dedup {
       // the left join misses nothing; coalesce is belt-and-braces.
       val parents = labels
         .select(col("doc_id").as("component"), col("component").as("parent"))
+      val jumped =
+        least(col("component"), coalesce(col("parent"), col("component")))
       val next = stepped.join(parents, Seq("component"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("parent"), col("component")))
-            .as("component"))
+        .select(col("doc_id"), jumped.as("component"),
+          (jumped < col("__old")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") < col("old")).limit(1).count()
+      val changed = next.filter(col("__chg")).limit(1).count()
       release(labels) // superseded checkpoint — free its blocks eagerly
       labels = next
       converged = changed == 0
@@ -319,7 +324,9 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds — " +
           "aborting rather than returning a silently-split labeling " +
           "(with pointer jumping this needs diameter > 2^" + maxIters + ": a bug, not data)")
-    labels
+    // __chg is loop bookkeeping; release() traverses the plan, so callers
+    // freeing this projected frame still hit the checkpoint underneath
+    labels.drop("__chg")
   }
 
   /** Free the executor-storage blocks behind a frame returned by

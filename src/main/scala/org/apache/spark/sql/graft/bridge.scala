@@ -21,10 +21,13 @@ object bridge {
     * `localCheckpoint`ed Dataset. The checkpointed data lives in the RDD
     * wrapped by the Dataset's `LogicalRDD` plan node (`private[sql]`,
     * hence this shim); `Dataset.unpersist` only talks to the CacheManager
-    * and never frees it. No-op for non-checkpointed plans.
+    * and never frees it. Traverses the whole plan so a projection over a
+    * checkpoint (e.g. an internal bookkeeping column dropped before
+    * return) still releases the underlying RDD. No-op when the plan holds
+    * no checkpoint.
     */
   def releaseCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.logical match {
+    df.queryExecution.logical.foreach {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
