@@ -60,12 +60,21 @@ object OrderStats {
       measures: Seq[(String, Column)]): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = parts.map(col)
+    // LAZY local checkpoint: the distinct-value table is consumed by TWO
+    // subtrees (within-bucket windows + bucket totals), and without the
+    // checkpoint each consumer re-plans the whole fact-side aggregate —
+    // at 100 TB that is a second full scan+shuffle of the input per
+    // consumer (PLANAUDIT r7 counted 7 fact scans in q78 before this).
+    // The checkpointed frame is DOMAIN-bounded (distinct values), so its
+    // storage is small however large the input; lazy = materialized once
+    // by the first action, shared by every consumer in the same job.
     val g = df
       .groupBy((p :+ col(value)): _*)
       .agg(measures.head._2.as(measures.head._1),
         measures.tail.map { case (n, c) => c.as(n) }: _*)
       .withColumn("__ord", ord.cast("long"))
       .withColumn("__bucket", expr(s"__ord DIV $bucketWidth"))
+      .localCheckpoint(false)
 
     // within-bucket running sums: partitions bounded by W distinct values
     val wIn = Window
@@ -119,12 +128,12 @@ object OrderStats {
     val facts = df.filter(col(value).isNotNull)
     val cum = distinctCum(facts, parts, value, ord, bucketWidth,
       Seq("n" -> count(lit(1))))
-    // per-group totals: |groups| rows — tiny for enum callers, but `parts`
-    // is caller-supplied, so a STATIC broadcast hint here would force an
-    // unbounded build side for high-cardinality groupings. No hint: AQE
-    // sees the aggregate's actual runtime size and auto-broadcasts the
-    // tiny case while keeping a shuffle join safe for the large one.
-    val totals = facts.groupBy(p: _*).agg(count(lit(1)).as("__n_total"))
+    // per-group totals roll up from the DISTINCT table (Σ per-value n),
+    // not from facts — a second fact aggregate would be a second full
+    // input scan at 100 TB. |groups| rows; no static broadcast hint
+    // (`parts` is caller-supplied, so the frame is only bounded for enum
+    // callers — AQE auto-broadcasts the tiny case at runtime).
+    val totals = cum.groupBy(p: _*).agg(sum(col("n")).as("__n_total"))
     val withN = cum.join(totals, parts)
     // the pick row for quantile q is where cum_n first reaches the target:
     // cum_n - n < k <= cum_n  — ONE parallel scan of the distinct table
@@ -159,10 +168,23 @@ object OrderStats {
       bucketWidth: Long,
       measures: Seq[(String, Column)],
       queries: DataFrame,
+      xCol: String): DataFrame =
+    cumAtOn(distinctCum(df, parts, value, col(value), bucketWidth, measures),
+      parts, value, bucketWidth, measures.map(_._1), queries, xCol)
+
+  /** [[cumAt]] over an ALREADY-computed [[distinctCum]] frame — callers
+    * holding the histogram (e.g. [[bandCountSum]], which also derives its
+    * query points from it) avoid re-aggregating the fact input.
+    */
+  private def cumAtOn(
+      cum: DataFrame,
+      parts: Seq[String],
+      value: String,
+      bucketWidth: Long,
+      names: Seq[String],
+      queries: DataFrame,
       xCol: String): DataFrame = {
     val p = parts.map(col)
-    val names = measures.map(_._1)
-    val cum = distinctCum(df, parts, value, col(value), bucketWidth, measures)
 
     // ---- bucket level: base(b_q) = totals of data buckets strictly < b_q
     val dataB = cum
@@ -234,7 +256,11 @@ object OrderStats {
       "n" -> count(lit(1)),
       "vsum" -> sum(col(value)))
     val facts = df.select((parts.map(col) :+ col(value).cast("long").as(value)): _*)
-    val distinctVals = facts.groupBy((parts.map(col) :+ col(value)): _*).agg(count(lit(1)).as("__ignored")).drop("__ignored")
+    // ONE fact-side aggregate: the checkpointed distinct-value histogram
+    // feeds the query-point generators (hi/lo below) AND both as-of
+    // passes of cumAtOn — the facts themselves are scanned exactly once.
+    val cum0 = distinctCum(facts, parts, value, col(value), bucketWidth, measures)
+    val distinctVals = cum0.select((parts.map(col) :+ col(value)): _*)
     val hi = distinctVals
       .withColumn("__q", col(value) + lit(halfWidth))
       .withColumn("__side", lit("hi"))
@@ -250,7 +276,7 @@ object OrderStats {
       .withColumn("__q", greatest(col(value) - lit(halfWidth + 1), lit(-1L)))
       .withColumn("__side", lit("lo"))
     val q = hi.unionByName(lo)
-    val cums = cumAt(facts, parts, value, bucketWidth, measures, q, "__q")
+    val cums = cumAtOn(cum0, parts, value, bucketWidth, measures.map(_._1), q, "__q")
     cums
       .groupBy((parts.map(col) :+ col(value)): _*)
       .agg(
