@@ -212,6 +212,45 @@ class ScaleGuardSpec extends AnyFunSuite {
       }.mkString("\n"))
   }
 
+  test("histogram rule self-test: fact-row and high-card-key windows rejected, bucket histograms accepted") {
+    // guard-of-the-guard: the structural rule replaced per-query exemption
+    // strings, so prove on synthetic plans that it still rejects the two
+    // shapes the old test existed to catch, and accepts only the q89 one.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val facts = Seq(("A", 1L, 10L)).toDF("l_returnflag", "user_id", "v")
+    def winsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case x: LogicalWindow => x }
+    val enumW = Window.partitionBy(col("l_returnflag"))
+
+    // 1. window straight over fact rows: the 100 TB full-sort-through-
+    //    |enum|-tasks shape — must be rejected
+    val factWin = facts.withColumn("s", sum(col("v")).over(enumW.orderBy(col("v"))))
+    assert(winsOf(factWin).nonEmpty)
+    winsOf(factWin).foreach(x =>
+      assert(!histogramInput(Set("l_returnflag"))(x.child), "fact-row window laundered"))
+
+    // 2. aggregate grouped by (enum, high-card key): bounded partition
+    //    COUNT but fact-sized rows per partition — the extra key is not a
+    //    declared bucket column, must be rejected
+    val byUser = facts.groupBy(col("l_returnflag"), col("user_id"))
+      .agg(sum(col("v")).as("s"))
+      .withColumn("r", sum(col("s")).over(enumW.orderBy(col("user_id"))))
+    winsOf(byUser).foreach(x =>
+      assert(!histogramInput(Set("l_returnflag"))(x.child), "high-card agg laundered"))
+
+    // 3. the accepted q89 shape: aggregate keyed (enum, v DIV W bucket),
+    //    rows per window partition bounded by the value domain
+    val hist = facts.groupBy(col("l_returnflag"), expr("v DIV 10").as("bucket"))
+      .agg(sum(col("v")).as("s"))
+      .withColumn("r", sum(col("s")).over(enumW.orderBy(col("bucket"))))
+    val histWins = winsOf(hist)
+    assert(histWins.nonEmpty)
+    histWins.foreach(x =>
+      assert(histogramInput(Set("l_returnflag"))(x.child), "bucket histogram rejected"))
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = Registry.all.filter(q => physical(q).contains("CartesianProduct"))
     assert(offenders.isEmpty,
