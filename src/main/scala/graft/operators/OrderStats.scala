@@ -60,21 +60,34 @@ object OrderStats {
       measures: Seq[(String, Column)]): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = parts.map(col)
-    // LAZY local checkpoint: the distinct-value table is consumed by TWO
-    // subtrees (within-bucket windows + bucket totals), and without the
-    // checkpoint each consumer re-plans the whole fact-side aggregate —
-    // at 100 TB that is a second full scan+shuffle of the input per
-    // consumer (PLANAUDIT r7 counted 7 fact scans in q78 before this).
-    // The checkpointed frame is DOMAIN-bounded (distinct values), so its
-    // storage is small however large the input; lazy = materialized once
-    // by the first action, shared by every consumer in the same job.
-    val g = df
+    // SHARED distinct-value table: it is consumed by TWO subtrees
+    // (within-bucket windows + bucket totals), and without sharing each
+    // consumer re-plans the whole fact-side aggregate — at 100 TB that is
+    // a second full scan+shuffle of the input per consumer (PLANAUDIT r7
+    // counted 7 fact scans in q78 before this). The mechanism is a lazy
+    // localCheckpoint, chosen over persist() by measurement: a cached
+    // InMemoryRelation is an AQE boundary (no runtime stats cross it, so
+    // the tiny downstream frames lose their auto-broadcasts — 2.3x SLOWER
+    // than no sharing at all), while the checkpointed RDD feeds AQE real
+    // sizes (q78 3.1s -> 1.9s). Storage is DOMAIN-bounded (distinct
+    // values), small however large the input.
+    //
+    // KNOWN TRADE, conf-gated: under AQE a lazy checkpoint executes the
+    // upstream stages when the frame is BUILT (toRdd), so constructing
+    // the query runs the fact scan, and the checkpoint hides the scan
+    // subtree from logical-plan inspection. Tools that only want to LOOK
+    // at plans (ScaleGuardSpec) set spark.graft.orderstats.share=off to
+    // get the full unshared tree; execution paths keep the default.
+    val share =
+      df.sparkSession.conf.getOption("spark.graft.orderstats.share")
+        .forall(_ != "off")
+    val gBase = df
       .groupBy((p :+ col(value)): _*)
       .agg(measures.head._2.as(measures.head._1),
         measures.tail.map { case (n, c) => c.as(n) }: _*)
       .withColumn("__ord", ord.cast("long"))
       .withColumn("__bucket", expr(s"__ord DIV $bucketWidth"))
-      .localCheckpoint(false)
+    val g = if (share) gBase.localCheckpoint(false) else gBase
 
     // within-bucket running sums: partitions bounded by W distinct values
     val wIn = Window

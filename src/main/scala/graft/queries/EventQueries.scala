@@ -291,9 +291,11 @@ object EventQueries {
         // staple (how many events / how much value did this user generate
         // in the hour before each event): a value-RANGE frame over epoch
         // micros, partitioned by user_id. This is the RANGE-frame shape
-        // that IS scale-right — q78's frame partitions by a 3-value enum
-        // (documented exemption, q89 sketch pair), this one partitions by
-        // the high-cardinality user key, so parallelism grows with users.
+        // that IS scale-right as written — it partitions by the
+        // high-cardinality user key, so parallelism grows with users.
+        // (q78's ±band over a 3-value enum can't be written this way; it
+        // routes through OrderStats' bucketed prefix sums instead, with
+        // q89 as its histogram monitoring twin.)
         // RANGE (not ROWS) so same-microsecond peers get identical
         // frames in both engines; money in exact cents.
         val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))

@@ -20,7 +20,17 @@ object TimeOne {
     // prune every computed output column and time a stripped plan
     def mat(): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // sweep between runs, same as Bench: operators may persist/checkpoint
+    // bounded intermediates within a query; without the sweep the warm
+    // run's blocks stay resident under the timed run (and would also let
+    // the timed run read the warm run's cache — timing a cache hit, not
+    // the query)
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     mat() // warm
+    sweep()
     val t0 = System.nanoTime()
     mat()
     println(f"TIMED $name sec=${(System.nanoTime() - t0) / 1e9}%.3f")

@@ -41,11 +41,21 @@ class ScaleGuardSpec extends AnyFunSuite {
     */
   private val constantTables = Set("region", "nation")
 
+  // Full-tree inspection: operators that SHARE a bounded intermediate via
+  // a lazy checkpoint (OrderStats) would otherwise hide their fact-side
+  // subtree behind a LogicalRDD leaf — this guard must see through to the
+  // scans, so sharing is disabled for every plan built here (and the
+  // off-switch also keeps plan construction from executing jobs).
+  private def unshared[A](body: => A): A = {
+    spark.conf.set("spark.graft.orderstats.share", "off")
+    try body finally spark.conf.unset("spark.graft.orderstats.share")
+  }
+
   private def analyzed(q: Q): LogicalPlan =
-    q.fn(spark, sf0001).queryExecution.analyzed
+    unshared(q.fn(spark, sf0001).queryExecution.analyzed)
 
   private def physical(q: Q): String =
-    q.fn(spark, sf0001).queryExecution.executedPlan.toString
+    unshared(q.fn(spark, sf0001).queryExecution.executedPlan.toString)
 
   /** Strip row-count-preserving (or per-row-bounded) wrappers so the
     * boundedness check applies at the subtree's effective ROOT. Generate is
@@ -159,9 +169,12 @@ class ScaleGuardSpec extends AnyFunSuite {
     * windows trips this test loudly.
     */
   private def histogramInput(winParts: Set[String])(p: LogicalPlan): Boolean = {
+    // keys == winParts is also safe: the aggregate emits at most one row
+    // per window partition, so the "sort" is over ≤1 row — requiring a
+    // STRICT superset would force spurious exemptions for per-group
+    // share-of-total windows over enum aggregates
     def finerBounded(keys: Set[String]): Boolean =
-      winParts.subsetOf(keys) && (keys -- winParts).nonEmpty &&
-        (keys -- winParts).subsetOf(histogramCols)
+      winParts.subsetOf(keys) && (keys -- winParts).subsetOf(histogramCols)
     stripBenign(p) match {
       case a: Aggregate =>
         // a computed grouping key (`cents DIV 10000 AS bucket`, q89) is
@@ -249,6 +262,13 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(histWins.nonEmpty)
     histWins.foreach(x =>
       assert(histogramInput(Set("l_returnflag"))(x.child), "bucket histogram rejected"))
+
+    // 4. aggregate keyed EXACTLY by the partition keys: ≤1 row per window
+    //    partition (share-of-total shape) — also accepted, no exemption
+    val share = facts.groupBy(col("l_returnflag")).agg(sum(col("v")).as("s"))
+      .withColumn("tot", sum(col("s")).over(enumW))
+    winsOf(share).foreach(x =>
+      assert(histogramInput(Set("l_returnflag"))(x.child), "equal-keys agg rejected"))
   }
 
   test("no registered query plans a CartesianProduct") {
