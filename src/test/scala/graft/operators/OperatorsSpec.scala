@@ -78,6 +78,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("release: derived frames are a no-op, only the owned checkpoint is freed") {
+    import spark.implicits._
+    // release() must strip only row-preserving wrappers (the dropped
+    // bookkeeping column) — a frame that merely REFERENCES the checkpoint
+    // through a join must not free it: locally-checkpointed RDDs have
+    // truncated lineage, so freeing a shared one breaks every other
+    // frame built on it (the r7 review finding).
+    def persisted(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val baseline = persisted()
+    val comps = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+    comps.write.format("noop").mode("overwrite").save()
+    val withKeep = comps.join(
+      comps.groupBy(col("component")).agg(min(col("doc_id")).as("rep")), "component")
+    Dedup.release(withKeep) // join root: must NOT free the shared checkpoint
+    assert(persisted() != baseline, "derived release freed the shared checkpoint")
+    assert(withKeep.count() == 5) // checkpoint still readable through the join
+    Dedup.release(comps) // projection over the checkpoint: frees it
+    assert(persisted() == baseline,
+      s"owned release missed blocks: ${(persisted() -- baseline).mkString(",")}")
+  }
+
   test("connected components: no net block-manager growth across back-to-back runs") {
     import spark.implicits._
     // Round-4 verdict #3: every round's localCheckpoint (edges, labels,
