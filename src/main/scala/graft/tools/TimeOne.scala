@@ -34,7 +34,14 @@ object TimeOne {
     val t0 = System.nanoTime()
     mat()
     println(f"TIMED $name sec=${(System.nanoTime() - t0) / 1e9}%.3f")
-    if (args.contains("--explain")) fn(spark, sfDir).explain("formatted")
+    if (args.contains("--explain")) {
+      // full-tree view: checkpoint sharing replaces the fact-side subtree
+      // with a LogicalRDD leaf — an explain that hides the scans is
+      // useless for plan work (r7 advisor; mirrors ScaleGuardSpec.unshared)
+      spark.conf.set("spark.graft.orderstats.share", "off")
+      try fn(spark, sfDir).explain("formatted")
+      finally spark.conf.unset("spark.graft.orderstats.share")
+    }
     spark.stop()
   }
 }

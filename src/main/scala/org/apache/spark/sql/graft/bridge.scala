@@ -1,9 +1,73 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.{Dependency, OneToOneDependency, Partition, SparkContext, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.LogicalRDD
+
+/** An RDD whose contents come from a locally-checkpointed upstream plan
+  * that is built ONLY when the first job actually needs this RDD's
+  * partitions — never when the enclosing DataFrame is constructed or
+  * explained.
+  *
+  * Why deferral matters: `Dataset.localCheckpoint(eager = false)` calls
+  * `queryExecution.toRdd` at CONSTRUCTION time, and under AQE `toRdd`
+  * executes every non-result stage of the upstream plan — so merely
+  * building (or explaining) a query that shares an intermediate this way
+  * silently runs the fact scan (the r7 PlanAudit blindness). Here the
+  * expensive `toRdd` lives inside `build`, forced from `getPartitions` /
+  * `getDependencies`; Spark computes partitions for the whole lineage on
+  * the job-submitting thread (SPARK-23626) before the DAGScheduler event
+  * loop walks it, so the upstream AQE execution runs exactly where the
+  * eager construction used to — just later, and only if a job runs.
+  *
+  * [[releaseBlocks]] additionally makes the checkpoint RESTARTABLE: it
+  * unpersists the materialized blocks and drops the truncated-lineage RDD,
+  * so a later action on a frame that still references this checkpoint
+  * rebuilds it from the retained upstream plan (recompute, not a
+  * "checkpoint block not found" crash — the failure mode of releasing a
+  * plain localCheckpoint early).
+  */
+private[graft] final class DeferredCheckpointRDD(
+    sc: SparkContext,
+    @transient private val build: () => RDD[InternalRow])
+  extends RDD[InternalRow](sc, Nil) {
+
+  @transient private var target: RDD[InternalRow] = _
+
+  private def materialized: RDD[InternalRow] = this.synchronized {
+    if (target == null) target = build()
+    target
+  }
+
+  /** True once a job has forced the checkpoint (diagnostics/tests). */
+  def isMaterialized: Boolean = this.synchronized(target != null)
+
+  /** Free the checkpoint's block-manager storage and reset to the
+    * unbuilt state; the next action over this RDD recomputes from the
+    * original plan. Safe to call any time no job over it is in flight.
+    */
+  def releaseBlocks(): Unit = this.synchronized {
+    if (target != null) {
+      target.unpersist(blocking = false)
+      target = null
+      // drop the cached OneToOneDependency on the released target so the
+      // next dependency walk re-forces `materialized` (partitions_ stays
+      // cached, which is fine: every rebuild maps over the same memoized
+      // queryExecution.toRdd, so the partition objects are identical)
+      clearDependencies()
+    }
+  }
+
+  override protected def getPartitions: Array[Partition] = materialized.partitions
+  override protected def getDependencies: Seq[Dependency[_]] =
+    Seq(new OneToOneDependency(materialized))
+  override def compute(split: Partition, context: TaskContext): Iterator[InternalRow] =
+    firstParent[InternalRow].iterator(split, context)
+}
 
 /** Bridge between the public Column API and Catalyst Expressions.
   *
@@ -41,4 +105,58 @@ object bridge {
     }
     go(df.queryExecution.logical)
   }
+
+  /** A lazily-materializing local checkpoint of `df`: the returned frame
+    * reads from checkpointed blocks once a job runs, but CONSTRUCTING or
+    * EXPLAINING it (and anything built on it) launches zero jobs — unlike
+    * `df.localCheckpoint(eager = false)`, which executes the upstream AQE
+    * stages at build time (see [[DeferredCheckpointRDD]]). The origin
+    * Dataset's attributes and optimizer stats carry over, mirroring what
+    * `Dataset.checkpoint` itself does; output partitioning is Unknown —
+    * acceptable for sharing an aggregate whose consumers re-key anyway.
+    *
+    * The checkpoint plan stays reachable behind the deferred RDD, so
+    * [[releaseDeferredCheckpoints]] can free the blocks WITHOUT bricking
+    * frames that still reference them: they transparently recompute.
+    */
+  def deferredLocalCheckpoint(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val session = cdf.sparkSession
+    val qe = cdf.queryExecution
+    val rdd = new DeferredCheckpointRDD(session.sparkContext, () => {
+      // rows must be copied before persisting: the scan/agg iterators reuse
+      // one UnsafeRow buffer (same as Spark's own Dataset.checkpoint impl)
+      val r = qe.toRdd.map(_.copy())
+      r.localCheckpoint()
+      r
+    })
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session,
+      LogicalRDD(qe.analyzed.output, rdd)(
+        session, originStats = Some(qe.optimizedPlan.stats)))
+  }
+
+  /** Free every [[deferredLocalCheckpoint]] the frame's plan references
+    * (transitively — joins and aggregates included, unlike
+    * [[releaseCheckpoint]]'s ownership-only traversal). The wider blast
+    * radius is safe precisely BECAUSE these checkpoints are restartable:
+    * a sibling frame sharing one recomputes it on next use instead of
+    * crashing on missing blocks. Plain (non-deferred) checkpoints in the
+    * plan are left untouched.
+    */
+  def releaseDeferredCheckpoints(df: Dataset[_]): Unit =
+    df.queryExecution.logical.collect {
+      case l: LogicalRDD => l.rdd
+    }.foreach {
+      case d: DeferredCheckpointRDD => d.releaseBlocks()
+      case _ => ()
+    }
+
+  /** Block until every event posted to the listener bus so far has been
+    * delivered — `listenerBus.waitUntilEmpty` is `private[spark]`, and
+    * metric-reading tests/specs need it to avoid racing the executor's
+    * end-of-stage events.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
