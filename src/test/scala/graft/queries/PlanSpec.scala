@@ -49,11 +49,22 @@ class PlanSpec extends AnyFunSuite {
     // keeps a non-cheap alias referenced more than once, so a regression
     // to inline parse_json-per-field shows up as 2 parses here (r6 bench
     // measured the double parse at ~2x the query's runtime)
-    val p = Registry.byName("q79_events_variant").fn(spark, sf0001)
-      .queryExecution.optimizedPlan.toString
-    // the optimizer rewrites parse_json to static_invoke(...parseJson...)
-    val parses = "parseJson".r.findAllIn(p).length
-    assert(parses == 1, s"expected exactly 1 parseJson, got $parses:\n$p")
+    val opt = Registry.byName("q79_events_variant").fn(spark, sf0001)
+      .queryExecution.optimizedPlan
+    // count parse invocations STRUCTURALLY: the optimizer rewrites
+    // parse_json to a StaticInvoke of VariantExpressionEvalUtils — a
+    // substring match on the rendered plan was brittle against renderer
+    // renames and tryParseJson-style near-misses (r7 advisor)
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val parses = opt.collect { case pl =>
+      pl.expressions.flatMap(_.collect {
+        case si: StaticInvoke
+          if si.staticObject.getName.contains("VariantExpressionEvalUtils") &&
+            si.functionName.startsWith("parseJson") => si
+      })
+    }.flatten.length
+    assert(parses == 1, s"expected exactly 1 variant parseJson, got $parses:\n$opt")
+    val p = opt.toString
     assert("variant_get".r.findAllIn(p).length == 2, p)
   }
 

@@ -149,13 +149,50 @@ class ScaleGuardSpec extends AnyFunSuite {
   private val enumCols = Set("l_returnflag", "l_linestatus", "o_orderstatus",
     "o_orderpriority", "c_mktsegment", "event_type", "lang")
 
-  /** Columns that are integral-division buckets of a domain-bounded value
-    * (`v DIV W`): their cardinality is O(value-domain / W), set by the data
-    * model, never by row count. A column belongs here ONLY if it is such a
-    * bucket — a high-cardinality natural key (user_id, orderkey) must NOT
-    * be added, or the histogram rule below would launder fact-sized sorts.
+  /** Names reserved for integral-division buckets of a domain-bounded
+    * value (`v DIV W`): their cardinality is O(value-domain / W), set by
+    * the data model, never by row count. The NAME alone proves nothing
+    * (r7 advisor: q22 aliases `date_trunc` to `bucket`, and any
+    * high-cardinality key could be renamed) — so the rule below demands
+    * name AND structure: the key's defining expression must literally be
+    * an IntegralDivide by a foldable width, traced through the plan's
+    * alias definitions. The name requirement is kept on top of the
+    * structural one as the convention fence: `user_id DIV 10` is
+    * structurally a DIV but bucketing an UNBOUNDED domain — forcing the
+    * author to alias it `bucket` to pass the guard makes that a visible,
+    * reviewable claim instead of an accident.
     */
   private val histogramCols = Set("__bucket", "bucket")
+
+  /** Is `e` structurally `x DIV <foldable>` (modulo casts/aliases)? If it
+    * is an attribute, chase its defining Alias through the subtree's
+    * Project/Aggregate/Window lists by exprId (bounded hops for alias-of-
+    * alias chains).
+    */
+  private def isDivBucket(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      scope: LogicalPlan, hops: Int = 3): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, IntegralDivide}
+    def strip(x: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression = x match {
+      case Alias(c, _) => strip(c)
+      case c: Cast => strip(c.child)
+      case other => other
+    }
+    strip(e) match {
+      case IntegralDivide(_, d, _) => d.foldable
+      case at: Attribute if hops > 0 =>
+        val defn = scope.collectFirst(Function.unlift { p =>
+          val named = p match {
+            case pr: Project => pr.projectList
+            case ag: Aggregate => ag.aggregateExpressions
+            case w: LogicalWindow => w.windowExpressions
+            case _ => Nil
+          }
+          named.collectFirst { case al: Alias if al.exprId == at.exprId => al.child }
+        })
+        defn.exists(d => isDivBucket(d, scope, hops - 1))
+      case _ => false
+    }
+  }
 
   /** A window partitioned only by bounded keys is scale-safe — no exemption
     * needed — when it runs over PRE-AGGREGATED histogram rows: its input is
@@ -172,9 +209,21 @@ class ScaleGuardSpec extends AnyFunSuite {
     // keys == winParts is also safe: the aggregate emits at most one row
     // per window partition, so the "sort" is over ≤1 row — requiring a
     // STRICT superset would force spurious exemptions for per-group
-    // share-of-total windows over enum aggregates
-    def finerBounded(keys: Set[String]): Boolean =
-      winParts.subsetOf(keys) && (keys -- winParts).subsetOf(histogramCols)
+    // share-of-total windows over enum aggregates.
+    //
+    // Every EXTRA key (finer than the window partition) must be a bucket
+    // by name AND by structure: `(name, expr, scope)` triples are checked
+    // so an imposter — any expression merely ALIASED `bucket`, e.g. q22's
+    // `date_trunc AS bucket` or a renamed natural key — no longer
+    // launders the window (the r7 name-only hole).
+    def finerBounded(keys: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+        scope: LogicalPlan): Boolean = {
+      val names = keys.map(_._1).toSet
+      winParts.subsetOf(names) &&
+        keys.filterNot(k => winParts.contains(k._1)).forall { case (n, e) =>
+          histogramCols.contains(n) && isDivBucket(e, scope)
+        }
+    }
     stripBenign(p) match {
       case a: Aggregate =>
         // a computed grouping key (`cents DIV 10000 AS bucket`, q89) is
@@ -182,15 +231,20 @@ class ScaleGuardSpec extends AnyFunSuite {
         // keyed on. CleanupAliases strips aliases from groupingExpressions
         // in the analyzed plan, so recover the name from the semantically
         // equal entry in the output list; plain keys fall back to refs.
+        // The structural check gets the grouping expression itself plus
+        // the aggregate's CHILD as the alias-resolution scope.
         finerBounded(a.groupingExpressions.flatMap { g =>
           a.aggregateExpressions.collectFirst {
             case al: Alias if al.child.semanticEquals(g) => Seq(al.name)
             case at: org.apache.spark.sql.catalyst.expressions.Attribute
               if at.semanticEquals(g) => Seq(at.name)
           }.getOrElse(g.references.map(_.name).toSeq)
-        }.toSet)
+            .map(n => (n, g))
+        }, a.child)
       case d: Deduplicate =>
-        finerBounded(d.keys.flatMap(_.references.map(_.name)).toSet)
+        finerBounded(
+          d.keys.flatMap(k => k.references.map(r => (r.name, k: org.apache.spark.sql.catalyst.expressions.Expression))),
+          d.child)
       case u: Union => u.children.forall(histogramInput(winParts))
       case w: LogicalWindow => histogramInput(winParts)(w.child)
       case f: Filter => histogramInput(winParts)(f.child)
@@ -269,6 +323,42 @@ class ScaleGuardSpec extends AnyFunSuite {
       .withColumn("tot", sum(col("s")).over(enumW))
     winsOf(share).foreach(x =>
       assert(histogramInput(Set("l_returnflag"))(x.child), "equal-keys agg rejected"))
+
+    // 5. IMPOSTERS named `bucket` (the r7 laundering hole): the extra key
+    //    carries the blessed name but is NOT structurally `x DIV literal`
+    //    — a date_trunc alias (the q22 shape: partition count grows with
+    //    the data's time span) and a renamed high-card natural key. Both
+    //    must be rejected on structure.
+    val tfacts = Seq(("A", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("l_returnflag", "user_id", "ts")
+    val truncImposter = tfacts
+      .groupBy(col("l_returnflag"), expr("date_trunc('hour', ts)").as("bucket"))
+      .agg(sum(col("user_id")).as("s"))
+      .withColumn("r", sum(col("s")).over(enumW.orderBy(col("bucket"))))
+    assert(winsOf(truncImposter).nonEmpty)
+    winsOf(truncImposter).foreach(x =>
+      assert(!histogramInput(Set("l_returnflag"))(x.child),
+        "date_trunc aliased 'bucket' laundered"))
+    val renameImposter = facts.withColumn("bucket", col("user_id"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(sum(col("v")).as("s"))
+      .withColumn("r", sum(col("s")).over(enumW.orderBy(col("bucket"))))
+    assert(winsOf(renameImposter).nonEmpty)
+    winsOf(renameImposter).foreach(x =>
+      assert(!histogramInput(Set("l_returnflag"))(x.child),
+        "renamed natural key laundered"))
+
+    // 6. and the blessed name on a REAL bucket defined one projection
+    //    below the aggregate (the OrderStats withColumn shape — attribute
+    //    key traced to its Alias(x DIV W) definition) is still accepted
+    val staged = facts.withColumn("bucket", expr("v DIV 10"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(sum(col("v")).as("s"))
+      .withColumn("r", sum(col("s")).over(enumW.orderBy(col("bucket"))))
+    assert(winsOf(staged).nonEmpty)
+    winsOf(staged).foreach(x =>
+      assert(histogramInput(Set("l_returnflag"))(x.child),
+        "staged DIV bucket rejected"))
   }
 
   test("no registered query plans a CartesianProduct") {
