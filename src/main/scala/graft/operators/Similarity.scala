@@ -65,24 +65,57 @@ object Similarity {
       .withColumn("bucket", bucket)
   }
 
-  /** Embedding-cosine near-dup pairs at a threshold, LSH-prefiltered: the
-    * banded self-join surfaces only pairs sharing ≥1 (table, bucket), then
-    * exact cosine filters them — the scale path for corpus-wide cosine
-    * dedup (brute force [[topKPairs]] is the oracle baseline). Recall is
+  /** Embedding-cosine near-dup pairs at a threshold, LSH-prefiltered:
+    * only pairs sharing ≥1 (table, bucket) are candidates, then exact
+    * cosine filters them — the scale path for corpus-wide cosine dedup
+    * (brute force [[topKPairs]] is the oracle baseline). Recall is
     * probabilistic in the LSH tables; OperatorsSpec pins a floor against
     * brute force.
+    *
+    * Bucket bits are ADAPTIVE by default (`bits <= 0`): 2^bits ≈
+    * n / targetBucket, so bucket population stays ~constant as the corpus
+    * grows and candidate pairs stay ~LINEAR in n. A fixed bit width is
+    * quadratic in disguise — with 2^bits buckets frozen, expected pairs
+    * are n²/2^bits·tables/2; ShuffleGrowthSpec measured the old fixed-6-
+    * bit form at 9.8x shuffle growth on 4x rows before this change. The
+    * price is the standard LSH trade: more bits at larger n lowers
+    * per-table recall (collision prob p_bit^bits), which production
+    * systems buy back with more tables; the sizing job is one
+    * metadata-cheap count() at plan-build.
+    *
+    * Pairs are generated per-bucket from the sorted member list (the
+    * [[Dedup.shingleJaccardPairs]] posting-list idiom) — one groupBy
+    * shuffle of n·tables slim rows instead of a two-sided self-join.
+    * `maxBucket` (default off, [[Dedup]] dfCap contract: only ever drops
+    * pairs) is the degenerate-region lever: a bucket bigger than the cap
+    * — a dense near-identical cluster or a pathological hyperplane — is
+    * dropped before pair blowup; its members are typically also co-housed
+    * in other tables' smaller buckets.
     */
   def nearDupPairsLsh(emb: DataFrame, minCos: Double,
-      tables: Int = 32, bits: Int = 6): DataFrame = {
+      tables: Int = 32, bits: Int = -1, targetBucket: Int = 16,
+      maxBucket: Option[Int] = None): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val slim = withLshBuckets(emb, tables, bits)
+    val effBits =
+      if (bits > 0) bits
+      else {
+        val n = emb.count().toDouble
+        math.max(3, (math.log(math.max(1.0, n / targetBucket)) / math.log(2.0)).ceil.toInt)
+      }
+    val slim = withLshBuckets(emb, tables, effBits)
       .select(col("vec_id"), col("table"), col("bucket"))
-    val cand = slim.toDF("vec_a", "table", "bucket")
-      .join(slim.toDF("vec_b", "table_b", "bucket_b"),
-        col("table") === col("table_b") && col("bucket") === col("bucket_b") &&
-          col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+    val postings = slim.groupBy(col("table"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val kept = maxBucket.fold(postings)(cap =>
+      postings.filter(size(col("ds")) <= cap))
+    val cand = kept.select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+        |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS vec_a, b AS vec_b))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
     cand
       .join(e.toDF("vec_a", "va", "norm_a"), "vec_a")
       .join(e.toDF("vec_b", "vb", "norm_b"), "vec_b")
