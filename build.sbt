@@ -14,6 +14,14 @@ Test / fork := true
 // views, or mutate the catalog) — run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// Forked runs write straight to this process's stdout/stderr instead of
+// through sbt's logger: Bench's one-line JSON contract otherwise gets an
+// "[info] " prefix that breaks the driver's parse (three rounds of
+// BENCH_r*.json "parsed": null), and Spark's stderr noise stops being
+// relabeled "[error]". sbt's own [info]/[success] banner lines remain,
+// so consumers should take the last line that parses as JSON, not the
+// last line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
