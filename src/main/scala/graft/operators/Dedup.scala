@@ -276,7 +276,8 @@ object Dedup {
     * checkpoint survives (its plan no longer references edges); callers
     * that materialize it should release it with [[release]].
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      roundProbe: Int => Unit = _ => ()): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
@@ -317,6 +318,7 @@ object Dedup {
       release(labels) // superseded checkpoint — free its blocks eagerly
       labels = next
       converged = changed == 0
+      roundProbe(it) // observability only (scale probes / tests count rounds)
     }
     release(edges)
     if (!converged)
