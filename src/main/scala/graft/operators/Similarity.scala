@@ -54,15 +54,27 @@ object Similarity {
     // bucket per emitted row — exploding a precomputed array of all bucket
     // keys would re-evaluate every table's dot products per output row
     // (Spark Generate re-evaluates computed-array children per element).
-    val planesLit = typedlit(planes(tables, bits, dim))
-    val tablePlanes = element_at(planesLit, col("table") + 1)
+    //
+    // The per-table planes arrive via a broadcast-hash-joined 32-row
+    // frame, NOT a tables×bits×dim literal: the 12k-double literal rode
+    // every stage's task binary (~1 MB serialized, the "Broadcasting
+    // large task binary" warnings) and its plan/codegen processing cost
+    // ~0.5 s PER EXECUTION flat — measured 2-3.5x slower than the
+    // broadcast join at any scale. A broadcast ships the planes to each
+    // executor once per query instead of once per task binary.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pl = planes(tables, bits, dim).zipWithIndex
+      .map { case (ps, t) => (t, ps) }.toDF("table", "planes")
     val bucket = (0 until bits).map { j =>
-      when(dot(col("v"), element_at(tablePlanes, j + 1)) > 0, lit(1 << j)).otherwise(lit(0))
+      when(dot(col("v"), element_at(col("planes"), j + 1)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
+      .join(broadcast(pl), "table")
       .withColumn("bucket", bucket)
+      .drop("planes")
   }
 
   /** Embedding-cosine near-dup pairs at a threshold, LSH-prefiltered:

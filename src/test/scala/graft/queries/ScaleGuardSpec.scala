@@ -70,6 +70,7 @@ class ScaleGuardSpec extends AnyFunSuite {
     case x: Generate => stripBenign(x.child)
     case x: Repartition => stripBenign(x.child)
     case x: RepartitionByExpression => stripBenign(x.child)
+    case x: ResolvedHint => stripBenign(x.child) // row-preserving annotation
     case _ => p
   }
 
@@ -122,6 +123,15 @@ class ScaleGuardSpec extends AnyFunSuite {
         case _ => true
       }) => true
     case _: GlobalLimit | _: LocalLimit => true
+    // a LocalRelation is driver-embedded constant data (plane/codebook
+    // frames): its size is fixed at plan time and cannot grow with any
+    // input — if it were too big to broadcast, the driver already failed
+    case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+    // a join of two bounded subtrees is bounded (output <= product of two
+    // constants): the q37 shape — 1-row literal-key lookup x 32-row
+    // planes frame. An unbounded side still fails its own recursion.
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+      isBoundedSubtree(j.left) && isBoundedSubtree(j.right)
     case f: Filter if f.condition.exists {
       // literal may sit under a cast — foldable covers both
       case EqualTo(a, b) => a.foldable || b.foldable
