@@ -18,9 +18,34 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   import scala.util.control.NonFatal
 
+  /** Median-of-5 ms for a fixed 100M-step xorshift spin, after a JIT
+    * warmup rep. Emitted as "cal_spin_ms" so cross-round totals can be
+    * normalized for host speed from the artifacts alone: round 8's VM ran
+    * identical code 1.56× slower than round 7's, which without a recorded
+    * calibration took a same-machine rerun of the old snapshot to prove
+    * (BENCH_r7code_on_r8vm.json). Single-thread integer work ≈ the
+    * codegen'd-loop bottleneck; the returned state defeats DCE.
+    */
+  private def calibrateSpinMs(): (Double, Long) = {
+    def spin(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 100000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      ((System.nanoTime() - t0) / 1e6, x)
+    }
+    spin() // JIT warmup
+    val runs = (1 to 5).map(_ => spin())
+    (runs.map(_._1).sorted.apply(2), runs.head._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val (calMs, _) = calibrateSpinMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -107,14 +132,14 @@ object Bench {
     // Field ORDER is load-bearing: the driver keeps only the tail of the
     // log line, so the per-query seconds map goes LAST (r5's artifact kept
     // only heap_mb because queries came first and was truncated away).
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","heap_mb":$heaps$errsJson,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","cal_spin_ms":${fmt(calMs)},"heap_mb":$heaps$errsJson,"queries":$qs}"""
     println(line)
     // SECOND, compact summary line: the driver keeps only the log TAIL, so
     // with 125 queries the big line above gets truncated mid-map and the
     // driver's "parsed" field has been null for three rounds. This line is
     // always short enough to survive the tail whole — the full per-query
     // map still lives in the big line / target/bench.json.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_errors":${errors.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_errors":${errors.size},"cal_spin_ms":${fmt(calMs)}}""")
     // the driver keeps only the log tail, which truncates the per-query map
     // — persist the full line so each round's complete numbers can be
     // committed as BENCH_r*_full.json and compared across rounds
