@@ -43,11 +43,13 @@ object Clustering {
     */
   def assign(emb: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
     val csLit = typedlit(cs)
-    // struct sort: max score first, then max(-c) = lowest cluster id on ties
+    // struct max: max score first, then max(-c) = lowest cluster id on ties
+    // (greatest() over the scored structs — same ordering as the previous
+    // sort_array-desc-take-1, without building + sorting a k-array per row)
     val scored = (0 until cs.size).map { c =>
       struct(dot(col("v"), element_at(csLit, c + 1)).as("s"), lit(-c).as("negc"))
     }
-    val best = element_at(sort_array(array(scored: _*), asc = false), 1)
+    val best = greatest(scored: _*)
     Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("cluster_id", (-best.getField("negc")).cast("long"))
   }

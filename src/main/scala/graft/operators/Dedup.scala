@@ -278,6 +278,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
       roundProbe: Int => Unit = _ => ()): DataFrame = {
+    // Edge symmetrization DELIBERATELY unions the pair pipeline with its
+    // swap rather than exploding a 2-struct array per pair: the branches
+    // are identical up to the final projection, so ReuseExchange dedupes
+    // every shuffle between them and the two cheap tails run as
+    // independent (concurrent) stages. The explode shape measured ~2x
+    // SLOWER end-to-end on q107's union-of-signals input (11.8–14.6 s vs
+    // 6.5 s, TimeOne sf0.1) — the single Generate tail serializes what the
+    // union runs in parallel and resists AQE's stage-level replanning.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()

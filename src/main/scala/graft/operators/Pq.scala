@@ -55,8 +55,13 @@ object Pq {
     * literal half-norm; ties break to the lowest code id via the
     * (score, −code) struct sort.
     */
-  def withCodes(df: DataFrame, vCol: Column, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
-    (0 until M).foldLeft(df) { (d, m) =>
+  def withCodes(df: DataFrame, vCol: Column, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    // one select for all M code columns (a foldLeft of withColumn re-ran
+    // analysis over the growing literal-heavy plan M times), and argmax
+    // via greatest() over the 16 scored structs — same (s, -c) ordering
+    // and tie-break as the previous sort_array formulation, without
+    // building + sorting a 16-element array per row per subspace
+    val codeCols = (0 until M).map { m =>
       val cbLit = typedlit(cbs(m))
       val sub = slice(vCol, m * DSUB + 1, DSUB)
       val scored = (0 until KSUB).map { c =>
@@ -64,9 +69,10 @@ object Pq {
         struct((dot(sub, element_at(cbLit, c + 1)) - halfNorm).as("s"),
           lit(-c).as("negc"))
       }
-      val best = element_at(sort_array(array(scored: _*), asc = false), 1)
-      d.withColumn(s"code_$m", (-best.getField("negc")).cast("long"))
+      (-greatest(scored: _*).getField("negc")).cast("long").as(s"code_$m")
     }
+    df.select(col("*") +: codeCols: _*)
+  }
 
   /** (vec_id, v, code_0..code_{M-1}) over the raw embeddings. */
   def encode(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
@@ -130,21 +136,28 @@ object Pq {
     * query-side probing, and residual fitting, so the tie-break algebra
     * cannot drift between them.
     */
-  private def listScores(v: Column, coarse: Seq[Seq[Double]]): Column = {
+  private def scoredLists(v: Column, coarse: Seq[Seq[Double]]): Seq[Column] = {
     val coarseLit = typedlit(coarse)
-    sort_array(array(coarse.indices.map { c =>
+    coarse.indices.map { c =>
       val halfNorm = lit(coarse(c).map(x => x * x).sum / 2)
       struct((dot(v, element_at(coarseLit, c + 1)) - halfNorm).as("s"),
         lit(-c).as("negc"))
-    }: _*), asc = false)
+    }
   }
 
-  /** (vec_id, v, list_id, resid): the one coarse-assignment projection. */
+  private def listScores(v: Column, coarse: Seq[Seq[Double]]): Column =
+    sort_array(array(scoredLists(v, coarse): _*), asc = false)
+
+  /** (vec_id, v, list_id, resid): the one coarse-assignment projection.
+    * Assignment takes greatest() of the SAME scored structs the probe
+    * path sorts (shared [[scoredLists]]), so index-side and query-side
+    * tie-break algebra cannot drift while the per-row cost stays O(k).
+    */
   private def coarseAssigned(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
     val coarseLit = typedlit(coarse)
     vecs(emb)
       .withColumn("list_id",
-        (-element_at(listScores(col("v"), coarse), 1).getField("negc")).cast("int"))
+        (-greatest(scoredLists(col("v"), coarse): _*).getField("negc")).cast("int"))
       .withColumn("resid",
         zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, c) => x - c))
   }

@@ -164,7 +164,10 @@ object Similarity {
       val scored = (0 until nCentroids).map { c =>
         struct(dot(v, element_at(csLit, c + 1)).as("s"), lit(c).as("c"))
       }
-      element_at(sort_array(array(scored: _*), asc = false), 1).getField("c")
+      // greatest() ≡ desc-sort-take-1 over the same structs (O(k), no
+      // per-row array build+sort); ties keep this operator's historical
+      // max-c pick — the struct carries c, not -c
+      greatest(scored: _*).getField("c")
     }
     val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("list_id", nearest(col("v")))
