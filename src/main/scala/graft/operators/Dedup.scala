@@ -286,13 +286,55 @@ object Dedup {
     // SLOWER end-to-end on q107's union-of-signals input (11.8–14.6 s vs
     // 6.5 s, TimeOne sf0.1) — the single Generate tail serializes what the
     // union runs in parallel and resists AQE's stage-level replanning.
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // At corpus scale the per-round joins are the cost: a plain
+    // localCheckpoint under AQE records UnknownPartitioning (the adaptive
+    // plan never reports its final partitioning to the LogicalRDD), so
+    // every round re-shuffles edges AND labels for the neighbor join plus
+    // labels again for the step join — 3 avoidable full-frame exchanges
+    // per round once labels is too big to broadcast. The co-partitioned
+    // path pins edges on v and labels on doc_id via
+    // bridge.hashPartitionedLocalCheckpoint (alias-aware projection
+    // carries doc_id→v through the rename), leaving only the genuinely
+    // re-keyed shuffles per round: the neighbor-min aggregate, the step
+    // join's component-keyed probe, and the next checkpoint itself.
+    //
+    // Locally the SAME pinning LOSES (~1 s on q87 sf0.1, measured): small
+    // labels frames broadcast anyway, so there are no labels-side
+    // exchanges to save and the extra repartition passes are pure
+    // overhead. So the choice is ADAPTIVE, from the measured size of the
+    // materialized edge checkpoint against the session's broadcast
+    // threshold — the same signal the planner itself would use to pick
+    // BHJ vs SMJ in-round. `spark.graft.components.copartition` = on |
+    // off | auto (default) forces either path (tests pin both).
+    val spark = pairs.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val bridge = org.apache.spark.sql.graft.bridge
+    val edgesPlain = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+    val coPartition = spark.conf.getOption("spark.graft.components.copartition")
+        .getOrElse("auto") match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        // 16 B ≈ two packed longs per (u, v) edge row; labels ≤ edges in
+        // rows and narrower, so edge bytes bound the broadcast candidates
+        val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+        thresh >= 0 && edgesPlain.count() * 16L > thresh
+    }
+    val ckptLabels: DataFrame => DataFrame =
+      if (coPartition) df => bridge.hashPartitionedLocalCheckpoint(df, np, "doc_id")
+      else df => df.localCheckpoint(true)
+    val edges =
+      if (coPartition) {
+        val e = bridge.hashPartitionedLocalCheckpoint(edgesPlain, np, "v")
+        release(edgesPlain)
+        e
+      } else edgesPlain
+    var labels = ckptLabels(
+      edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -318,10 +360,14 @@ object Dedup {
         .select(col("doc_id").as("component"), col("component").as("parent"))
       val jumped =
         least(col("component"), coalesce(col("parent"), col("component")))
-      val next = stepped.join(parents, Seq("component"), "left")
-        .select(col("doc_id"), jumped.as("component"),
-          (jumped < col("__old")).as("__chg"))
-        .localCheckpoint(true)
+      // co-partitioned path: re-keying the new labels onto doc_id at
+      // checkpoint time costs one shuffle but replaces the TWO labels-side
+      // exchanges the next round would otherwise plan (neighbor join on v,
+      // step join on doc_id)
+      val next = ckptLabels(
+        stepped.join(parents, Seq("component"), "left")
+          .select(col("doc_id"), jumped.as("component"),
+            (jumped < col("__old")).as("__chg")))
       val changed = next.filter(col("__chg")).limit(1).count()
       release(labels) // superseded checkpoint — free its blocks eagerly
       labels = next

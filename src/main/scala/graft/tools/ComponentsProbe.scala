@@ -59,6 +59,29 @@ object ComponentsProbe {
       Dedup.release(comps)
       println(f"PROBE copies=$k%2d edges=$nEdges%8d components=$nComps%6d rounds=$rounds%2d sec=$sec%7.2f")
     }
+
+    // Second experiment: the co-partitioned checkpoint path (adaptive in
+    // connectedComponents, forced here) against the plain path on a graph
+    // big enough that labels CANNOT broadcast — the regime the adaptive
+    // switch targets. Chains of 4 nodes mirror real dedup graphs (many
+    // tiny components, small diameter): nodes 0..N-1, edge i→i+1 unless
+    // i % 4 == 3, so N/4 components of diameter 3 and ~0.75N edges.
+    val bigN = args.lift(3).map(_.toLong).getOrElse(4000000L)
+    val bigEdges = spark.range(bigN)
+      .filter(col("id") % 4 =!= 3)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .localCheckpoint(true)
+    for (mode <- Seq("off", "on")) {
+      spark.conf.set("spark.graft.components.copartition", mode)
+      var rounds = 0
+      val t0 = System.nanoTime()
+      val comps = Dedup.connectedComponents(bigEdges, roundProbe = r => rounds = r)
+      val nComps = comps.select(col("component")).distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Dedup.release(comps)
+      println(f"PROBE-BIG n=$bigN%8d copartition=$mode%-3s components=$nComps%8d rounds=$rounds%2d sec=$sec%7.2f")
+    }
+    spark.conf.unset("spark.graft.components.copartition")
     spark.stop()
   }
 }

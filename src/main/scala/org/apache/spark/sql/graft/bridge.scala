@@ -106,6 +106,46 @@ object bridge {
     go(df.queryExecution.logical)
   }
 
+  /** An eager local checkpoint that KEEPS its hash partitioning visible to
+    * the planner. Under AQE, `Dataset.localCheckpoint` records
+    * `UnknownPartitioning` (the adaptive plan does not report its final
+    * partitioning to the `LogicalRDD`), so every join against the
+    * checkpoint re-shuffles BOTH sides — fatal for iterative algorithms
+    * that join the same frames every round. Here the input is first
+    * repartitioned with an EXPLICIT partition count (a REPARTITION_BY_NUM
+    * shuffle, which AQE never coalesces or splits — the declared
+    * partitioning is therefore truthful), materialized, and wrapped in a
+    * `LogicalRDD` that declares `HashPartitioning(keys, numPartitions)`
+    * over the frame's own output attributes. Alias-aware projection then
+    * carries the partitioning through renames, and `EnsureRequirements`
+    * plans co-partitioned joins over these frames with zero exchanges.
+    *
+    * Free the blocks with [[releaseCheckpoint]] (the returned plan is a
+    * plain `LogicalRDD` root, exactly what that traversal expects).
+    */
+  def hashPartitionedLocalCheckpoint(
+      df: DataFrame, numPartitions: Int, keys: String*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val cdf = df.repartition(numPartitions, keys.map(df.apply): _*)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val session = cdf.sparkSession
+    val qe = cdf.queryExecution
+    // rows must be copied before persisting: the scan/agg iterators reuse
+    // one UnsafeRow buffer (same as Spark's own Dataset.checkpoint impl)
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager: truncate lineage now, not at first downstream job
+    val out = qe.analyzed.output
+    val keyAttrs = keys.map(k =>
+      out.find(a => session.sessionState.analyzer.resolver(a.name, k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"hashPartitionedLocalCheckpoint: key '$k' not in ${out.map(_.name)}")))
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session,
+      LogicalRDD(out, rdd, HashPartitioning(keyAttrs, numPartitions), Nil, false)(
+        session, originStats = Some(qe.optimizedPlan.stats)))
+  }
+
   /** A lazily-materializing local checkpoint of `df`: the returned frame
     * reads from checkpointed blocks once a job runs, but CONSTRUCTING or
     * EXPLAINING it (and anything built on it) launches zero jobs — unlike

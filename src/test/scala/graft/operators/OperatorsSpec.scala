@@ -121,6 +121,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashPartitionedLocalCheckpoint: declared partitioning makes co-keyed joins exchange-free") {
+    import spark.implicits._
+    // The mechanism behind the components co-partitioned path: a plain
+    // localCheckpoint under AQE records UnknownPartitioning, so joins over
+    // it re-shuffle both sides every time. The bridge helper pins a
+    // truthful HashPartitioning (REPARTITION_BY_NUM is never altered by
+    // AQE) on the LogicalRDD; with broadcast off, a join on the pinned
+    // keys — including through a rename — must plan ZERO shuffle
+    // exchanges.
+    val bridge = org.apache.spark.sql.graft.bridge
+    val was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val np = spark.sessionState.conf.numShufflePartitions
+      val a = bridge.hashPartitionedLocalCheckpoint(
+        (0L until 1000L).map(i => (i, i % 97)).toDF("u", "v"), np, "v")
+      val b = bridge.hashPartitionedLocalCheckpoint(
+        (0L until 97L).map(i => (i, i * 2)).toDF("doc_id", "component"),
+        np, "doc_id")
+      val j = a.join(b.select(col("doc_id").as("v"), col("component")), "v")
+      j.write.format("noop").mode("overwrite").save()
+      val exec = j.queryExecution.executedPlan.toString
+      assert(!exec.contains("Exchange hashpartitioning"),
+        s"co-keyed join over pinned checkpoints still shuffles:\n$exec")
+      assert(j.count() == 1000)
+      Dedup.release(a)
+      Dedup.release(b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
+  }
+
+  test("connected components: forced co-partitioned path matches, releases, and skips labels-side shuffles") {
+    import spark.implicits._
+    def persisted(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val ref = Dedup.connectedComponents(pairs) // auto → plain path at this size
+    val expected = ref.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.release(ref)
+    val baseline = persisted()
+    spark.conf.set("spark.graft.components.copartition", "on")
+    try {
+      val comps = Dedup.connectedComponents(pairs)
+      val got = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, "co-partitioned labeling diverged from plain path")
+      Dedup.release(comps)
+      assert(persisted() == baseline,
+        s"co-partitioned path leaked blocks: ${(persisted() -- baseline).mkString(",")}")
+    } finally spark.conf.unset("spark.graft.components.copartition")
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // seeded random edge sets vs a driver-side union-find (path compression)
