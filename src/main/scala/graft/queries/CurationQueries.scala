@@ -465,5 +465,44 @@ object CurationQueries {
              |FROM tok JOIN r USING (bucket)
              |GROUP BY tok.doc_id
              |ORDER BY doc_id""".stripMargin),
-      "DSIR-style importance weights: hashed-unigram (B=256, portable rolling hash) Laplace-smoothed log-ratio of the lang='en' target model vs the raw-corpus model, per-doc integer-micros sum — bounded bucket agg + 256-row contribution broadcast, doc-keyed final agg"))
+      "DSIR-style importance weights: hashed-unigram (B=256, portable rolling hash) Laplace-smoothed log-ratio of the lang='en' target model vs the raw-corpus model, per-doc integer-micros sum — bounded bucket agg + 256-row contribution broadcast, doc-keyed final agg"),
+
+    Q(
+      "q136_training_order",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // Deterministic global shuffle for training order: every epoch's
+        // data loader must read the corpus in a pseudo-random order that
+        // is REPRODUCIBLE (resume from step N) and computable without a
+        // global sort. Shard = multiplicative hash of doc_id (spreads
+        // near-dup id runs across shards); within-shard position =
+        // row_number over a SECOND independent multiplicative hash, ties
+        // to doc_id. SCALE: the q99 sharding argument — shard count is a
+        // free parameter (thousands at 100 TB), each shard's window is an
+        // independent task, and no global ORDER BY exists anywhere in the
+        // plan; the final orderBy here is presentation-only for the
+        // oracle diff. Engine-portable arithmetic: products stay in int64
+        // for doc_id < ~4e9 (the q73 bound family).
+        val shards = 16L
+        val shard = pmod(col("doc_id") * lit(2654435761L), lit(shards))
+        val ordKey = pmod(col("doc_id") * lit(2246822519L), lit(1000003L))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("ord_key"), col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"), shard.as("shard"), ordKey.as("ord_key"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("ord_key"), col("pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    (doc_id * 2654435761) % 16 AS shard,
+             |    (doc_id * 2246822519) % 1000003 AS ord_key
+             |  FROM documents)
+             |SELECT doc_id, shard, ord_key,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |    ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+             |FROM t
+             |ORDER BY doc_id""".stripMargin),
+      "deterministic epoch-shuffle order: multiplicative-hash shard + independent-hash within-shard position — reproducible loader order with shard-local windows only, no global sort (shard count is the scale dial, q99's argument)"))
 }

@@ -58,6 +58,16 @@ object DocQueries {
     "CAST(floor(ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)" +
       " / CAST(COALESCE(c1, 0) + v_sz AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
 
+  /** q135's per-distinct-char entropy contribution −p·ln(p) in integer
+    * micros — the [[bm25Micros]] shared-string discipline. Expects a char
+    * count `c` and the doc's total char count `n_ch` in scope (in Spark,
+    * `c` is the aggregate-lambda variable). p = 1 contributes
+    * floor(-0.0 + 0.5) = 0 identically in both engines.
+    */
+  private[queries] val charEntropyMicros: String =
+    "CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE))" +
+      " * ln(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
   val all: Seq[Q] = Seq(
     Q(
       "q24_docs_dedup_exact",
@@ -720,5 +730,116 @@ object DocQueries {
              |  CAST(sum(contrib) AS BIGINT) AS logp_micros
              |FROM sc GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin),
-      "CCNet-style bigram-LM log-prob score: Laplace p(w2|w1)=(c12+1)/(c1+V) fitted on the en slice, per-doc integer-micros sums — data-proportional model aggs joined back on high-cardinality keys, 1-row vocab broadcast; the perplexity-filter signal"))
+      "CCNet-style bigram-LM log-prob score: Laplace p(w2|w1)=(c12+1)/(c1+V) fitted on the en slice, per-doc integer-micros sums — data-proportional model aggs joined back on high-cardinality keys, 1-row vocab broadcast; the perplexity-filter signal"),
+
+    Q(
+      "q135_char_entropy",
+      (s, d) => {
+        // Character-entropy quality score (gibberish / low-diversity text
+        // detector — keyboard-mash and template spam sit at the entropy
+        // extremes where stopword/length gates are blind). Per-doc Shannon
+        // entropy over the character distribution, canonicalized as an
+        // order-independent sum of per-distinct-char floored int64 micros
+        // ([[charEntropyMicros]], one shared IEEE tree — the q131
+        // discipline). SCALE: entirely per-row — chars, distinct chars,
+        // and the per-char counts are staged array projections (the q74
+        // lambda rule: each non-cheap array is materialized ONCE, never
+        // recomputed inside a later lambda), so the plan is a zero-shuffle
+        // codegen'd scan; no explode, no per-char shuffle rows, and the
+        // alphabet bound (|distinct chars| << doc length) caps the
+        // per-row work.
+        // Counts come from run lengths over the SORTED char-code array —
+        // O(m log m) integer work per row, vs the naive
+        // distinct×filter formulation's O(k·m) string comparisons
+        // (measured 4.8 s → the sort form at sf0.1; identical counts, so
+        // the oracle's explode/groupBy arithmetic is untouched).
+        documents(s, d)
+          .select(col("doc_id"),
+            expr("array_sort(transform(split(text, ''), c -> ascii(c)))")
+              .as("__sc"))
+          .select(col("doc_id"), col("__sc"),
+            size(col("__sc")).cast("long").as("n_ch"),
+            expr("""filter(sequence(1, size(__sc)),
+                   |  i -> i = 1 OR element_at(__sc, i) != element_at(__sc, i - 1))"""
+              .stripMargin).as("__st"))
+          .select(col("doc_id"), col("n_ch"),
+            size(col("__st")).cast("long").as("n_distinct_ch"),
+            expr("""zip_with(__st,
+                   |  concat(slice(__st, 2, size(__st) - 1), array(size(__sc) + 1)),
+                   |  (a, b) -> b - a)""".stripMargin).as("__cnt"))
+          .select(col("doc_id"), col("n_ch"), col("n_distinct_ch"),
+            expr(s"""aggregate(__cnt, CAST(0 AS BIGINT),
+                    |  (acc, c) -> acc + $charEntropyMicros)""".stripMargin)
+              .as("entropy_micros"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ch AS (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+             |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ch
+             |       FROM cc GROUP BY doc_id)
+             |SELECT cc.doc_id,
+             |  CAST(max(nn.n_ch) AS BIGINT) AS n_ch,
+             |  CAST(count(*) AS BIGINT) AS n_distinct_ch,
+             |  CAST(sum($charEntropyMicros) AS BIGINT) AS entropy_micros
+             |FROM cc JOIN nn ON nn.doc_id = cc.doc_id
+             |GROUP BY cc.doc_id
+             |ORDER BY cc.doc_id""".stripMargin),
+      "per-doc character Shannon entropy in integer micros (gibberish/template-spam quality signal) — zero-shuffle per-row plan: staged char/distinct/count arrays, alphabet-bounded lambda work, order-independent integer sum"),
+
+    Q(
+      "q137_dup_ngram_fraction",
+      (s, d) => {
+        // Per-doc duplicated-n-gram fraction (the RefinedWeb/Dolma-report
+        // quality axis): what share of a doc's distinct word-8-grams also
+        // appear in at least one OTHER document. High values mark
+        // boilerplate/template text that survives exact and near-dup
+        // dedup (the doc as a whole is unique; its content is not).
+        // SCALE: q106's shape — the distinct (doc_id, 8-gram) index is
+        // one map-side-combined shuffle, document frequency is an
+        // aggregate on the gram key, and the join back is gram-keyed
+        // (high-cardinality, AQE-managed). Strings kept as keys so DuckDB
+        // replays exactly; at 100 TB the key is xxhash64(gram) (8 bytes,
+        // Dedup.shingleIndex's discipline) with a q30-style df-cap on
+        // boilerplate grams. Docs under 8 tokens have no 8-grams and drop
+        // out by construction. Integer permille, floor division (q115).
+        val n = 8
+        val base = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val sh = graft.operators.Par.fanOut(base)
+          .select(col("doc_id"), col("t"),
+            explode(when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("t"), col("i"), lit(n))).as("sh"))
+          .distinct()
+        val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        sh.join(dfc, "sh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+          .withColumn("dup_permille", expr("n_dup_grams * 1000 DIV n_grams"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+            col("dup_permille"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(t) - 6),
+             |        i -> array_to_string(t[i:i+7], ' '))) AS sh
+             |    FROM tok WHERE len(t) >= 8)),
+             |dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+             |SELECT s.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_grams,
+             |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000 // count(*)
+             |    AS BIGINT) AS dup_permille
+             |FROM sh s JOIN dfc USING (sh)
+             |GROUP BY s.doc_id
+             |ORDER BY s.doc_id""".stripMargin),
+      "per-doc duplicated-8-gram fraction (RefinedWeb/Dolma boilerplate axis): share of a doc's distinct 8-grams appearing in other docs, integer permille — distinct-index shuffle + gram-keyed df join-back, q106's scale shape"))
 }

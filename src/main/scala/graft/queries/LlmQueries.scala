@@ -357,5 +357,43 @@ object LlmQueries {
              |LEFT JOIN batch bt ON bt.doc_id = i.doc_id
              |LEFT JOIN near nr ON nr.doc_id = i.doc_id
              |ORDER BY i.doc_id""".stripMargin),
-      "incremental dedup: delta batch screened against the standing corpus (exact + within-batch + cross-set Jaccard>=0.8 signals, keep flag) — delta-side postings only; corpus index is stored at scale"))
+      "incremental dedup: delta batch screened against the standing corpus (exact + within-batch + cross-set Jaccard>=0.8 signals, keep flag) — delta-side postings only; corpus index is stored at scale"),
+
+    Q(
+      "q134_split_leakage",
+      (s, d) => {
+        // Train/test leakage audit: near-duplicate pairs (exact 3-gram
+        // Jaccard >= 0.8, q30's inverted-index operator) whose endpoints
+        // landed in DIFFERENT q73 train/val/test splits — the pairs a
+        // random holdout silently leaks through when dedup runs before
+        // splitting but components aren't split-aware. SCALE: the pair
+        // generator is the graded sub-quadratic shape; the split label is
+        // ARITHMETIC on doc_id (q73's multiplicative-congruential bucket),
+        // so the audit adds two projections and a filter to the pair
+        // frame — no join, no extra shuffle.
+        def splitOf(id: org.apache.spark.sql.Column) = {
+          val bucket = pmod(id * lit(2654435761L), lit(100))
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        }
+        Dedup.shingleJaccardPairs(documents(s, d), threshold = 0.8)
+          .withColumn("split_a", splitOf(col("doc_a")))
+          .withColumn("split_b", splitOf(col("doc_b")))
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            col("split_a"), col("split_b"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$jaccardPairsCte
+             |SELECT * FROM (
+             |  SELECT doc_a, doc_b, round(j, 4) AS jaccard,
+             |    CASE WHEN (doc_a * 2654435761) % 100 < 90 THEN 'train'
+             |         WHEN (doc_a * 2654435761) % 100 < 95 THEN 'val'
+             |         ELSE 'test' END AS split_a,
+             |    CASE WHEN (doc_b * 2654435761) % 100 < 90 THEN 'train'
+             |         WHEN (doc_b * 2654435761) % 100 < 95 THEN 'val'
+             |         ELSE 'test' END AS split_b
+             |  FROM pairs WHERE j >= 0.8)
+             |WHERE split_a <> split_b
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "train/test leakage audit: near-dup pairs (J>=0.8) straddling q73's deterministic splits — dedup-then-split contamination surfaced as an explicit pair list; split labels are doc_id arithmetic, zero extra shuffles"))
 }

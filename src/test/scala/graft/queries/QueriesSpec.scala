@@ -450,6 +450,91 @@ class QueriesSpec extends AnyFunSuite {
     case _ => "gamma"
   }
 
+  test("q134 split leakage: exactly the q30 pairs whose q73 splits differ") {
+    val splits = Registry.byName("q73_docs_train_split").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = Registry.byName("q30_docs_shingle_jaccard").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    assert(pairs.nonEmpty)
+    val expected = pairs
+      .filter { case (a, b, _) => splits(a) != splits(b) }
+      .map { case (a, b, j) => (a, b, j, splits(a), splits(b)) }.toSet
+    val got = Registry.byName("q134_split_leakage").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"))).toSet
+    assert(got == expected)
+    assert(got.forall { case (_, _, _, sa, sb) => sa != sb })
+  }
+
+  test("q135 char entropy: exact driver-side recount over every sf0.001 doc") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def recount(text: String): (Long, Long, Long) = {
+      val chars = text.split("")
+      val n = chars.length.toLong
+      val counts = chars.groupBy(identity).map(_._2.length.toLong)
+      // same IEEE tree as charEntropyMicros: ((-(c/n)) * ln(c/n)) * 1e6 + 0.5
+      val micros = counts.map { c =>
+        val p = c.toDouble / n.toDouble
+        math.floor(-p * math.log(p) * 1000000 + 0.5).toLong
+      }.sum
+      (n, counts.size.toLong, micros)
+    }
+    val got = Registry.byName("q135_char_entropy").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_ch"),
+        r.getAs[Long]("n_distinct_ch"), r.getAs[Long]("entropy_micros"))).toMap
+    assert(got.keySet == docs.keySet)
+    got.foreach { case (id, triple) =>
+      assert(triple == recount(docs(id)), s"doc $id")
+      // entropy <= ln(|alphabet|), plus <=1 micro rounding slack per term
+      val (_, k, e) = triple
+      assert(e <= math.ceil(math.log(k.toDouble) * 1000000).toLong + k)
+    }
+  }
+
+  test("q136 training order: deterministic permutation — contiguous per shard, hash-consistent") {
+    val rows = Registry.byName("q136_training_order").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("ord_key"), r.getAs[Long]("pos")))
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == docs) // every doc scheduled exactly once
+    assert(rows.map(r => (r._2, r._4)).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (sh, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $sh positions not contiguous")
+      assert(rs.sortBy(_._4).map(_._1).toSeq ==
+        rs.sortBy(r => (r._3, r._1)).map(_._1).toSeq,
+        s"shard $sh order does not follow (ord_key, doc_id)")
+    }
+    rows.foreach { case (id, sh, ok, _) =>
+      assert(sh == math.floorMod(id * 2654435761L, 16L))
+      assert(ok == math.floorMod(id * 2246822519L, 1000003L))
+    }
+  }
+
+  test("q137 dup-ngram fraction: brute-force recount on the micro-corpus") {
+    val grams = microTokens.map { case (id, ts) =>
+      id -> (if (ts.size >= 8) ts.sliding(8).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }
+    val df = grams.values.flatten.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val expected = grams.collect { case (id, gs) if gs.nonEmpty =>
+      val dup = gs.count(g => df(g) >= 2).toLong
+      id -> (gs.size.toLong, dup, dup * 1000 / gs.size)
+    }
+    val got = Registry.byName("q137_dup_ngram_fraction").fn(spark, microDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_dup_grams"), r.getAs[Long]("dup_permille"))).toMap
+    assert(got == expected)
+    // engineered landmark: docs 1, 2, 5 share exactly the t1..t8 window —
+    // each has 2 grams, 1 duplicated => 500 permille; docs 3 and 4 are
+    // below gram width and drop out
+    assert(got == Map(1L -> ((2L, 1L, 500L)), 2L -> ((2L, 1L, 500L)),
+      5L -> ((2L, 1L, 500L))))
+  }
+
   test("q127 span dedup: brute-force recount; unaligned 48-run caught, 47-run not") {
     val a = (1 to 60).map(i => s"a$i")
     val corpus = Map(
