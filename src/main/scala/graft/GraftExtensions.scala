@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VecDot
+import graft.functions.{CharCounts, VecDot}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -15,8 +15,10 @@ import graft.functions.VecDot
   *    (the driver owns the session in the Verify/Bench contract).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDot)
+    e.injectFunction(GraftExtensions.charCounts)
+  }
 }
 
 object GraftExtensions {
@@ -26,8 +28,18 @@ object GraftExtensions {
       "vec_dot(a, b) - dot product of two array<double> vectors", ""),
     (children: Seq[Expression]) => VecDot(children(0), children(1)))
 
+  private val charCounts = (
+    new FunctionIdentifier("char_counts"),
+    new ExpressionInfo(classOf[CharCounts].getName, null, "char_counts",
+      "char_counts(s) - per-code-point counts of s as array<long>, " +
+        "sorted by code point", ""),
+    (children: Seq[Expression]) => CharCounts(children.head))
+
   /** Idempotent runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       vecDot._1, vecDot._2, vecDot._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      charCounts._1, charCounts._2, charCounts._3)
+  }
 }

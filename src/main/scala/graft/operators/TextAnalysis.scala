@@ -61,6 +61,15 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000000000000L)
 
+  /** Per-code-point counts of a string column as array<long>, sorted by
+    * code point — the native codegen'd [[graft.functions.CharCounts]]
+    * expression (one primitive pass per row; the HOF split/sort/run-length
+    * chain gives identical counts ~2.5x slower, q135's measured history).
+    */
+  def charCounts(textCol: Column): Column =
+    org.apache.spark.sql.graft.bridge.toColumn(graft.functions.CharCounts(
+      org.apache.spark.sql.graft.bridge.toExpression(textCol)))
+
   /** PII patterns (public formats), deliberately backslash-free so the same
     * literal works in Java regex (Spark) and RE2 (DuckDB oracle): email,
     * dotted-quad IP, international phone.

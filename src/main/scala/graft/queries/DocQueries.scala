@@ -748,25 +748,20 @@ object DocQueries {
         // codegen'd scan; no explode, no per-char shuffle rows, and the
         // alphabet bound (|distinct chars| << doc length) caps the
         // per-row work.
-        // Counts come from run lengths over the SORTED char-code array —
-        // O(m log m) integer work per row, vs the naive
-        // distinct×filter formulation's O(k·m) string comparisons
-        // (measured 4.8 s → the sort form at sf0.1; identical counts, so
-        // the oracle's explode/groupBy arithmetic is untouched).
+        // Counts come from the native codegen'd char_counts expression
+        // (one primitive code-point pass + sort + run-length per row —
+        // graft.functions.CharCounts, the §2.8 surface). The naive
+        // distinct×filter HOF chain measured 4.8 s at sf0.1 and a pure-HOF
+        // sorted-run-length rewrite 2.0 s; counts are identical in every
+        // formulation, so the oracle's explode/groupBy arithmetic is
+        // untouched.
         documents(s, d)
           .select(col("doc_id"),
-            expr("array_sort(transform(split(text, ''), c -> ascii(c)))")
-              .as("__sc"))
-          .select(col("doc_id"), col("__sc"),
-            size(col("__sc")).cast("long").as("n_ch"),
-            expr("""filter(sequence(1, size(__sc)),
-                   |  i -> i = 1 OR element_at(__sc, i) != element_at(__sc, i - 1))"""
-              .stripMargin).as("__st"))
-          .select(col("doc_id"), col("n_ch"),
-            size(col("__st")).cast("long").as("n_distinct_ch"),
-            expr("""zip_with(__st,
-                   |  concat(slice(__st, 2, size(__st) - 1), array(size(__sc) + 1)),
-                   |  (a, b) -> b - a)""".stripMargin).as("__cnt"))
+            graft.operators.TextAnalysis.charCounts(col("text")).as("__cnt"))
+          .select(col("doc_id"), col("__cnt"),
+            expr("aggregate(__cnt, CAST(0 AS BIGINT), (a, c) -> a + c)")
+              .as("n_ch"),
+            size(col("__cnt")).cast("long").as("n_distinct_ch"))
           .select(col("doc_id"), col("n_ch"), col("n_distinct_ch"),
             expr(s"""aggregate(__cnt, CAST(0 AS BIGINT),
                     |  (acc, c) -> acc + $charEntropyMicros)""".stripMargin)

@@ -68,7 +68,11 @@ class ShuffleGrowthSpec extends AnyFunSuite {
     "q88_semantic_dedup_decisions" -> "embeddings",
     "q70_emb_neardup_lsh" -> "embeddings",
     "q34_docs_minhash_neardup" -> "documents",
-    "q127_span_dedup" -> "documents")
+    "q127_span_dedup" -> "documents",
+    // distinct-gram index + df join-back: the shape goes quadratic if a
+    // hot boilerplate gram's postings blow up the join (q30's failure
+    // mode, caught here rather than by plan shape)
+    "q137_dup_ngram_fraction" -> "documents")
 
   test(s"heavy-family shuffle write grows <= ${HEADROOM}x its input growth (sf0.001 -> sf0.1)") {
     val rows = heavy.map { case (name, table) =>
