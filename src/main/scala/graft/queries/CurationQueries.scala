@@ -504,5 +504,31 @@ object CurationQueries {
              |    ORDER BY ord_key, doc_id) AS BIGINT) AS pos
              |FROM t
              |ORDER BY doc_id""".stripMargin),
-      "deterministic epoch-shuffle order: multiplicative-hash shard + independent-hash within-shard position — reproducible loader order with shard-local windows only, no global sort (shard count is the scale dial, q99's argument)"))
+      "deterministic epoch-shuffle order: multiplicative-hash shard + independent-hash within-shard position — reproducible loader order with shard-local windows only, no global sort (shard count is the scale dial, q99's argument)"),
+
+    Q(
+      "q139_uniform_sample",
+      (s, d) => {
+        // Fixed-budget uniform corpus sample (eval slices, ablation
+        // subsets, human-review batches): the N docs with the smallest
+        // multiplicative-hash priority, ties to doc_id. Deterministic and
+        // engine-portable where rand()-based sampling is neither, and —
+        // unlike a per-source rate (q80) or temperature mix (q130) — the
+        // budget is EXACT. SCALE: a top-k by priority plans as
+        // TakeOrderedAndProject (per-partition heaps + driver merge of
+        // N-row results), never a global sort; the q14 shape over a
+        // computed key. Multiplier is a distinct member of the q73 bound
+        // family (doc_id < ~2.8e9 keeps the product in int64).
+        val n = 200
+        documents(s, d)
+          .select(col("doc_id"),
+            pmod(col("doc_id") * lit(3266489917L), lit(1000003L)).as("pri"))
+          .orderBy(col("pri"), col("doc_id"))
+          .limit(n)
+      },
+      Some("""SELECT doc_id, (doc_id * 3266489917) % 1000003 AS pri
+             |FROM documents
+             |ORDER BY pri, doc_id
+             |LIMIT 200""".stripMargin),
+      "fixed-budget deterministic uniform sample: top-200 by multiplicative-hash priority, ties to doc_id — exact budget, reproducible, plans as TakeOrderedAndProject (no global sort)"))
 }

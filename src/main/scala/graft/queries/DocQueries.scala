@@ -780,7 +780,7 @@ object DocQueries {
              |FROM cc JOIN nn ON nn.doc_id = cc.doc_id
              |GROUP BY cc.doc_id
              |ORDER BY cc.doc_id""".stripMargin),
-      "per-doc character Shannon entropy in integer micros (gibberish/template-spam quality signal) — zero-shuffle per-row plan: staged char/distinct/count arrays, alphabet-bounded lambda work, order-independent integer sum"),
+      "per-doc character Shannon entropy in integer micros (gibberish/template-spam quality signal) — zero-shuffle per-row plan over the native char_counts histogram expression, order-independent integer sum"),
 
     Q(
       "q137_dup_ngram_fraction",
@@ -836,5 +836,62 @@ object DocQueries {
              |FROM sh s JOIN dfc USING (sh)
              |GROUP BY s.doc_id
              |ORDER BY s.doc_id""".stripMargin),
-      "per-doc duplicated-8-gram fraction (RefinedWeb/Dolma boilerplate axis): share of a doc's distinct 8-grams appearing in other docs, integer permille — distinct-index shuffle + gram-keyed df join-back, q106's scale shape"))
+      "per-doc duplicated-8-gram fraction (RefinedWeb/Dolma boilerplate axis): share of a doc's distinct 8-grams appearing in other docs, integer permille — distinct-index shuffle + gram-keyed df join-back, q106's scale shape"),
+
+    Q(
+      "q140_source_quality_report",
+      (s, d) => {
+        // Per-source curation dashboard: doc counts, token mass, and mean
+        // character entropy by source — the table that decides which
+        // source gets a q81 cap or a q130 temperature before anyone
+        // looks at individual documents. Averages are floor divisions of
+        // int64 sums (order-independent, engine-portable); entropy rides
+        // the native char_counts histogram, so the per-doc stage is the
+        // q135 zero-shuffle shape and the only exchange is the final
+        // source-keyed aggregate.
+        documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            graft.operators.TextAnalysis.charCounts(col("text")).as("__cnt"))
+          .select(col("source"), col("n_tok"),
+            expr("aggregate(__cnt, CAST(0 AS BIGINT), (a, c) -> a + c)")
+              .as("n_ch"),
+            col("__cnt"))
+          .select(col("source"), col("n_tok"),
+            expr(s"""aggregate(__cnt, CAST(0 AS BIGINT),
+                    |  (acc, c) -> acc + $charEntropyMicros)""".stripMargin)
+              .as("ent_micros"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tot_tok"),
+            sum(col("ent_micros")).as("__sum_ent"))
+          .select(col("source"), col("n_docs"), col("tot_tok"),
+            expr("tot_tok DIV n_docs").as("avg_tok"),
+            expr("__sum_ent DIV n_docs").as("avg_entropy_micros"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ch AS (
+             |  SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+             |  FROM documents),
+             |cc AS (SELECT doc_id, source, ch, count(*) AS c
+             |       FROM ch GROUP BY doc_id, source, ch),
+             |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ch
+             |       FROM cc GROUP BY doc_id),
+             |ent AS (
+             |  SELECT cc.doc_id, max(cc.source) AS source,
+             |    CAST(sum($charEntropyMicros) AS BIGINT) AS ent_micros
+             |  FROM cc JOIN nn ON nn.doc_id = cc.doc_id
+             |  GROUP BY cc.doc_id),
+             |tok AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT e.source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(t.n_tok) AS BIGINT) AS tot_tok,
+             |  CAST(sum(t.n_tok) // count(*) AS BIGINT) AS avg_tok,
+             |  CAST(sum(e.ent_micros) // count(*) AS BIGINT) AS avg_entropy_micros
+             |FROM ent e JOIN tok t ON t.doc_id = e.doc_id
+             |GROUP BY e.source
+             |ORDER BY e.source""".stripMargin),
+      "per-source curation dashboard: doc counts, token mass, floor-average char entropy — the q81-cap / q130-temperature decision table; per-doc stage is q135's zero-shuffle shape, one source-keyed exchange"))
 }

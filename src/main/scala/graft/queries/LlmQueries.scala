@@ -79,11 +79,12 @@ object LlmQueries {
       |FROM pairs WHERE j >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q87: transitive closure over the >=0.8 pairs (recursive CTE), then
-    * component = min reachable doc — the same fixpoint the Spark-side
-    * min-label propagation converges to.
+  /** Transitive closure over the >=0.8 pairs (recursive CTE) ending in a
+    * `comp(doc_id, component)` CTE — the same fixpoint the Spark-side
+    * min-label propagation converges to. q87 selects it directly; q138
+    * aggregates it into the size histogram.
     */
-  private val dedupComponentsSql: String =
+  private val componentsCte: String =
     s"""$jaccardPairsCte,
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE j >= 0.8
@@ -92,11 +93,16 @@ object LlmQueries {
       |reach(n, m) AS (
       |  SELECT u, u FROM edges
       |  UNION
-      |  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u)
-      |SELECT n AS doc_id, min(m) AS component,
-      |  CAST(n = min(m) AS BIGINT) AS keep
-      |FROM reach
-      |GROUP BY n
+      |  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u),
+      |comp AS (
+      |  SELECT n AS doc_id, min(m) AS component
+      |  FROM reach GROUP BY n)""".stripMargin
+
+  private val dedupComponentsSql: String =
+    s"""$componentsCte
+      |SELECT doc_id, component,
+      |  CAST(doc_id = component AS BIGINT) AS keep
+      |FROM comp
       |ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -395,5 +401,38 @@ object LlmQueries {
              |  FROM pairs WHERE j >= 0.8)
              |WHERE split_a <> split_b
              |ORDER BY doc_a, doc_b""".stripMargin),
-      "train/test leakage audit: near-dup pairs (J>=0.8) straddling q73's deterministic splits — dedup-then-split contamination surfaced as an explicit pair list; split labels are doc_id arithmetic, zero extra shuffles"))
+      "train/test leakage audit: near-dup pairs (J>=0.8) straddling q73's deterministic splits — dedup-then-split contamination surfaced as an explicit pair list; split labels are doc_id arithmetic, zero extra shuffles"),
+
+    Q(
+      "q138_dedup_report",
+      (s, d) => {
+        // Dedup observability: the component-size histogram every dedup
+        // run reports before anyone trusts its removals — how many
+        // near-dup groups of each size exist, how many docs they touch,
+        // and how many rows a keep-one policy deletes. A spike at large
+        // sizes means boilerplate is welding unrelated docs together
+        // (threshold or df-cap problem); all-size-2 means mostly exact
+        // re-uploads. SCALE: two component-keyed aggregates over the
+        // component frame (docs-in-pairs sized, not corpus sized), then a
+        // histogram agg on the bounded size key.
+        val comps = Dedup.connectedComponents(
+          Dedup.shingleJaccardPairs(documents(s, d), threshold = 0.8)
+            .select(col("doc_a"), col("doc_b")))
+        comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+          .select(col("sz"), col("n_components"),
+            (col("sz") * col("n_components")).as("n_docs"),
+            ((col("sz") - 1) * col("n_components")).as("n_removed"))
+          .orderBy(col("sz"))
+      },
+      Some(s"""$componentsCte,
+             |szs AS (
+             |  SELECT component, count(*) AS sz FROM comp GROUP BY component)
+             |SELECT sz, CAST(count(*) AS BIGINT) AS n_components,
+             |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+             |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removed
+             |FROM szs
+             |GROUP BY sz
+             |ORDER BY sz""".stripMargin),
+      "dedup-run report: near-dup component-size histogram (groups / docs touched / rows a keep-one policy removes) — the trust-but-verify table before acting on dedup decisions; component-keyed aggregates only"))
 }

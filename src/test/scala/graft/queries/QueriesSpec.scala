@@ -535,6 +535,59 @@ class QueriesSpec extends AnyFunSuite {
       5L -> ((2L, 1L, 500L))))
   }
 
+  test("q138 dedup report: histogram recounts q87's components and conserves doc totals") {
+    val comps = Registry.byName("q87_dedup_components").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+    val expected = comps.groupBy(_._2).map(_._2.size.toLong)
+      .groupBy(identity).map { case (sz, xs) =>
+        sz -> (xs.size.toLong, sz * xs.size, (sz - 1) * xs.size)
+      }
+    val got = Registry.byName("q138_dedup_report").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("sz") -> (r.getAs[Long]("n_components"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed"))).toMap
+    assert(got == expected)
+    assert(got.map { case (sz, (_, nd, _)) => nd }.sum == comps.length,
+      "histogram does not conserve the docs-in-components total")
+    assert(got.keys.forall(_ >= 2), "a component of size 1 cannot arise from a pair list")
+  }
+
+  test("q139 uniform sample: exactly the 200 smallest hash priorities, reproducible") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expected = docs
+      .map(id => (math.floorMod(id * 3266489917L, 1000003L), id))
+      .sorted.take(200).map { case (pri, id) => (id, pri) }.toSeq
+    val got = Registry.byName("q139_uniform_sample").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pri"))).toSeq
+    assert(got.size == 200)
+    assert(got.sortBy(_._2).map(_._1).toSet == expected.map(_._1).toSet)
+    assert(got.toSet == expected.toSet)
+    // top-k must plan as TakeOrderedAndProject, never a global sort (q14's pin)
+    val plan = Registry.byName("q139_uniform_sample").fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q140 source quality report: recounts from q135 entropy and token counts") {
+    val ent = Registry.byName("q135_char_entropy").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("entropy_micros")).toMap
+    val docs = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "source", "CAST(size(split(text, ' ')) AS LONG) AS n_tok")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_tok")))
+    val expected = docs.groupBy(_._2).map { case (src, xs) =>
+      val n = xs.size.toLong
+      val tot = xs.map(_._3).sum
+      val sumEnt = xs.map(x => ent(x._1)).sum
+      src -> (n, tot, tot / n, sumEnt / n)
+    }
+    val got = Registry.byName("q140_source_quality_report").fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tot_tok"), r.getAs[Long]("avg_tok"),
+        r.getAs[Long]("avg_entropy_micros"))).toMap
+    assert(got == expected)
+  }
+
   test("q127 span dedup: brute-force recount; unaligned 48-run caught, 47-run not") {
     val a = (1 to 60).map(i => s"a$i")
     val corpus = Map(
