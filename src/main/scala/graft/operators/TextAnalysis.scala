@@ -70,6 +70,16 @@ object TextAnalysis {
     org.apache.spark.sql.graft.bridge.toColumn(graft.functions.CharCounts(
       org.apache.spark.sql.graft.bridge.toExpression(textCol)))
 
+  /** Distinct winnowing fingerprints of a token-array column (sorted
+    * array<long>): rolling-hash w-token windows, monotonic-deque minima
+    * per v-hash winnow window — the native O(len)
+    * [[graft.functions.WinnowFingerprints]] expression (the HOF chain
+    * assembles every window as a string first, O(len·w) bytes per doc).
+    */
+  def winnowFingerprints(tokensCol: Column, w: Int, v: Int): Column =
+    org.apache.spark.sql.graft.bridge.toColumn(graft.functions.WinnowFingerprints(
+      org.apache.spark.sql.graft.bridge.toExpression(tokensCol), w, v))
+
   /** PII patterns (public formats), deliberately backslash-free so the same
     * literal works in Java regex (Spark) and RE2 (DuckDB oracle): email,
     * dotted-quad IP, international phone.

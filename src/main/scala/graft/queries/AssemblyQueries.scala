@@ -453,18 +453,21 @@ object AssemblyQueries {
         // slim (fp, doc_id) posting. AssemblySpec pins the subset
         // relation vs q127, the 63-token guarantee at an unaligned
         // offset, and the postings reduction.
+        // Per-doc fingerprints come from the native WinnowFingerprints
+        // expression: rolling-hash window hashes + monotonic-deque minima,
+        // O(len) per doc. The original HOF chain (xxhash64 over
+        // concat_ws(slice(t, i, W)) per position, array_min over slices)
+        // copies O(len·W) bytes per doc — measured 2.2 s vs 0.6 s at
+        // sf0.1. Fingerprint VALUES differ (different hash), but every
+        // winnowing property is hash-agnostic and re-proven by
+        // AssemblySpec on the new values.
         val W = 48
         val V = 16
         val base = documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
-        val withHs = base.select(col("doc_id"),
-          transform(
-            sequence(lit(1), greatest(size(col("t")) - lit(W - 1), lit(1))),
-            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(W))))).as("hs"))
-        val fps = withHs.select(col("doc_id"),
-          explode(array_distinct(transform(
-            sequence(lit(1), greatest(size(col("hs")) - lit(V - 1), lit(1))),
-            j => array_min(slice(col("hs"), j, lit(V)))))).as("fp"))
+        val fps = base.select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.winnowFingerprints(col("t"), W, V))
+            .as("fp"))
         val owners = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
         fps.join(owners, "fp")
           .groupBy(col("doc_id"))
@@ -477,5 +480,5 @@ object AssemblyQueries {
           .orderBy(col("doc_id"))
       },
       None,
-      "winnowing scale path for q127: min-xxhash64 fingerprint per 16-hash window, ~1/16 the shuffled postings; shared runs >= 63 tokens (W+V-1) still guarantee a shared fingerprint — subset/guarantee/reduction pinned in AssemblySpec"))
+      "winnowing scale path for q127: native rolling-hash + deque-minima fingerprints (O(len)/doc), ~1/16 the shuffled postings; shared runs >= 63 tokens (W+V-1) still guarantee a shared fingerprint — subset/guarantee/reduction pinned in AssemblySpec"))
 }
