@@ -363,12 +363,16 @@ object Dedup {
       // co-partitioned path: re-keying the new labels onto doc_id at
       // checkpoint time costs one shuffle but replaces the TWO labels-side
       // exchanges the next round would otherwise plan (neighbor join on v,
-      // step join on doc_id)
-      val next = ckptLabels(
+      // step join on doc_id). The convergence count rides the SAME job
+      // that materializes the checkpoint (the old formulation paid a
+      // separate filter/limit/count job per round — pure job-launch
+      // overhead on component-sized frames).
+      val (next, changed) = org.apache.spark.sql.graft.bridge.localCheckpointCountingFlag(
         stepped.join(parents, Seq("component"), "left")
           .select(col("doc_id"), jumped.as("component"),
-            (jumped < col("__old")).as("__chg")))
-      val changed = next.filter(col("__chg")).limit(1).count()
+            (jumped < col("__old")).as("__chg")),
+        "__chg",
+        if (coPartition) Seq("doc_id") else Nil, np)
       release(labels) // superseded checkpoint — free its blocks eagerly
       labels = next
       converged = changed == 0

@@ -146,6 +146,48 @@ object bridge {
         session, originStats = Some(qe.optimizedPlan.stats)))
   }
 
+  /** Eager local checkpoint that counts TRUE values of boolean column
+    * `flagCol` in the SAME job that materializes the checkpoint — for
+    * iterative fixpoints (connected components), where a separate
+    * "did anything change?" action per round is a whole extra job over
+    * data that the materializing pass is already streaming. With
+    * `partitionKeys` non-empty the checkpoint also declares its hash
+    * partitioning, exactly like [[hashPartitionedLocalCheckpoint]].
+    * Returns (checkpointed frame, flag count). Free with
+    * [[releaseCheckpoint]].
+    */
+  def localCheckpointCountingFlag(
+      df: DataFrame, flagCol: String,
+      partitionKeys: Seq[String] = Nil, numPartitions: Int = 0): (DataFrame, Long) = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val prepared =
+      if (partitionKeys.isEmpty) df
+      else df.repartition(numPartitions, partitionKeys.map(df.apply): _*)
+    val cdf = prepared.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val session = cdf.sparkSession
+    val qe = cdf.queryExecution
+    val out = qe.analyzed.output
+    val flagIdx = out.indexWhere(a => session.sessionState.analyzer.resolver(a.name, flagCol))
+    require(flagIdx >= 0, s"localCheckpointCountingFlag: '$flagCol' not in ${out.map(_.name)}")
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    // the fold both materializes (and persists) the checkpoint and counts
+    // the flags — one job where eager-checkpoint + count was two
+    val flagged = rdd.mapPartitions { it =>
+      var c = 0L
+      it.foreach(r => if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) c += 1)
+      Iterator.single(c)
+    }.fold(0L)(_ + _)
+    val partitioning =
+      if (partitionKeys.isEmpty) null
+      else HashPartitioning(partitionKeys.map(k =>
+        out.find(a => session.sessionState.analyzer.resolver(a.name, k)).get), numPartitions)
+    val plan =
+      if (partitioning == null) LogicalRDD(out, rdd)(session, originStats = Some(qe.optimizedPlan.stats))
+      else LogicalRDD(out, rdd, partitioning, Nil, false)(session, originStats = Some(qe.optimizedPlan.stats))
+    (org.apache.spark.sql.classic.Dataset.ofRows(session, plan), flagged)
+  }
+
   /** A lazily-materializing local checkpoint of `df`: the returned frame
     * reads from checkpointed blocks once a job runs, but CONSTRUCTING or
     * EXPLAINING it (and anything built on it) launches zero jobs — unlike
