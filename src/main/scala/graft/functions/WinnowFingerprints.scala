@@ -79,7 +79,11 @@ object WinnowFingerprints {
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      th(i) = tokenHash(tokens.getUTF8String(i).getBytes)
+      // a null element (legal in ArrayType(StringType, containsNull=true)
+      // inputs not produced by split()) hashes like the empty token
+      // instead of NPE-ing inside a codegen'd task
+      val t = tokens.getUTF8String(i)
+      th(i) = if (t == null) FnvOffset else tokenHash(t.getBytes)
       i += 1
     }
     // rolling window hashes: nW = max(n - w + 1, 1); a short input gets one

@@ -276,6 +276,19 @@ object Dedup {
     * checkpoint survives (its plan no longer references edges); callers
     * that materialize it should release it with [[release]].
     */
+  /** Auto decision for the co-partitioned components path: pin the
+    * checkpoints' hash partitioning exactly when the LABEL frame could
+    * not be broadcast in-round. `broadcastThreshold < 0` means
+    * broadcasting is disabled entirely — then every round would shuffle
+    * edges and labels without the pin, so pinning always wins (the
+    * r8 review caught the original `>= 0 &&` form selecting the WORST
+    * path for precisely that configuration). 16 B = two packed longs per
+    * (doc_id, component) label row.
+    */
+  private[operators] def coPartitionAuto(
+      broadcastThreshold: Long, nNodes: Long): Boolean =
+    broadcastThreshold < 0 || nNodes * 16L > broadcastThreshold
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
       roundProbe: Int => Unit = _ => ()): DataFrame = {
     // Edge symmetrization DELIBERATELY unions the pair pipeline with its
@@ -301,11 +314,13 @@ object Dedup {
     // Locally the SAME pinning LOSES (~1 s on q87 sf0.1, measured): small
     // labels frames broadcast anyway, so there are no labels-side
     // exchanges to save and the extra repartition passes are pure
-    // overhead. So the choice is ADAPTIVE, from the measured size of the
-    // materialized edge checkpoint against the session's broadcast
-    // threshold — the same signal the planner itself would use to pick
-    // BHJ vs SMJ in-round. `spark.graft.components.copartition` = on |
-    // off | auto (default) forces either path (tests pin both).
+    // overhead. So the choice is ADAPTIVE (see [[coPartitionAuto]]), from
+    // the measured size of the LABEL frame — the frame that actually gets
+    // broadcast or not in-round; sizing by edges would force pinning on
+    // dense dup-clique graphs whose tiny label frame broadcasts fine —
+    // against the session's broadcast threshold.
+    // `spark.graft.components.copartition` = on | off | auto (default)
+    // forces either path (tests pin both).
     val spark = pairs.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     val bridge = org.apache.spark.sql.graft.bridge
@@ -313,28 +328,25 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
+    val labelsPlain = edgesPlain.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
     val coPartition = spark.conf.getOption("spark.graft.components.copartition")
         .getOrElse("auto") match {
       case "on" => true
       case "off" => false
-      case _ =>
-        // 16 B ≈ two packed longs per (u, v) edge row; labels ≤ edges in
-        // rows and narrower, so edge bytes bound the broadcast candidates
-        val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
-        thresh >= 0 && edgesPlain.count() * 16L > thresh
+      case _ => coPartitionAuto(
+        spark.sessionState.conf.autoBroadcastJoinThreshold, labelsPlain.count())
     }
-    val ckptLabels: DataFrame => DataFrame =
-      if (coPartition) df => bridge.hashPartitionedLocalCheckpoint(df, np, "doc_id")
-      else df => df.localCheckpoint(true)
-    val edges =
+    val (edges, labelsInit) =
       if (coPartition) {
         val e = bridge.hashPartitionedLocalCheckpoint(edgesPlain, np, "v")
         release(edgesPlain)
-        e
-      } else edgesPlain
-    var labels = ckptLabels(
-      edges.select(col("u").as("doc_id")).distinct()
-        .withColumn("component", col("doc_id")))
+        val l = bridge.hashPartitionedLocalCheckpoint(labelsPlain, np, "doc_id")
+        release(labelsPlain)
+        (e, l)
+      } else (edgesPlain, labelsPlain)
+    var labels = labelsInit
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {

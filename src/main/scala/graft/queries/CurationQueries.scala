@@ -482,10 +482,14 @@ object CurationQueries {
         // independent task, and no global ORDER BY exists anywhere in the
         // plan; the final orderBy here is presentation-only for the
         // oracle diff. Engine-portable arithmetic: products stay in int64
-        // for doc_id < ~4e9 (the q73 bound family).
+        // for doc_id < ~4e9 (the q73 bound family). The order-key modulus
+        // is a ~2^31 prime so even at the id bound the expected tie-group
+        // is ~2 docs — a small modulus (the r8 review caught a 1e6 draft)
+        // would degrade the "shuffle" into doc_id-sorted runs at scale,
+        // exactly the ingestion-order correlation this op exists to break.
         val shards = 16L
         val shard = pmod(col("doc_id") * lit(2654435761L), lit(shards))
-        val ordKey = pmod(col("doc_id") * lit(2246822519L), lit(1000003L))
+        val ordKey = pmod(col("doc_id") * lit(2246822519L), lit(2147483629L))
         val w = Window.partitionBy(col("shard"))
           .orderBy(col("ord_key"), col("doc_id"))
         documents(s, d)
@@ -497,7 +501,7 @@ object CurationQueries {
       Some("""WITH t AS (
              |  SELECT doc_id,
              |    (doc_id * 2654435761) % 16 AS shard,
-             |    (doc_id * 2246822519) % 1000003 AS ord_key
+             |    (doc_id * 2246822519) % 2147483629 AS ord_key
              |  FROM documents)
              |SELECT doc_id, shard, ord_key,
              |  CAST(row_number() OVER (PARTITION BY shard
@@ -518,15 +522,19 @@ object CurationQueries {
         // TakeOrderedAndProject (per-partition heaps + driver merge of
         // N-row results), never a global sort; the q14 shape over a
         // computed key. Multiplier is a distinct member of the q73 bound
-        // family (doc_id < ~2.8e9 keeps the product in int64).
+        // family (doc_id < ~2.8e9 keeps the product in int64); the
+        // priority modulus is a ~2^31 prime so buckets hold ~1 doc even
+        // at the id bound — with a small modulus (the r8 review caught a
+        // 1e6 draft) ties would resolve to the LOWEST doc_ids and the
+        // "uniform" sample would concentrate in early-crawled ids.
         val n = 200
         documents(s, d)
           .select(col("doc_id"),
-            pmod(col("doc_id") * lit(3266489917L), lit(1000003L)).as("pri"))
+            pmod(col("doc_id") * lit(3266489917L), lit(2147483629L)).as("pri"))
           .orderBy(col("pri"), col("doc_id"))
           .limit(n)
       },
-      Some("""SELECT doc_id, (doc_id * 3266489917) % 1000003 AS pri
+      Some("""SELECT doc_id, (doc_id * 3266489917) % 2147483629 AS pri
              |FROM documents
              |ORDER BY pri, doc_id
              |LIMIT 200""".stripMargin),

@@ -82,6 +82,7 @@ object ComponentsProbe {
       println(f"PROBE-BIG n=$bigN%8d copartition=$mode%-3s components=$nComps%8d rounds=$rounds%2d sec=$sec%7.2f")
     }
     spark.conf.unset("spark.graft.components.copartition")
+    Dedup.release(bigEdges) // the probe's own checkpoint hygiene rule
     spark.stop()
   }
 }

@@ -124,27 +124,8 @@ object bridge {
     * plain `LogicalRDD` root, exactly what that traversal expects).
     */
   def hashPartitionedLocalCheckpoint(
-      df: DataFrame, numPartitions: Int, keys: String*): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    val cdf = df.repartition(numPartitions, keys.map(df.apply): _*)
-      .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    val session = cdf.sparkSession
-    val qe = cdf.queryExecution
-    // rows must be copied before persisting: the scan/agg iterators reuse
-    // one UnsafeRow buffer (same as Spark's own Dataset.checkpoint impl)
-    val rdd = qe.toRdd.map(_.copy())
-    rdd.localCheckpoint()
-    rdd.count() // eager: truncate lineage now, not at first downstream job
-    val out = qe.analyzed.output
-    val keyAttrs = keys.map(k =>
-      out.find(a => session.sessionState.analyzer.resolver(a.name, k)).getOrElse(
-        throw new IllegalArgumentException(
-          s"hashPartitionedLocalCheckpoint: key '$k' not in ${out.map(_.name)}")))
-    org.apache.spark.sql.classic.Dataset.ofRows(
-      session,
-      LogicalRDD(out, rdd, HashPartitioning(keyAttrs, numPartitions), Nil, false)(
-        session, originStats = Some(qe.optimizedPlan.stats)))
-  }
+      df: DataFrame, numPartitions: Int, keys: String*): DataFrame =
+    checkpointCore(df, keys, numPartitions, flagCol = None)._1
 
   /** Eager local checkpoint that counts TRUE values of boolean column
     * `flagCol` in the SAME job that materializes the checkpoint — for
@@ -158,7 +139,17 @@ object bridge {
     */
   def localCheckpointCountingFlag(
       df: DataFrame, flagCol: String,
-      partitionKeys: Seq[String] = Nil, numPartitions: Int = 0): (DataFrame, Long) = {
+      partitionKeys: Seq[String] = Nil, numPartitions: Int = 0): (DataFrame, Long) =
+    checkpointCore(df, partitionKeys, numPartitions, flagCol = Some(flagCol))
+
+  /** Shared core of the two eager-checkpoint helpers above: optional
+    * explicit repartition + truthful HashPartitioning declaration on the
+    * LogicalRDD, optional flag counting fused into the materializing job
+    * (a plain count() when no flag is requested).
+    */
+  private def checkpointCore(
+      df: DataFrame, partitionKeys: Seq[String], numPartitions: Int,
+      flagCol: Option[String]): (DataFrame, Long) = {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val prepared =
       if (partitionKeys.isEmpty) df
@@ -167,24 +158,37 @@ object bridge {
     val session = cdf.sparkSession
     val qe = cdf.queryExecution
     val out = qe.analyzed.output
-    val flagIdx = out.indexWhere(a => session.sessionState.analyzer.resolver(a.name, flagCol))
-    require(flagIdx >= 0, s"localCheckpointCountingFlag: '$flagCol' not in ${out.map(_.name)}")
+    def resolve(name: String, what: String) =
+      out.find(a => session.sessionState.analyzer.resolver(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what: column '$name' not in ${out.map(_.name)}"))
+    val flagIdx = flagCol.map(f =>
+      out.indexOf(resolve(f, "localCheckpointCountingFlag")))
+    // rows must be copied before persisting: the scan/agg iterators reuse
+    // one UnsafeRow buffer (same as Spark's own Dataset.checkpoint impl)
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    // the fold both materializes (and persists) the checkpoint and counts
-    // the flags — one job where eager-checkpoint + count was two
-    val flagged = rdd.mapPartitions { it =>
-      var c = 0L
-      it.foreach(r => if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) c += 1)
-      Iterator.single(c)
-    }.fold(0L)(_ + _)
-    val partitioning =
-      if (partitionKeys.isEmpty) null
-      else HashPartitioning(partitionKeys.map(k =>
-        out.find(a => session.sessionState.analyzer.resolver(a.name, k)).get), numPartitions)
+    // ONE job both materializes (and persists) the checkpoint and, when
+    // asked, counts the flag column — where eager-checkpoint + a separate
+    // count action was two jobs
+    val flagged = flagIdx match {
+      case None => rdd.count(); 0L
+      case Some(idx) =>
+        rdd.mapPartitions { it =>
+          var c = 0L
+          it.foreach(r => if (!r.isNullAt(idx) && r.getBoolean(idx)) c += 1)
+          Iterator.single(c)
+        }.fold(0L)(_ + _)
+    }
     val plan =
-      if (partitioning == null) LogicalRDD(out, rdd)(session, originStats = Some(qe.optimizedPlan.stats))
-      else LogicalRDD(out, rdd, partitioning, Nil, false)(session, originStats = Some(qe.optimizedPlan.stats))
+      if (partitionKeys.isEmpty)
+        LogicalRDD(out, rdd)(session, originStats = Some(qe.optimizedPlan.stats))
+      else {
+        val part = HashPartitioning(
+          partitionKeys.map(resolve(_, "hashPartitionedLocalCheckpoint")), numPartitions)
+        LogicalRDD(out, rdd, part, Nil, false)(
+          session, originStats = Some(qe.optimizedPlan.stats))
+      }
     (org.apache.spark.sql.classic.Dataset.ofRows(session, plan), flagged)
   }
 

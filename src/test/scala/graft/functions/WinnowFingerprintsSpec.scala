@@ -47,6 +47,20 @@ class WinnowFingerprintsSpec extends AnyFunSuite {
     assert(run((1 to 50).map(i => s"x$i"), 48, 16).size == 1)
   }
 
+  test("null token elements hash like empty tokens instead of crashing the task") {
+    import spark.implicits._
+    // arrays built from array(col...) are containsNull=true — split()
+    // never produces this, but a library caller can
+    val df = Seq((Some("a"), None: Option[String], Some("b")))
+      .toDF("x", "y", "z")
+      .select(winnowFingerprints(array(col("x"), col("y"), col("z")), 2, 2).as("fp"))
+    val got = df.collect()(0).getSeq[Long](0)
+    val viaEmpty = Seq(Tuple1(Seq("a", "", "b"))).toDF("t")
+      .select(winnowFingerprints(col("t"), 2, 2).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == viaEmpty)
+  }
+
   test("a shared w+v-1 run yields a shared fingerprint at any alignment") {
     val shared = (1 to 63).map(i => s"s$i") // w + v - 1 = 63
     val a = (1 to 17).map(i => s"a$i") ++ shared ++ (1 to 5).map(i => s"p$i")

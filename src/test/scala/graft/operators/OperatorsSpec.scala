@@ -151,6 +151,20 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
   }
 
+  test("coPartitionAuto: pins when labels exceed the threshold AND when broadcast is disabled") {
+    // threshold = -1 (broadcast disabled) is the one configuration where
+    // labels can NEVER broadcast — auto must pin regardless of size (the
+    // r8 review caught the original form picking the plain path there)
+    assert(Dedup.coPartitionAuto(-1L, 10L))
+    assert(Dedup.coPartitionAuto(-1L, 10000000L))
+    // sized decision: pin only when the 16 B/row label frame outgrows it
+    assert(!Dedup.coPartitionAuto(10L * 1024 * 1024, 1000L))
+    assert(Dedup.coPartitionAuto(10L * 1024 * 1024, 1000000L))
+    // boundary: exactly at the threshold stays plain
+    assert(!Dedup.coPartitionAuto(16000L, 1000L))
+    assert(Dedup.coPartitionAuto(15999L, 1000L))
+  }
+
   test("connected components: forced co-partitioned path matches, releases, and skips labels-side shuffles") {
     import spark.implicits._
     def persisted(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet

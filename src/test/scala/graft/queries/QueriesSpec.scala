@@ -510,7 +510,7 @@ class QueriesSpec extends AnyFunSuite {
     }
     rows.foreach { case (id, sh, ok, _) =>
       assert(sh == math.floorMod(id * 2654435761L, 16L))
-      assert(ok == math.floorMod(id * 2246822519L, 1000003L))
+      assert(ok == math.floorMod(id * 2246822519L, 2147483629L))
     }
   }
 
@@ -555,7 +555,7 @@ class QueriesSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id")
       .collect().map(_.getLong(0))
     val expected = docs
-      .map(id => (math.floorMod(id * 3266489917L, 1000003L), id))
+      .map(id => (math.floorMod(id * 3266489917L, 2147483629L), id))
       .sorted.take(200).map { case (pri, id) => (id, pri) }.toSeq
     val got = Registry.byName("q139_uniform_sample").fn(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pri"))).toSeq
