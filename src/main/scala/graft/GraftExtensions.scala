@@ -22,18 +22,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  // Arity is validated in each builder: the lambdas otherwise index into
+  // `children`, so a wrong-arity SQL call (`vec_dot()`) would surface as
+  // a bare NoSuchElementException instead of an analysis error naming
+  // the expected signature (ADVICE r8 #5).
   private val vecDot = (
     new FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot",
       "vec_dot(a, b) - dot product of two array<double> vectors", ""),
-    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`vec_dot`", "expectedNum" -> "2",
+            "actualNum" -> children.length.toString, "docroot" -> ""))
+      VecDot(children(0), children(1))
+    })
 
   private val charCounts = (
     new FunctionIdentifier("char_counts"),
     new ExpressionInfo(classOf[CharCounts].getName, null, "char_counts",
       "char_counts(s) - per-code-point counts of s as array<long>, " +
         "sorted by code point", ""),
-    (children: Seq[Expression]) => CharCounts(children.head))
+    (children: Seq[Expression]) => {
+      if (children.length != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`char_counts`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString, "docroot" -> ""))
+      CharCounts(children.head)
+    })
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {

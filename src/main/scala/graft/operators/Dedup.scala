@@ -135,10 +135,21 @@ object Dedup {
         .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("sh"))
       corpIdxAll.join(hot, Seq("sh"), "left_anti")
     }
-    val incSizes = shingleSizes(incIdx)
     val corpSizes = shingleSizes(corpIdxAll) // FULL sizes: capped J stays a lower bound
-    incIdx.toDF("inc_id", "sh")
-      .join(corpIdx.toDF("corp_id", "sh2"), col("sh") === col("sh2"))
+    crossMatchesFrom(incIdx, corpIdx, corpSizes, threshold)
+  }
+
+  /** Shared tail of the cross-set match: score (incoming index) ×
+    * (corpus index, possibly df-capped) against FULL corpus sizes. The
+    * incoming key is renamed `sh_q` so plan assertions (and plan reads)
+    * can tell the delta-side shuffle from a corpus-side one: the stored
+    * path's contract is that NO exchange ever carries the corpus key.
+    */
+  private def crossMatchesFrom(incIdx: DataFrame, corpIdx: DataFrame,
+      corpSizes: DataFrame, threshold: Double): DataFrame = {
+    val incSizes = shingleSizes(incIdx)
+    incIdx.toDF("inc_id", "sh_q")
+      .join(corpIdx.toDF("corp_id", "sh"), col("sh_q") === col("sh"))
       .groupBy(col("inc_id"), col("corp_id"))
       .agg(count(lit(1)).as("n_common"))
       .join(incSizes.toDF("inc_id", "na"), "inc_id")
@@ -147,6 +158,67 @@ object Dedup {
         (col("na") + col("nb") - col("n_common")).cast("double") >= threshold)
       .groupBy(col("inc_id"))
       .agg(min(col("corp_id")).as("near_dup_of"))
+  }
+
+  /** Build and STORE the corpus-side index for incremental dedup — the
+    * 100 TB shape promised by [[crossJaccardMatches]]'s contract: the
+    * standing corpus is indexed ONCE, bucketed on the join keys via
+    * `sources.Bucketing`, and every daily delta joins into it with zero
+    * corpus-side shuffle (the bucketed scan already satisfies the join's
+    * required distribution; only the |delta|-sized side exchanges).
+    *
+    * Three tables under `tablePrefix` / `path`:
+    *  - `<prefix>_postings` (sh, doc_id, df), bucketed+sorted by `sh`:
+    *    the distinct inverted index, with each shingle's corpus document
+    *    frequency DENORMALIZED onto the posting row — a query-time
+    *    `dfCap` is then a pushed `df <= cap` filter at the scan, not a
+    *    hot-shingle aggregate+anti-join over the whole corpus;
+    *  - `<prefix>_sizes` (doc_id, n_sh), bucketed by `doc_id`: FULL
+    *    per-doc distinct-shingle counts (pre-cap, preserving the capped-J
+    *    lower-bound contract), co-located for the final score join;
+    *  - `<prefix>_exact` (h, len, corp_id), bucketed by `h`: lowest
+    *    corpus doc per (xxhash64(text), length) — the exact-dup arm joins
+    *    a 12-byte key instead of document bodies, the
+    *    [[exactDedupByHash]] scale path.
+    *
+    * Rebuild cadence: append-only corpora can rebuild periodically and
+    * screen interim deltas against index + recent-delta recompute;
+    * exactness vs the recompute path is pinned by StoredIndexSpec.
+    */
+  def buildCorpusIndex(corpus: DataFrame, tablePrefix: String, path: String,
+      n: Int = 3, nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    val idx = shingleIndex(corpus, n).distinct()
+    val df = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    Bucketing.writeBucketed(
+      idx.join(df, "sh").select(col("sh"), col("doc_id"), col("df")),
+      s"${tablePrefix}_postings", s"$path/postings", "sh", nBuckets)
+    Bucketing.writeBucketed(shingleSizes(idx),
+      s"${tablePrefix}_sizes", s"$path/sizes", "doc_id", nBuckets)
+    Bucketing.writeBucketed(
+      corpus.select(col("doc_id"), xxhash64(col("text")).as("h"),
+          length(col("text")).as("len"))
+        .groupBy(col("h"), col("len")).agg(min(col("doc_id")).as("corp_id")),
+      s"${tablePrefix}_exact", s"$path/exact", "h", nBuckets)
+  }
+
+  /** [[crossJaccardMatches]] against a STORED index from
+    * [[buildCorpusIndex]]: only the delta's own postings are computed;
+    * the corpus side is a bucketed scan with no exchange anywhere above
+    * it (StoredIndexSpec pins both result equality with the recompute
+    * path and the zero-corpus-exchange plan shape). `dfCap` becomes a
+    * data-skipping filter on the denormalized `df` column — same
+    * semantics as the recompute path's hot-shingle anti-join.
+    */
+  def crossJaccardMatchesStored(incoming: DataFrame, tablePrefix: String,
+      threshold: Double, n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
+    val spark = incoming.sparkSession
+    val incIdx = shingleIndex(incoming, n).distinct()
+    val postings = spark.table(s"${tablePrefix}_postings")
+    val corpIdx = dfCap.fold(postings)(cap => postings.filter(col("df") <= cap))
+      .select(col("doc_id"), col("sh"))
+    val corpSizes = spark.table(s"${tablePrefix}_sizes")
+    crossMatchesFrom(incIdx, corpIdx, corpSizes, threshold)
   }
 
   /** Incremental dedup DECISIONS for a delta batch against an existing
@@ -170,6 +242,39 @@ object Dedup {
         when(col("first_id") < col("doc_id"), col("first_id")).as("batch_dup_of"))
     val near = crossJaccardMatches(incoming, corpus, threshold, n, dfCap)
       .toDF("doc_id", "near_dup_of")
+    assembleDecisions(inc, exact, batch, near)
+  }
+
+  /** [[incrementalDedup]] against a STORED index from [[buildCorpusIndex]]
+    * — the production daily-batch shape with the corpus never rescanned:
+    * the exact arm joins (xxhash64(text), length) into the bucketed
+    * `<prefix>_exact` key table (12-byte keys, no corpus text read), the
+    * near arm is [[crossJaccardMatchesStored]], and the within-batch arm
+    * is unchanged (delta-only). Result equality with [[incrementalDedup]]
+    * on the same corpus is pinned by StoredIndexSpec (exact arm differs
+    * only under a 64-bit-hash+length collision between different texts,
+    * odds ~n²/2⁶⁵ — the documented [[exactDedupByHash]] trade).
+    */
+  def incrementalDedupStored(incoming: DataFrame, tablePrefix: String,
+      threshold: Double = 0.8, n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
+    val spark = incoming.sparkSession
+    val inc = incoming.select(col("doc_id"), col("text"))
+    val exact = inc
+      .select(col("doc_id"), xxhash64(col("text")).as("h"),
+        length(col("text")).as("len"))
+      .join(spark.table(s"${tablePrefix}_exact"), Seq("h", "len"), "left")
+      .select(col("doc_id"), col("corp_id").as("exact_dup_of"))
+    val firstInBatch = inc.groupBy(col("text")).agg(min(col("doc_id")).as("first_id"))
+    val batch = inc.join(firstInBatch, "text")
+      .select(col("doc_id"),
+        when(col("first_id") < col("doc_id"), col("first_id")).as("batch_dup_of"))
+    val near = crossJaccardMatchesStored(incoming, tablePrefix, threshold, n, dfCap)
+      .toDF("doc_id", "near_dup_of")
+    assembleDecisions(inc, exact, batch, near)
+  }
+
+  private def assembleDecisions(inc: DataFrame, exact: DataFrame,
+      batch: DataFrame, near: DataFrame): DataFrame =
     inc.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(batch, Seq("doc_id"), "left")
@@ -178,7 +283,6 @@ object Dedup {
         col("near_dup_of"),
         (col("exact_dup_of").isNull && col("batch_dup_of").isNull &&
           col("near_dup_of").isNull).cast("long").as("keep"))
-  }
 
   /** MinHash signatures from the inverted index: sig[j] = min over shingles
     * of xxhash64(j, sh) — k independent families by seeding with j, computed

@@ -488,7 +488,15 @@ object CurationQueries {
         // would degrade the "shuffle" into doc_id-sorted runs at scale,
         // exactly the ingestion-order correlation this op exists to break.
         val shards = 16L
-        val shard = pmod(col("doc_id") * lit(2654435761L), lit(shards))
+        // shard: reduce the product mod a ~2^31 PRIME first, then mod 16.
+        // An odd multiplier mod a power of two only permutes doc_id mod 16
+        // (the product's low 4 bits depend only on doc_id's low 4 bits), so
+        // the r8-advice draft was effectively round-robin — any ingestion
+        // pattern correlated with doc_id mod 16 mapped straight through.
+        // The prime reduction mixes high product bits into the residue, so
+        // shard membership is genuinely scrambled.
+        val shard = pmod(
+          pmod(col("doc_id") * lit(2654435761L), lit(2147483629L)), lit(shards))
         val ordKey = pmod(col("doc_id") * lit(2246822519L), lit(2147483629L))
         val w = Window.partitionBy(col("shard"))
           .orderBy(col("ord_key"), col("doc_id"))
@@ -500,7 +508,7 @@ object CurationQueries {
       },
       Some("""WITH t AS (
              |  SELECT doc_id,
-             |    (doc_id * 2654435761) % 16 AS shard,
+             |    ((doc_id * 2654435761) % 2147483629) % 16 AS shard,
              |    (doc_id * 2246822519) % 2147483629 AS ord_key
              |  FROM documents)
              |SELECT doc_id, shard, ord_key,

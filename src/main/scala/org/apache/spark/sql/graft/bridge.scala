@@ -151,6 +151,11 @@ object bridge {
       df: DataFrame, partitionKeys: Seq[String], numPartitions: Int,
       flagCol: Option[String]): (DataFrame, Long) = {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // numPartitions defaults to 0 for the keyless form; with keys that
+    // default would plan repartition(0, ...) (runtime AnalysisException)
+    // and declare HashPartitioning(keys, 0) — fail fast instead
+    require(partitionKeys.isEmpty || numPartitions > 0,
+      s"partitionKeys=$partitionKeys requires an explicit numPartitions > 0, got $numPartitions")
     val prepared =
       if (partitionKeys.isEmpty) df
       else df.repartition(numPartitions, partitionKeys.map(df.apply): _*)

@@ -62,4 +62,46 @@ class CharCountsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT char_counts('abca') AS c").collect()(0).getSeq[Long](0)
     assert(r == Seq(2L, 1L, 1L))
   }
+
+  test("wrong-arity SQL calls fail with an analysis error naming the signature") {
+    graft.GraftExtensions.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_counts()").collect()
+    }
+    assert(e1.getMessage.contains("char_counts"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0))").collect()
+    }
+    assert(e2.getMessage.contains("vec_dot"), e2.getMessage)
+  }
+
+  test("empty-document convention: native path yields n_ch=0, n_distinct=0, entropy=0") {
+    // The documented divergence (CharCounts scaladoc): the HOF chain /
+    // DuckDB's string_split(text, '') tokenize '' as one empty token
+    // (n_ch = 1, n_distinct_ch = 1), while the native histogram is empty
+    // (n_ch = 0). The q135/q140 oracles rest on corpora having no empty
+    // documents; this pins what the NATIVE side does if one ever appears,
+    // end-to-end through q135's aggregate shapes.
+    import spark.implicits._
+    val out = Seq((1L, ""), (2L, "ab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), charCounts(col("text")).as("__cnt"))
+      .select(col("doc_id"),
+        expr("aggregate(__cnt, CAST(0 AS BIGINT), (a, c) -> a + c)").as("n_ch"),
+        size(col("__cnt")).cast("long").as("n_distinct_ch"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 0L, out(0).toString)
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 2L, out(1).toString)
+  }
+
+  test("registered corpora have no empty documents (the q135/q140 oracle precondition)") {
+    // The convention above is safe only while every scale's corpus is
+    // empty-free — enforce it loudly instead of by construction (ADVICE
+    // r8 #4). sf0.01 is the driver's oracle scale; sf0.001 the test scale.
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val n = graft.Tables.documents(spark, dir)
+        .filter(length(col("text")) === 0 || col("text").isNull).count()
+      assert(n == 0L, s"$dir has $n empty/null documents")
+    }
+  }
 }
