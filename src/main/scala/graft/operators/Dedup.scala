@@ -148,12 +148,19 @@ object Dedup {
   private def crossMatchesFrom(incIdx: DataFrame, corpIdx: DataFrame,
       corpSizes: DataFrame, threshold: Double): DataFrame = {
     val incSizes = shingleSizes(incIdx)
-    incIdx.toDF("inc_id", "sh_q")
-      .join(corpIdx.toDF("corp_id", "sh"), col("sh_q") === col("sh"))
+    // renames are BY NAME, never positional toDF: a using-column join puts
+    // its key column FIRST in the output, so the df-capped corpus index
+    // (doc_id, sh) came out of its anti-join as (sh, doc_id) — positional
+    // renaming then silently joined doc_ids against shingle hashes and the
+    // capped path matched nothing (caught by StoredIndexSpec's equality
+    // pin; latent in every prior dfCap≠None call of this operator)
+    incIdx.select(col("doc_id").as("inc_id"), col("sh").as("sh_q"))
+      .join(corpIdx.select(col("doc_id").as("corp_id"), col("sh")),
+        col("sh_q") === col("sh"))
       .groupBy(col("inc_id"), col("corp_id"))
       .agg(count(lit(1)).as("n_common"))
-      .join(incSizes.toDF("inc_id", "na"), "inc_id")
-      .join(corpSizes.toDF("corp_id", "nb"), "corp_id")
+      .join(incSizes.select(col("doc_id").as("inc_id"), col("n_sh").as("na")), "inc_id")
+      .join(corpSizes.select(col("doc_id").as("corp_id"), col("n_sh").as("nb")), "corp_id")
       .filter(col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")).cast("double") >= threshold)
       .groupBy(col("inc_id"))
