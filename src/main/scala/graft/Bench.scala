@@ -118,6 +118,30 @@ object Bench {
     // comma-decimal locale would turn this line into invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Host-speed normalization (r8 verdict #2): cal_spin_ms was recorded
+    // but never APPLIED, so every cross-round comparison needed a manual
+    // same-VM rerun of the old snapshot. norm_sec = raw_sec × calRef/calNow
+    // with the round-8 VM pinned as the reference host in
+    // bench_reference.json; that file also carries per-query reference
+    // times (normalized seconds), and any query running > 2× its reference
+    // is flagged in "regressions" — empty on a clean run (r8 verdict #4).
+    // Reference-less queries (new this round) are never flagged.
+    val (calRef, refTimes): (Double, Map[String, Double]) =
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
+        val root = mapper.readTree(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(refPath)))
+        val qs = root.get("queries")
+        val m = qs.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (m.hasNext) { val k = m.next(); b += k -> qs.get(k).asDouble() }
+        (root.get("cal_spin_ref_ms").asDouble(), b.result())
+      } catch { case NonFatal(_) => (calMs, Map.empty[String, Double]) }
+    val normFactor = calRef / calMs
+    val regressions = results.collect {
+      case (k, v, true, _) if refTimes.get(k).exists(r => v * normFactor > 2 * r) => k
+    }
     val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val heaps = results.map { case (k, _, _, h) => s"\"" + k + "\":" + h }
@@ -132,14 +156,17 @@ object Bench {
     // Field ORDER is load-bearing: the driver keeps only the tail of the
     // log line, so the per-query seconds map goes LAST (r5's artifact kept
     // only heap_mb because queries came first and was truncated away).
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","cal_spin_ms":${fmt(calMs)},"heap_mb":$heaps$errsJson,"queries":$qs}"""
+    val regsJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val normed = results.collect { case (k, v, true, _) =>
+      s"\"" + k + "\":" + fmt(v * normFactor) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","cal_spin_ms":${fmt(calMs)},"cal_spin_ref_ms":${fmt(calRef)},"value_normalized":${fmt(total * normFactor)},"regressions":$regsJson,"heap_mb":$heaps$errsJson,"queries_normalized":$normed,"queries":$qs}"""
     println(line)
     // SECOND, compact summary line: the driver keeps only the log TAIL, so
     // with 125 queries the big line above gets truncated mid-map and the
     // driver's "parsed" field has been null for three rounds. This line is
     // always short enough to survive the tail whole — the full per-query
     // map still lives in the big line / target/bench.json.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_errors":${errors.size},"cal_spin_ms":${fmt(calMs)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_errors":${errors.size},"cal_spin_ms":${fmt(calMs)},"value_normalized":${fmt(total * normFactor)},"regressions":$regsJson}""")
     // the driver keeps only the log tail, which truncates the per-query map
     // — persist the full line so each round's complete numbers can be
     // committed as BENCH_r*_full.json and compared across rounds

@@ -78,7 +78,12 @@ object DedupStream {
     * exact dups are caught by `incrementalDedup`'s batch signal.
     */
   def screen(docs: DataFrame, corpusDir: String, decisionsDir: String,
-      checkpoint: String, threshold: Double = 0.8): StreamingQuery =
+      checkpoint: String, threshold: Double = 0.8): StreamingQuery = {
+    // the screen's own state lives in files (corpus/decisions dirs), but
+    // default the session's state store anyway so any stateful op composed
+    // upstream of `docs` (watermark dedup, sessionization) inherits the
+    // RocksDB scale configuration
+    StreamIngest.applyStateStoreDefaults(docs.sparkSession)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -87,4 +92,5 @@ object DedupStream {
           corpusDir, decisionsDir, threshold)
       }
       .start()
+  }
 }

@@ -25,6 +25,27 @@ import graft.pipeline.{DqChecks, DqThresholds}
   */
 object StreamIngest {
 
+  /** Default the streaming state store to RocksDB with changelog
+    * checkpointing — the 100 TB configuration. The HDFS-backed default
+    * keeps every key's state in executor HEAP maps: a dedup or session
+    * operator over web-scale key cardinality OOMs long before storage
+    * does, while RocksDB spills to local SSD and checkpoints per-batch
+    * CHANGELOGS instead of full snapshots. Applied by every stateful
+    * entry point below (the conf is read at query START, so setting it
+    * at frame-construction time is early enough); escape hatch
+    * `spark.graft.streaming.stateStore=hdfs` restores the built-in
+    * provider (e.g. for tiny-state diagnostics). transformWithState
+    * requires the RocksDB provider anyway (`StatefulOps`) — this makes
+    * the rest of the stateful family consistent with it.
+    */
+  def applyStateStoreDefaults(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.graft.streaming.stateStore").contains("hdfs")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+
   /** Schema of inbox CSV batches (event_id + the reference's 3-column
     * projection shape, `simulate_stream.py:17-19`).
     */
@@ -68,7 +89,8 @@ object StreamIngest {
   /** ST3: tumbling event-time window aggregation with a watermark. */
   def tumblingCounts(events: DataFrame,
       watermark: String = "10 minutes",
-      window_ : String = "1 hour"): DataFrame =
+      window_ : String = "1 hour"): DataFrame = {
+    applyStateStoreDefaults(events.sparkSession)
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
@@ -76,22 +98,26 @@ object StreamIngest {
       .select(
         col("window.start").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
+  }
 
   /** ST3: sliding window variant. */
   def slidingCounts(events: DataFrame,
       watermark: String = "10 minutes",
       window_ : String = "1 hour",
-      slide: String = "30 minutes"): DataFrame =
+      slide: String = "30 minutes"): DataFrame = {
+    applyStateStoreDefaults(events.sparkSession)
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+  }
 
   /** ST3: session windows per user (gap-based). */
   def userSessions(events: DataFrame,
       watermark: String = "10 minutes",
-      gap: String = "5 minutes"): DataFrame =
+      gap: String = "5 minutes"): DataFrame = {
+    applyStateStoreDefaults(events.sparkSession)
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
@@ -100,14 +126,17 @@ object StreamIngest {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+  }
 
   /** Streaming exact dedup bounded by the watermark (the streaming face of
     * the LLM dedup operator family).
     */
-  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    applyStateStoreDefaults(events.sparkSession)
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+  }
 
   /** Stream-stream inner join with watermarks and a time-range condition:
     * pair each purchase with error events from the same user within the
@@ -116,6 +145,7 @@ object StreamIngest {
     */
   def purchasesWithRecentErrors(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
+    applyStateStoreDefaults(events.sparkSession)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
@@ -139,6 +169,7 @@ object StreamIngest {
     */
   def purchasesWithErrorOutcome(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
+    applyStateStoreDefaults(events.sparkSession)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)

@@ -83,6 +83,75 @@ object ComponentsProbe {
     }
     spark.conf.unset("spark.graft.components.copartition")
     Dedup.release(bigEdges) // the probe's own checkpoint hygiene rule
+
+    // Third experiment (r8 verdict #3): ONE GIANT COMPONENT — the
+    // adversarial shape the chain probe misses. A binary tree over half
+    // the nodes (edge i — i/2) plus chains of 4 over the rest: the giant
+    // half converges to a SINGLE label, so from round 2 on the step
+    // join's component-keyed probe carries ~N/2 rows under one key — the
+    // hottest possible key for `stepped.join(parents, "component")`. The
+    // skew listener reports, for the worst stage of the run, the max
+    // task's shuffle-read rows against the stage mean: that ratio is the
+    // direct measure of whether the hot label melts one task.
+    val skew = new GiantSkewListener(spark)
+    for (mode <- Seq("off", "on")) {
+      spark.conf.set("spark.graft.components.copartition", mode)
+      val giantEdges = spark.range(1, bigN / 2)
+        .select(col("id").as("doc_a"), (col("id") / 2).cast("long").as("doc_b"))
+        .union(spark.range(bigN / 2, bigN)
+          .filter(col("id") % 4 =!= 3)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b")))
+        .localCheckpoint(true)
+      var rounds = 0
+      skew.reset()
+      val t0 = System.nanoTime()
+      val comps = Dedup.connectedComponents(giantEdges, roundProbe = r => rounds = r)
+      val hist = comps.groupBy(col("component")).count()
+        .agg(max(col("count")), count(lit(1))).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Dedup.release(comps)
+      Dedup.release(giantEdges)
+      println(f"PROBE-GIANT n=$bigN%8d copartition=$mode%-3s " +
+        f"biggest=${hist.getLong(0)}%8d components=${hist.getLong(1)}%8d " +
+        f"rounds=$rounds%2d sec=$sec%7.2f ${skew.report()}")
+    }
+    spark.conf.unset("spark.graft.components.copartition")
     spark.stop()
+  }
+}
+
+/** Tracks per-task shuffle-read record counts per stage and reports the
+  * stage with the worst max/mean ratio (min 8 tasks, so tiny result
+  * stages don't dominate the report).
+  */
+final class GiantSkewListener(spark: SparkSession)
+    extends org.apache.spark.scheduler.SparkListener {
+  private val byStage =
+    scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+  spark.sparkContext.addSparkListener(this)
+
+  override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    if (t.taskMetrics != null) synchronized {
+      byStage.getOrElseUpdate(t.stageId, scala.collection.mutable.ArrayBuffer())
+        .append(t.taskMetrics.shuffleReadMetrics.recordsRead)
+    }
+
+  def reset(): Unit = synchronized(byStage.clear())
+
+  def report(): String = {
+    org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+    synchronized {
+      val candidates = byStage.toSeq.collect {
+        case (sid, rows) if rows.size >= 8 && rows.sum > 0 =>
+          val mx = rows.max.toDouble
+          val mean = rows.sum.toDouble / rows.size
+          (sid, mx / mean, rows.max, rows.size)
+      }
+      if (candidates.isEmpty) "skew=none"
+      else {
+        val (sid, ratio, mx, n) = candidates.maxBy(_._2)
+        f"worstStage=$sid maxTaskRows=$mx tasks=$n maxOverMean=$ratio%.1f"
+      }
+    }
   }
 }

@@ -246,4 +246,57 @@ class StatefulSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("user_id") == 5L &&
       r.getAs[Long]("n_events") == 2L && r.getAs[Double]("total_value") == 5.0))
   }
+
+  test("RocksDB is the stateful default and absorbs large key cardinality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.unset(provKey)
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val df = mem.toDF().toDF("event_id", "ts")
+      // the entry point itself must flip the session to the scale default
+      val deduped = StreamIngest.dedupWithinWatermark(df, watermark = "10 minutes")
+      assert(spark.conf.get(provKey).contains("RocksDBStateStoreProvider"))
+      assert(spark.conf.get(changelogKey) == "true")
+      val q = deduped.writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode("append").start()
+      // 100k distinct keys + a 50% duplicate tail across two batches: far
+      // beyond what the tiny-state tests exercise, and every key lives in
+      // RocksDB state until its watermark expires
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((0L until 100000L).map(i => (i, t0)))
+      q.processAllAvailable()
+      mem.addData((0L until 50000L).map(i => (i, t0)))
+      q.processAllAvailable()
+      val n = spark.table("rocksdb_dedup").count()
+      q.stop()
+      assert(n == 100000L, s"watermark dedup over RocksDB kept $n of 100000 keys")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("state store escape hatch: spark.graft.streaming.stateStore=hdfs is honored") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.unset(provKey)
+    spark.conf.set("spark.graft.streaming.stateStore", "hdfs")
+    try {
+      StreamIngest.applyStateStoreDefaults(spark)
+      // conf.get reports the built-in default (HDFSBackedStateStoreProvider)
+      // when unset — the hatch's contract is that RocksDB was NOT installed
+      assert(!spark.conf.get(provKey).contains("RocksDB"),
+        "escape hatch must leave the built-in HDFS-backed provider in place")
+    } finally {
+      spark.conf.unset("spark.graft.streaming.stateStore")
+      prior.foreach(spark.conf.set(provKey, _))
+    }
+  }
 }
