@@ -265,17 +265,41 @@ object Dedup {
   def incrementalDedupStored(incoming: DataFrame, tablePrefix: String,
       threshold: Double = 0.8, n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
     val spark = incoming.sparkSession
+    val postings = spark.table(s"${tablePrefix}_postings")
+    incrementalDedupFrom(incoming,
+      spark.table(s"${tablePrefix}_exact")
+        .select(col("h"), col("len"), col("corp_id")),
+      dfCap.fold(postings)(cap => postings.filter(col("df") <= cap))
+        .select(col("doc_id"), col("sh")),
+      spark.table(s"${tablePrefix}_sizes").select(col("doc_id"), col("n_sh")),
+      threshold, n)
+  }
+
+  /** Decision core over PREPARED corpus-side frames — the join shapes of
+    * [[incrementalDedup]] against any index representation: a batch-built
+    * stored index ([[incrementalDedupStored]]) or the per-batch-sliced
+    * streaming index (`streaming.DedupStream.screenBatchStored`).
+    * `exactTbl` = (h, len, corp_id); `corpPostings` = (doc_id, sh)
+    * distinct; `corpSizes` = (doc_id, n_sh) FULL sizes. The exact arm
+    * aggregates min(corp_id) defensively even though (h, len) is unique
+    * by construction — a duplicated index row may only ever re-derive
+    * the same decision, never duplicate an output row.
+    */
+  private[graft] def incrementalDedupFrom(incoming: DataFrame,
+      exactTbl: DataFrame, corpPostings: DataFrame, corpSizes: DataFrame,
+      threshold: Double, n: Int): DataFrame = {
     val inc = incoming.select(col("doc_id"), col("text"))
     val exact = inc
       .select(col("doc_id"), xxhash64(col("text")).as("h"),
         length(col("text")).as("len"))
-      .join(spark.table(s"${tablePrefix}_exact"), Seq("h", "len"), "left")
-      .select(col("doc_id"), col("corp_id").as("exact_dup_of"))
+      .join(exactTbl, Seq("h", "len"), "left")
+      .groupBy(col("doc_id")).agg(min(col("corp_id")).as("exact_dup_of"))
     val firstInBatch = inc.groupBy(col("text")).agg(min(col("doc_id")).as("first_id"))
     val batch = inc.join(firstInBatch, "text")
       .select(col("doc_id"),
         when(col("first_id") < col("doc_id"), col("first_id")).as("batch_dup_of"))
-    val near = crossJaccardMatchesStored(incoming, tablePrefix, threshold, n, dfCap)
+    val near = crossMatchesFrom(shingleIndex(inc, n).distinct(),
+      corpPostings, corpSizes, threshold)
       .toDF("doc_id", "near_dup_of")
     assembleDecisions(inc, exact, batch, near)
   }
@@ -458,6 +482,23 @@ object Dedup {
         (e, l)
       } else (edgesPlain, labelsPlain)
     var labels = labelsInit
+    // GIANT-COMPONENT demotion (measured, ComponentsProbe third experiment):
+    // once one component holds a large share of the nodes, the step join's
+    // component-keyed probe concentrates on a single hot label. The pinned
+    // path then LOSES — declaring the checkpoint partitioning removes the
+    // shuffle-stage boundary AQE's skew-split needs, so one task carries
+    // the giant's rows (max/mean task rows 8.5 pinned vs 4.8 plain; 19.6 s
+    // vs 17.0 s on a 4M-node half-giant graph). The skew only EMERGES as
+    // labels converge, so no upfront choice can see it: instead, one
+    // hot-label probe (a single aggregate job) runs at round
+    // `spark.graft.components.skewProbeRound` (default 3; real dedup
+    // graphs converge by then, so the probe usually never fires) and
+    // demotes the remaining rounds to PLAIN checkpoints — both step-join
+    // sides then shuffle again and AQE splits the hot partition.
+    var coPartitionNow = coPartition
+    val skewProbeRound = spark.conf
+      .getOption("spark.graft.components.skewProbeRound").map(_.toInt).getOrElse(3)
+    val skewFrac = 0.05
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -495,10 +536,16 @@ object Dedup {
           .select(col("doc_id"), jumped.as("component"),
             (jumped < col("__old")).as("__chg")),
         "__chg",
-        if (coPartition) Seq("doc_id") else Nil, np)
+        if (coPartitionNow) Seq("doc_id") else Nil, np)
       release(labels) // superseded checkpoint — free its blocks eagerly
       labels = next
       converged = changed == 0
+      if (!converged && coPartitionNow && it == skewProbeRound) {
+        // one job gives the biggest component AND the node total
+        val r = labels.groupBy(col("component")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c")), sum(col("c"))).collect()(0)
+        if (r.getLong(0) > skewFrac * r.getLong(1)) coPartitionNow = false
+      }
       roundProbe(it) // observability only (scale probes / tests count rounds)
     }
     release(edges)
@@ -530,6 +577,22 @@ object Dedup {
     connectedComponents(shingleJaccardPairs(docs, threshold, n))
       .withColumn("keep",
         (col("doc_id") === col("component")).cast("long"))
+
+  /** Component-size histogram report (q138's tail): group count per size,
+    * docs touched, and rows a keep-one policy removes. Takes ANY
+    * (doc_id, component) frame, so a pipeline that has already
+    * materialized its components derives the report without re-running
+    * shingling/pairs/propagation — the q138 registered query rebuilds
+    * because driver queries are independent by contract (the Bench sweep
+    * unpersists everything between queries).
+    */
+  def componentSizeReport(comps: DataFrame): DataFrame =
+    comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+      .select(col("sz"), col("n_components"),
+        (col("sz") * col("n_components")).as("n_docs"),
+        ((col("sz") - 1) * col("n_components")).as("n_removed"))
+      .orderBy(col("sz"))
 
   /** 64-bit SimHash of the token multiset: bit i is the sign of
     * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Computed from the

@@ -415,15 +415,9 @@ object LlmQueries {
         // re-uploads. SCALE: two component-keyed aggregates over the
         // component frame (docs-in-pairs sized, not corpus sized), then a
         // histogram agg on the bounded size key.
-        val comps = Dedup.connectedComponents(
+        Dedup.componentSizeReport(Dedup.connectedComponents(
           Dedup.shingleJaccardPairs(documents(s, d), threshold = 0.8)
-            .select(col("doc_a"), col("doc_b")))
-        comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
-          .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
-          .select(col("sz"), col("n_components"),
-            (col("sz") * col("n_components")).as("n_docs"),
-            ((col("sz") - 1) * col("n_components")).as("n_removed"))
-          .orderBy(col("sz"))
+            .select(col("doc_a"), col("doc_b"))))
       },
       Some(s"""$componentsCte,
              |szs AS (

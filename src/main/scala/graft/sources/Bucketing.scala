@@ -23,6 +23,44 @@ object Bucketing {
       .sortBy(keyCol)
       .saveAsTable(tableName)
 
+  /** Partitioned + bucketed table: partition pruning on `partCol` AND
+    * shuffle-free joins on `keyCol` within the surviving partitions —
+    * the layout for an INCREMENTALLY GROWN index (each increment lands
+    * as its own partition; readers prune to `partCol < N`, and the
+    * bucket layout still satisfies the join's distribution across all
+    * selected partitions).
+    */
+  def writeBucketedPartitioned(df: DataFrame, tableName: String, path: String,
+      partCol: String, keyCol: String, nBuckets: Int = 8): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .partitionBy(partCol)
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(tableName)
+
+  /** Append one increment (a new `partCol` slice) to a table created by
+    * [[writeBucketedPartitioned]], re-using the table's own bucket spec
+    * from the catalog so appends can never diverge from the layout.
+    */
+  def appendBucketedPartition(df: DataFrame, tableName: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$tableName is not bucketed"))
+    df.write
+      .mode(SaveMode.Append)
+      .format("parquet")
+      .partitionBy(meta.partitionColumnNames: _*)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .saveAsTable(tableName)
+  }
+
   /** Join two tables bucketed on the same key with the same bucket count:
     * plans as a sort-merge join with NO exchange on either side.
     */

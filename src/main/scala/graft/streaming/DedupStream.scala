@@ -70,6 +70,105 @@ object DedupStream {
     ()
   }
 
+  // ---------------------------------------------------------------------
+  // STORED-INDEX screening — the 100 TB streaming loop. [[screenBatch]]
+  // re-reads the full text corpus and recomputes its shingle index EVERY
+  // micro-batch: O(|corpus|) per batch, which is exactly what incremental
+  // dedup exists to avoid. The stored mode keeps the corpus side as the
+  // three bucketed index tables of `Dedup.buildCorpusIndex`, grown
+  // incrementally: each batch's KEPT docs append under their own
+  // batch_id partition, so a batch pays O(|delta| + matched postings) —
+  // partition pruning keeps replays honest (a batch only ever reads
+  // batch_id < its own) and the bucket layout keeps the delta join free
+  // of corpus-side shuffles. The df column in appended partitions is the
+  // WITHIN-SLICE frequency (global df is unknowable incrementally), so
+  // dfCap is a batch-rebuild-time feature, not a streaming one.
+  // ---------------------------------------------------------------------
+
+  /** Seed the stored-index screening state from an initial corpus:
+    * postings/sizes/exact tables under `tablePrefix` at `path`, the
+    * seed landing as `batch_id = -1`. The streaming counterpart of
+    * `Dedup.buildCorpusIndex`.
+    */
+  def seedCorpusIndex(docs: DataFrame, tablePrefix: String, path: String,
+      n: Int = 3, nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    val (postings, sizes, exact) = indexSlices(docs, -1L, n)
+    Bucketing.writeBucketedPartitioned(postings,
+      s"${tablePrefix}_postings", s"$path/postings", "batch_id", "sh", nBuckets)
+    Bucketing.writeBucketedPartitioned(sizes,
+      s"${tablePrefix}_sizes", s"$path/sizes", "batch_id", "doc_id", nBuckets)
+    Bucketing.writeBucketedPartitioned(exact,
+      s"${tablePrefix}_exact", s"$path/exact", "batch_id", "h", nBuckets)
+  }
+
+  private def indexSlices(docs: DataFrame, batchId: Long,
+      n: Int): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.Dedup
+    val idx = Dedup.shingleIndex(docs, n).distinct()
+    val df = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    (idx.join(df, "sh")
+        .select(col("sh"), col("doc_id"), col("df"), lit(batchId).as("batch_id")),
+      Dedup.shingleSizes(idx).withColumn("batch_id", lit(batchId)),
+      docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+          length(col("text")).as("len"))
+        .groupBy(col("h"), col("len")).agg(min(col("doc_id")).as("corp_id"))
+        .withColumn("batch_id", lit(batchId)))
+  }
+
+  /** One micro-batch of the stored-index screen. Replay safety mirrors
+    * [[screenBatch]]: all corpus reads prune to `batch_id < batchId`, so
+    * a replayed batch recomputes identical decisions; the index append is
+    * APPEND-IF-ABSENT (the batch's own partition is probed first), so a
+    * crash on either side of the append converges to the same state —
+    * decisions are rewritten idempotently, the index partition lands
+    * exactly once.
+    */
+  def screenBatchStored(spark: SparkSession, batch: DataFrame, batchId: Long,
+      tablePrefix: String, decisionsDir: String,
+      threshold: Double = 0.8, n: Int = 3): Unit = {
+    import graft.operators.Dedup
+    import graft.sources.Bucketing
+    val b = batch.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    def sliced(table: String) =
+      spark.table(s"${tablePrefix}_$table").filter(col("batch_id") < batchId)
+    val decisions = Dedup.incrementalDedupFrom(b,
+      sliced("exact").select(col("h"), col("len"), col("corp_id")),
+      sliced("postings").select(col("doc_id"), col("sh")),
+      sliced("sizes").select(col("doc_id"), col("n_sh")),
+      threshold, n)
+    decisions.write.mode("overwrite")
+      .parquet(s"$decisionsDir/batch_id=$batchId")
+    val alreadyIndexed = spark.table(s"${tablePrefix}_postings")
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!alreadyIndexed) {
+      // child of the DURABLE decisions, as in screenBatch
+      val kept = spark.read.parquet(s"$decisionsDir/batch_id=$batchId")
+        .filter(col("keep") === 1L).select(col("doc_id"))
+      val (postings, sizes, exact) = indexSlices(b.join(kept, "doc_id"), batchId, n)
+      Bucketing.appendBucketedPartition(postings, s"${tablePrefix}_postings")
+      Bucketing.appendBucketedPartition(sizes, s"${tablePrefix}_sizes")
+      Bucketing.appendBucketedPartition(exact, s"${tablePrefix}_exact")
+    }
+  }
+
+  /** Stored-index variant of [[screen]]: same stream contract, corpus
+    * side never rescanned.
+    */
+  def screenStored(docs: DataFrame, tablePrefix: String, decisionsDir: String,
+      checkpoint: String, threshold: Double = 0.8): StreamingQuery = {
+    StreamIngest.applyStateStoreDefaults(docs.sparkSession)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        screenBatchStored(batch.sparkSession, batch.toDF(), batchId,
+          tablePrefix, decisionsDir, threshold)
+      }
+      .start()
+  }
+
   /** Screen the doc stream against the standing corpus in `corpusDir`.
     * Per batch: decisions (q124 columns + batch_id) land in
     * `decisionsDir/batch_id=N`, and the KEPT docs join the corpus as

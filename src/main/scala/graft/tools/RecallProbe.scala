@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Pq, Similarity}
+
+/** ANN recall floors at a REAL scale (r8 verdict #8): the
+  * OperatorsSpec/PqSpec recall tests run at sf0.001, where a
+  * scale-dependent recall cliff (adaptive bucket bits, fixed probe
+  * counts, coarse-centroid coverage) cannot show. This probe re-runs the
+  * same floors against a larger sfDir (default sf0.1) and exits nonzero
+  * on any breach — `tools/soak.sh` runs it so the round's SOAK artifact
+  * carries the at-scale recall lines.
+  *
+  * Floors are the committed test floors, deliberately identical to the
+  * small-scale ones: the claim under test is "recall does not cliff with
+  * scale", not "recall is this exact number".
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    var fail = 0
+    def check(name: String, recall: Double, floor: Double): Unit = {
+      val ok = recall >= floor
+      if (!ok) fail += 1
+      println(f"RECALL $name%-14s sf=$sfDir recall=$recall%.3f floor=$floor%.2f ${if (ok) "OK" else "BREACH"}")
+    }
+
+    // exact cosine top-10 for query vector 0 — the brute-force oracle
+    val exact = graft.queries.Registry.byName("q29_cosine_topk")
+      .fn(spark, sfDir).collect().map(_.getLong(0)).toSet
+
+    val ann = Similarity.annTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    check("ann_lsh", (ann intersect exact).size / 10.0, 0.5)
+
+    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    check("ivf", (ivf intersect exact).size / 10.0, 0.2)
+
+    // near-dup pair recall vs brute force at the cosine threshold
+    val brute = Similarity.topKPairs(emb, k = 500)
+      .filter(col("cos_sim") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, minCos = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) println("RECALL lsh_pairs     SKIP: no brute pairs at threshold")
+    else {
+      if (!lsh.subsetOf(brute)) { fail += 1; println("RECALL lsh_pairs FALSE POSITIVES") }
+      check("lsh_pairs", (lsh intersect brute).size.toDouble / brute.size, 0.5)
+    }
+
+    // PQ-ADC approximates the inner product: baseline is exact IP top-10
+    import graft.functions.VectorFunctions._
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(asDouble(col("embedding")).as("qv"))
+    val exactIp = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(qv))
+      .withColumn("ip", dot(col("v"), col("qv")))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val cbs = Pq.fit(emb, iters = 2)
+    val adc = Pq.adcTopK(emb, cbs, queryVecId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    check("pq_adc", (adc intersect exactIp).size / 10.0, 0.2)
+
+    val coarse = Clustering.centroids(16, 64, seed = 7L)
+    val rcbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
+    val ivfpq = Pq.ivfPqTopK(emb, coarse, rcbs, queryVecId = 0L, k = 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    check("ivf_pq", (ivfpq intersect exactIp).size / 10.0, 0.2)
+
+    spark.stop()
+    if (fail > 0) sys.exit(1)
+  }
+}

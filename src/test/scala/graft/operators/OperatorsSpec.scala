@@ -185,6 +185,37 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.components.copartition")
   }
 
+  test("giant-component demotion: labeling identical when the skew probe trips mid-run") {
+    import spark.implicits._
+    // long chain (needs >1 round) + a star welded to its head: the star's
+    // hub label dominates, so a probe at round 1 sees maxFreq >> 5% and
+    // demotes the remaining rounds to plain checkpoints — the labeling
+    // must be identical to the default run either way
+    val star = (1L to 60L).map(i => (0L, i))
+    val chain = (100L to 140L).map(i => (i, i + 1))
+    val weld = Seq((0L, 100L))
+    val pairs = (star ++ chain ++ weld).toDF("doc_a", "doc_b")
+    val expected = {
+      val ref = Dedup.connectedComponents(pairs)
+      val m = ref.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Dedup.release(ref); m
+    }
+    assert(expected.values.toSet == Set(0L), "one welded component labeled 0")
+    spark.conf.set("spark.graft.components.copartition", "on")
+    spark.conf.set("spark.graft.components.skewProbeRound", "1")
+    try {
+      var rounds = 0
+      val comps = Dedup.connectedComponents(pairs, roundProbe = r => rounds = r)
+      val got = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Dedup.release(comps)
+      assert(rounds > 1, "graph must take >1 round or the probe never fires")
+      assert(got == expected, "demoted run diverged from the default labeling")
+    } finally {
+      spark.conf.unset("spark.graft.components.copartition")
+      spark.conf.unset("spark.graft.components.skewProbeRound")
+    }
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // seeded random edge sets vs a driver-side union-find (path compression)

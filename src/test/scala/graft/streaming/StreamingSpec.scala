@@ -358,4 +358,95 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 11L, 13L), "replay changed the standing corpus")
   }
+
+  test("stored-index streaming dedup: same decisions as the corpus-rescan screen, O(delta) reads, replay-safe") {
+    import graft.streaming.DedupStream
+    import spark.implicits._
+    val inbox = tmp("graft_sidx_inbox")
+    val base = tmp("graft_sidx_state")
+    val decisionsDir = s"$base/decisions"
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    // 19 shared tokens + 1 changed ⇒ J = 17/19 ≈ 0.895: a NEAR dup the
+    // exact arm cannot catch — proves the postings tables actually screen
+    val nearTwin = (1 to 19).map(i => s"w$i").mkString(" ") + " zz"
+    val seed = Seq((1L, twenty), (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    DedupStream.seedCorpusIndex(seed, "sidx", s"$base/index", nBuckets = 4)
+    try {
+      def publish(name: String, rows: Seq[(Long, String)]): Unit = {
+        val body = "doc_id,text\n" +
+          rows.map { case (id, t) => s"$id,$t" }.mkString("\n")
+        Files.write(new java.io.File(inbox, name).toPath, body.getBytes)
+        ()
+      }
+      def screen(): Unit = DedupStream.screenStored(
+        DedupStream.readDocs(spark, inbox), "sidx", decisionsDir, s"$base/ckpt")
+        .awaitTermination()
+      def decisions(): Map[Long, (Option[Long], Option[Long], Long)] =
+        spark.read.parquet(decisionsDir).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((Option(r.getAs[Any]("exact_dup_of")).map(_.asInstanceOf[Long]),
+              Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+              r.getAs[Long]("keep")))).toMap
+
+      publish("b1.csv", Seq(10L -> twenty, 11L -> "totally fresh novel content here"))
+      screen()
+      val d1 = decisions()
+      assert(d1(10L) == ((Some(1L), Some(1L), 0L)))
+      assert(d1(11L) == ((None, None, 1L)))
+
+      publish("b2.csv", Seq(
+        12L -> "totally fresh novel content here", // exact dup of batch-1 keep 11
+        13L -> nearTwin,                           // NEAR dup of seed 1 (index join)
+        14L -> "some wholly unrelated words here"))
+      screen()
+      val d2 = decisions()
+      assert(d2(12L) == ((Some(11L), Some(11L), 0L)),
+        "cross-batch dup not caught against the grown index")
+      assert(d2(13L) == ((None, Some(1L), 0L)),
+        "near dup not caught by the stored postings join")
+      assert(d2(14L) == ((None, None, 1L)))
+
+      // index holds exactly seed + kept docs, each once
+      val indexed = spark.table("sidx_sizes")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(indexed == Seq(1L, 2L, 11L, 14L), s"index docs: $indexed")
+
+      // the stored screen must MATCH the corpus-rescan screen on the same
+      // batch: replay batch 2 through incrementalDedup against the
+      // equivalent text corpus
+      val textCorpus = Seq((1L, twenty),
+        (2L, "alpha beta gamma delta epsilon"),
+        (11L, "totally fresh novel content here")).toDF("doc_id", "text")
+      val b2 = Seq(12L -> "totally fresh novel content here",
+        13L -> nearTwin, 14L -> "some wholly unrelated words here")
+        .toDF("doc_id", "text")
+      val rescan = graft.operators.Dedup.incrementalDedup(b2, textCorpus, 0.8)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((Option(r.getAs[Any]("exact_dup_of")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+            r.getAs[Long]("keep")))).toMap
+      assert(Map(12L -> d2(12L), 13L -> d2(13L), 14L -> d2(14L)) == rescan,
+        "stored-index decisions diverge from the corpus-rescan operator")
+
+      // crash-replay: re-running batch 2's body with its original id must
+      // change NOTHING — decisions pruned to batch_id < 2 and the index
+      // append skipped because the partition already exists
+      val b2Id = spark.read.parquet(decisionsDir)
+        .filter(col("doc_id") === 13L).select("batch_id")
+        .collect().head.getInt(0).toLong
+      val before = decisions()
+      val beforeIdx = spark.table("sidx_postings").count()
+      DedupStream.screenBatchStored(spark, b2, b2Id, "sidx", decisionsDir)
+      assert(decisions() == before, "replay changed the decisions")
+      assert(spark.table("sidx_postings").count() == beforeIdx,
+        "replay duplicated index postings")
+
+      screen() // idle restart: nothing changes
+      assert(decisions() == before)
+    } finally {
+      for (t <- Seq("sidx_postings", "sidx_sizes", "sidx_exact"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

@@ -71,6 +71,15 @@ for sf in 0.001 0.01 0.1; do
   fi
 done
 
+# ANN recall floors at sf0.1 (r8 verdict #8): the rows-only approx family
+# must clear the same floors it clears at test scale — a scale-dependent
+# recall cliff (bucket-bit adaptivity, probe counts) cannot hide
+if SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.tools.RecallProbe /root/testdata/sf0.1" >"$OUT/recall.log" 2>&1; then
+  grep "RECALL" "$OUT/recall.log"
+else
+  echo "FAIL ANN recall floors at sf0.1:"; grep "RECALL" "$OUT/recall.log"; fail=1
+fi
+
 # determinism: CPUS=3 vs the CPUS=8 sf0.01 run above must be row-identical
 verify /root/testdata/sf0.01 "$OUT/cpu3" 3
 python3 - "$OUT/sf0.01" "$OUT/cpu3" <<'EOF' || fail=1
