@@ -64,7 +64,7 @@ object PqQueries {
         Pq.adcTopK(emb, Pq.fit(emb, iters = 2), queryVecId = 0L, k = 10)
       },
       None,
-      "PQ ADC approximate top-10 for the query vector after 2 exact Lloyd refinement iterations — codes only on the corpus side (1-row query broadcast); recall floor vs exact top-k in PqSpec"),
+      "PQ ADC top-10 with exact re-rank of the codes-only candidate set (k*32 survivors get one exact dot each — the Faiss refine shape; fixes the sf0.1 recall cliff pure ADC hit at 4-bit resolution); recall floor vs exact top-k in PqSpec + RecallProbe at sf0.1"),
 
     Q(
       "q123_ivfpq_topk",
@@ -75,5 +75,5 @@ object PqQueries {
         Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 4)
       },
       None,
-      "full IVF-PQ: coarse inverted lists + residual PQ codes, query probes 4 of 16 lists and ADC-scores codes only — the classical billion-vector index layout; recall floor in PqSpec"))
+      "full IVF-PQ with exact re-rank: coarse inverted lists + residual PQ codes, query probes 4 of 16 lists, ADC-scores codes only, then re-ranks the candidate set exactly — recall bounded by list coverage (nProbe), not code resolution; floors in PqSpec + RecallProbe"))
 }

@@ -43,7 +43,8 @@ object Registry {
   val all: Seq[Q] =
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++ VectorQueries.all ++
       LlmQueries.all ++ ExtraQueries.all ++ CurationQueries.all ++
-      ClusterQueries.all ++ AssemblyQueries.all ++ PqQueries.all
+      ClusterQueries.all ++ AssemblyQueries.all ++ PqQueries.all ++
+      DriftQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -47,10 +47,19 @@ object RecallProbe {
     val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     check("ivf", (ivf intersect exact).size / 10.0, 0.2)
 
-    // near-dup pair recall vs brute force at the cosine threshold
-    val brute = Similarity.topKPairs(emb, k = 500)
+    // near-dup pair recall vs brute force at the cosine threshold. The
+    // baseline must be ALL pairs ≥ threshold: the first probe run used
+    // the spec's top-500 and at sf0.1 there are MORE than 500, so LSH
+    // pairs beyond the truncation looked like "false positives". Take a
+    // far-larger top-k and ASSERT it wasn't truncated.
+    val bruteCap = 50000
+    val brute = Similarity.topKPairs(emb, k = bruteCap)
       .filter(col("cos_sim") >= 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.size >= bruteCap) {
+      fail += 1
+      println(s"RECALL lsh_pairs BASELINE TRUNCATED at $bruteCap — raise the cap")
+    }
     val lsh = Similarity.nearDupPairsLsh(emb, minCos = 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     if (brute.isEmpty) println("RECALL lsh_pairs     SKIP: no brute pairs at threshold")
@@ -72,13 +81,13 @@ object RecallProbe {
     val cbs = Pq.fit(emb, iters = 2)
     val adc = Pq.adcTopK(emb, cbs, queryVecId = 0L, k = 10)
       .collect().map(_.getLong(0)).toSet
-    check("pq_adc", (adc intersect exactIp).size / 10.0, 0.2)
+    check("pq_adc", (adc intersect exactIp).size / 10.0, 0.3)
 
     val coarse = Clustering.centroids(16, 64, seed = 7L)
     val rcbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
     val ivfpq = Pq.ivfPqTopK(emb, coarse, rcbs, queryVecId = 0L, k = 10, nProbe = 4)
       .collect().map(_.getLong(0)).toSet
-    check("ivf_pq", (ivfpq intersect exactIp).size / 10.0, 0.2)
+    check("ivf_pq", (ivfpq intersect exactIp).size / 10.0, 0.3)
 
     spark.stop()
     if (fail > 0) sys.exit(1)

@@ -719,4 +719,61 @@ class QueriesSpec extends AnyFunSuite {
     val pure = math.floor(math.log(1.0 / v) * 1000000 + 0.5).toLong
     assert(got(3L) == ((3L, 3L * pure)))
   }
+
+  test("q141 PSI drift: driver-side recount, full domain, and identical-window zero") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("q141_drift_psi").fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L until 20L), "full bucket domain, ordered")
+    // driver-side recount straight from the parquet
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
+      .filter(!_.isNullAt(0)).map(r => (r.getDouble(0), r.getInt(1)))
+    def hist(p: ((Double, Int)) => Boolean): Map[Long, Long] =
+      ev.filter(p).groupBy { case (v, _) =>
+        math.min(math.max(math.floor((v - 0.0) / 25.0), 0.0), 19.0).toLong
+      }.map { case (b, xs) => b -> xs.length.toLong }
+    val (rh, ch) = (hist(_._2 % 2 == 0), hist(_._2 % 2 == 1))
+    val (pd, qd) = (rh.values.sum + 20.0, ch.values.sum + 20.0)
+    rows.foreach { case (b, refN, curN, micros) =>
+      assert(refN == rh.getOrElse(b, 0L) && curN == ch.getOrElse(b, 0L), s"bucket $b counts")
+      val p = (refN + 1).toDouble / pd
+      val q = (curN + 1).toDouble / qd
+      assert(micros == math.floor((p - q) * math.log(p / q) * 1000000 + 0.5).toLong,
+        s"bucket $b micros")
+    }
+    // sanity: PSI of a window against ITSELF is exactly zero
+    val e = graft.Tables.events(spark, sf0001).filter(col("value").isNotNull)
+    val self = graft.operators.Drift.bucketCounts(e, e, "value", 0.0, 500.0, 20)
+      .select(expr(graft.queries.DriftQueries.psiMicros).as("m"))
+      .agg(sum(col("m"))).collect()(0).getLong(0)
+    assert(self == 0L, s"self-PSI must be 0, got $self")
+  }
+
+  test("q142 KS drift: driver-side exact recount and bounds") {
+    import org.apache.spark.sql.functions._
+    val r = Registry.byName("q142_drift_ks").fn(spark, sf0001).collect()
+    assert(r.length == 1)
+    val (ksNum, na, nb, micros) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .filter(x => x.getString(0) == "purchase" || x.getString(0) == "view")
+      .map(x => (math.floor(x.getDouble(1)).toLong, x.getString(0) == "purchase"))
+    val grid = ev.groupBy(_._1).map { case (g, xs) =>
+      (g, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val (ta, tb) = (grid.map(_._2).sum, grid.map(_._3).sum)
+    assert((na, nb) == ((ta, tb)))
+    var (cna, cnb, best) = (0L, 0L, 0L)
+    grid.foreach { case (_, a, b) =>
+      cna += a; cnb += b
+      best = math.max(best, math.abs(cna * tb - cnb * ta))
+    }
+    assert(ksNum == best, "KS numerator mismatch vs driver recount")
+    assert(micros == math.floor(
+      ksNum.toDouble / (na.toDouble * nb.toDouble) * 1000000 + 0.5).toLong)
+    assert(micros >= 0L && micros <= 1000000L, "D in [0,1]")
+  }
+
 }
