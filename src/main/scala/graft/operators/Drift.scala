@@ -27,6 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Per-bucket PSI contribution (p−q)·ln(p/q) in integer micros, over
+    * the Laplace-smoothed exact-integer share fractions pn/pd (reference)
+    * and qn/qd (current) that [[bucketCounts]] emits. ONE expression
+    * string shared by q141's Spark side, its DuckDB oracle twin, and the
+    * streaming monitor ([[graft.streaming.DriftStream]]) — identical IEEE
+    * trees by construction (the q131/q135 canonicalization pattern).
+    */
+  val psiMicrosExpr: String =
+    "CAST(floor((CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE)" +
+      " - CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE))" +
+      " * ln((CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE))" +
+      " / (CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE)))" +
+      " * 1000000 + 0.5) AS BIGINT)"
+
   /** Per-bucket contingency counts over the FULL bucket domain
     * [0, nBuckets): (bucket, ref_n, cur_n, pn, pd, qn, qd) with
     * pn/pd (qn/qd) the Laplace-smoothed share numerator/denominator of
@@ -68,13 +82,19 @@ object Drift {
   def ksCounts(df: DataFrame, valueCol: String,
       isA: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the grid key is DECLARED as a width-1 integral bucket (`x DIV 1`
+    // aliased `bucket`) — same values as floor(), but the plan now
+    // carries the structural claim ScaleGuardSpec verifies: the global
+    // cumulative window below sorts a histogram whose cardinality is
+    // the VALUE DOMAIN (data-model-bounded), never the row count
     val grid = df.filter(col(valueCol).isNotNull)
-      .select(floor(col(valueCol)).cast("long").as("g"), isA.as("a"))
-      .groupBy(col("g")).agg(
+      .select(expr(s"CAST(floor($valueCol) AS BIGINT) DIV 1").as("bucket"),
+        isA.as("a"))
+      .groupBy(col("bucket")).agg(
         sum(when(col("a"), 1L).otherwise(0L)).as("na"),
         sum(when(col("a"), 0L).otherwise(1L)).as("nb"))
     // global-ordered cumulative over the GRID (bounded rows), not the data
-    val w = Window.orderBy(col("g"))
+    val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
       .select(sum(col("na")).over(w).as("cna"), sum(col("nb")).over(w).as("cnb"))

@@ -20,12 +20,7 @@ object DriftQueries {
     * micros. Expects Laplace-smoothed share fractions as exact-integer
     * columns pn/pd (reference) and qn/qd (current) in scope.
     */
-  private[queries] val psiMicros: String =
-    "CAST(floor((CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE)" +
-      " - CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE))" +
-      " * ln((CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE))" +
-      " / (CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE)))" +
-      " * 1000000 + 0.5) AS BIGINT)"
+  private[queries] val psiMicros: String = graft.operators.Drift.psiMicrosExpr
 
   /** q142's KS statistic D = ks_num/(n_a·n_b) in integer micros; the
     * numerator max is exact int64, only this one division is float.

@@ -428,5 +428,122 @@ object LlmQueries {
              |FROM szs
              |GROUP BY sz
              |ORDER BY sz""".stripMargin),
-      "dedup-run report: near-dup component-size histogram (groups / docs touched / rows a keep-one policy removes) — the trust-but-verify table before acting on dedup decisions; component-keyed aggregates only"))
+      "dedup-run report: near-dup component-size histogram (groups / docs touched / rows a keep-one policy removes) — the trust-but-verify table before acting on dedup decisions; component-keyed aggregates only"),
+
+    Q(
+      "q143_eval_decontam",
+      (s, d) => {
+        // Benchmark decontamination (the GPT-3 appendix-C check, PaLM's
+        // span variant): a train-split doc is CONTAMINATED when it
+        // contains any exact 13-gram that also occurs in the held-out
+        // test split. Distinct from q134's near-dup leakage audit
+        // (whole-doc J >= 0.8 pairs): a verbatim benchmark answer quoted
+        // inside an otherwise-unrelated doc never clears a whole-doc
+        // Jaccard bar but is exactly what an eval-overlap check must
+        // catch. Output carries the matched window positions
+        // (first/last hit) so a span-removal policy (PaLM) can cut the
+        // overlap without dropping the doc. SCALE: the join is
+        // deliberately UNHINTED — a real benchmark eval side is MBs, so
+        // AQE converts it to a runtime broadcast (PlanSpec pins the
+        // conversion at test scale) and the exploded train n-grams never
+        // shuffle before their per-doc aggregate; when the eval side is
+        // instead an in-corpus split (as here — it grows WITH the
+        // corpus, so a forced broadcast hint would be a 100 TB driver
+        // OOM, exactly ScaleGuardSpec's fence), the same plan degrades
+        // to a hash join of two slim (h, id) posting streams — q127's
+        // shuffle volume class — with only matched rows reaching the
+        // final doc_id exchange. The 13-gram hash is md5 for the DuckDB
+        // twin; at 100 TB use xxhash64 (q127's documented substitution).
+        val N = 13
+        val base = documents(s, d).select(
+          col("doc_id"), split(col("text"), " ").as("t"),
+          pmod(col("doc_id") * lit(2654435761L), lit(100)).as("bucket"))
+        // guard BEFORE sequence(): sequence(1, n) with n < 1 DESCENDS
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .filter(size(col("t")) >= N)
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - lit(N - 1))).as("i"))
+          .select(col("doc_id"), col("i"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(N)))).as("h"))
+        val ev = grams(base.filter(col("bucket") >= 95))
+          .select(col("h"), col("doc_id").as("eval_doc")).distinct()
+        val tr = grams(base.filter(col("bucket") < 90))
+        tr.join(ev, "h")
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("h")).as("n_grams_hit"),
+            countDistinct(col("eval_doc")).as("n_eval_docs"),
+            min(col("i")).cast("long").as("first_hit_pos"),
+            max(col("i")).cast("long").as("last_hit_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    (doc_id * 2654435761) % 100 AS bucket
+             |  FROM documents),
+             |ev AS (
+             |  SELECT DISTINCT md5(array_to_string(t[i:i+12], ' ')) AS h,
+             |    doc_id AS eval_doc
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS i
+             |        FROM b WHERE bucket >= 95)),
+             |tr AS (
+             |  SELECT doc_id, i, md5(array_to_string(t[i:i+12], ' ')) AS h
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS i
+             |        FROM b WHERE bucket < 90))
+             |SELECT tr.doc_id,
+             |  count(DISTINCT tr.h) AS n_grams_hit,
+             |  count(DISTINCT ev.eval_doc) AS n_eval_docs,
+             |  CAST(min(tr.i) AS BIGINT) AS first_hit_pos,
+             |  CAST(max(tr.i) AS BIGINT) AS last_hit_pos
+             |FROM tr JOIN ev USING (h)
+             |GROUP BY tr.doc_id
+             |ORDER BY tr.doc_id""".stripMargin),
+      "benchmark decontamination (GPT-3 style): train docs containing any exact 13-gram from the test split, with matched-span bounds for PaLM-style span removal; unhinted join — a small (real-benchmark) eval side becomes an AQE runtime broadcast, an in-corpus split degrades to a slim (h,id) postings hash join"),
+
+    Q(
+      "q144_soft_dedup_weights",
+      (s, d) => {
+        // Soft dedup (the SoftDeDup reweighting family): instead of the
+        // q107 keep-one HARD removal, every doc stays in the corpus but
+        // its sampling weight is 1/|component| of its near-dup component
+        // — each duplicate cluster contributes total mass ~1 epoch-wise,
+        // and borderline members (which hard dedup deletes on a coin
+        // flip at the threshold) keep proportional signal. Weight is the
+        // exact-integer rounded micros (1e6 + sz/2) DIV sz — no float
+        // division in the comparison surface. Singletons (docs with no
+        // near-dup partner) get their own doc_id as component and weight
+        // 1.0. SCALE: components run on the docs-in-pairs frame (q87's
+        // graded shape); the join back to the full corpus is doc_id-keyed
+        // against that much smaller weighted frame.
+        val comps = Dedup.connectedComponents(
+          Dedup.shingleJaccardPairs(documents(s, d), threshold = 0.8)
+            .select(col("doc_a"), col("doc_b")))
+        val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        val weighted = comps.join(sizes, "component")
+          .select(col("doc_id"), col("component"), col("sz"))
+        documents(s, d).select(col("doc_id"))
+          .join(weighted, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            coalesce(col("sz"), lit(1L)).as("group_sz"))
+          .select(col("doc_id"), col("component"), col("group_sz"),
+            expr("(1000000 + group_sz DIV 2) DIV group_sz").as("weight_micros"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$componentsCte,
+             |szs AS (
+             |  SELECT component, count(*) AS sz FROM comp GROUP BY component),
+             |w AS (
+             |  SELECT c.doc_id, c.component, s.sz
+             |  FROM comp c JOIN szs s USING (component))
+             |SELECT d.doc_id,
+             |  coalesce(w.component, d.doc_id) AS component,
+             |  coalesce(w.sz, 1) AS group_sz,
+             |  (1000000 + coalesce(w.sz, 1) // 2) // coalesce(w.sz, 1)
+             |    AS weight_micros
+             |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      "soft dedup (SoftDeDup-style reweighting): every doc keeps sampling weight 1/|near-dup component| in exact integer micros instead of q107's hard keep-one removal — duplicate clusters contribute ~unit mass, borderline members keep proportional signal"))
 }

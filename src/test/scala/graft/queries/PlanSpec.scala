@@ -100,4 +100,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti, BuildRight, true"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q143: a small eval n-gram set becomes a runtime broadcast under AQE — no hint needed") {
+    // the join is deliberately UNHINTED (an in-corpus eval split grows
+    // with the corpus — ScaleGuardSpec forbids force-broadcasting it);
+    // this pins the other half of the contract: when the eval side IS
+    // small, AQE's runtime stats convert the finalized join to a
+    // broadcast, so the exploded train grams never shuffle-join
+    val p = finalPlan("q143_eval_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -776,4 +776,66 @@ class QueriesSpec extends AnyFunSuite {
     assert(micros >= 0L && micros <= 1000000L, "D in [0,1]")
   }
 
+  test("q143 eval decontam: planted 13-gram overlaps on engineered splits") {
+    // bucket(id) = (61*id) mod 100 (2654435761 ≡ 61 mod 100), so id 95/36
+    // land in the test split, 90 in val, single-digit ids in train.
+    def toks(prefix: String, from: Int, to: Int) =
+      (from to to).map(i => s"$prefix$i").mkString(" ")
+    val e13 = toks("e", 1, 13)
+    val corpus = Seq(
+      (95L, toks("e", 1, 14)),               // test: grams e1..e13, e2..e14
+      (36L, e13),                            // test: gram e1..e13 (again)
+      (90L, s"$e13 v1 v2"),                  // val: carries the gram — excluded
+      (1L, s"pre1 pre2 $e13 post1"),         // train: e1..e13 at window 3
+      (2L, s"${toks("e", 1, 12)} q1 q2 q3"), // train: only a 12-token run
+      (3L, toks("s", 1, 7)),                 // train: below gram width
+      (4L, s"${toks("e", 2, 14)} z1 z2"),    // train: e2..e14 at window 1
+      (5L, s"$e13 m1 $e13"))                 // train: same gram at windows 1 and 15
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    import spark.implicits._
+    corpus.map { case (id, text) => (id, text, "en", "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q143_eval_decontam").fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams_hit"), r.getAs[Long]("n_eval_docs"),
+          r.getAs[Long]("first_hit_pos"), r.getAs[Long]("last_hit_pos")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L, 3L, 3L)),  // one gram, shared by BOTH eval docs
+      4L -> ((1L, 1L, 1L, 1L)),  // eval 95's second gram only
+      5L -> ((1L, 2L, 1L, 15L))), // distinct grams counted once, both spans kept
+      s"decontam mismatch: $got")
+    // the 12-token run (doc 2), the short doc (3), and the val doc (90)
+    // must not appear; eval docs never appear on the train side
+    assert(!got.keySet.exists(Set(2L, 3L, 90L, 95L, 36L)))
+  }
+
+  test("q144 soft dedup weights: q87 recount, mass conservation, singleton identity") {
+    val comps = Registry.byName("q87_dedup_components").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    val szs = comps.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Registry.byName("q144_soft_dedup_weights").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[Long]("group_sz"), r.getAs[Long]("weight_micros")))
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == docs && got.length == docs.size,
+      "every doc weighted exactly once")
+    got.foreach { case (id, c, sz, w) =>
+      comps.get(id) match {
+        case Some(cc) => assert(c == cc && sz == szs(cc), s"doc $id component")
+        case None => assert(c == id && sz == 1L && w == 1000000L, s"singleton $id")
+      }
+      assert(w == (1000000L + sz / 2) / sz, s"doc $id weight")
+    }
+    assert(comps.nonEmpty, "sf0.001 must exercise the non-singleton path")
+    // each near-dup component's total mass is ~1.0: sz members of
+    // round(1e6/sz) micros each — off by at most the rounding slack
+    got.filter(r => comps.contains(r._1)).groupBy(_._2).foreach { case (c, rs) =>
+      val mass = rs.map(_._4).sum
+      assert(math.abs(mass - 1000000L) <= rs.length / 2 + 1, s"component $c mass $mass")
+    }
+  }
+
 }

@@ -34,7 +34,9 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q130_temperature_sample" -> "cross-join of the 1-row (n_total, sum-of-weights) totals aggregate",
     "q131_bm25_topk" -> "cross-join of the 1-row corpus-stats (N, total-length) aggregate",
     "q132_dsir_importance" -> "cross-join of the 1-row token-totals aggregate into the 256-row bucket frame",
-    "q133_bigram_lm_score" -> "cross-join of the 1-row distinct-vocab aggregate")
+    "q133_bigram_lm_score" -> "cross-join of the 1-row distinct-vocab aggregate",
+    "q141_drift_psi" -> "cross-join of the 1-row Laplace-smoothing totals aggregate into the nBuckets-row contingency frame",
+    "q142_drift_ks" -> "cross-join of the 1-row (total_a, total_b) aggregate into the grid-bounded cumulative frame")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.

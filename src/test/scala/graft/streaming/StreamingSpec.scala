@@ -449,4 +449,59 @@ class StreamingSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("streaming PSI drift monitor: in-distribution batch passes, shifted batch alerts, replay idempotent") {
+    import org.apache.spark.sql.types._
+    val (lo, hi, nB, bar) = (0.0, 500.0, 20, 250000L)
+    // reference window: uniform over [0, 500)
+    val refVals = (0 until 1000).map(i => (i * 7 % 500).toDouble)
+    val b1Vals = (0 until 100).map(i => (i * 37 % 500).toDouble) // same shape
+    val b2Vals = (0 until 100).map(i => (450 + i % 50).toDouble) // collapsed tail
+    import spark.implicits._
+    val ref = refVals.toDF("value")
+    // exact driver-side recount of the smoothed-PSI formula (q141's test)
+    def psiOf(cur: Seq[Double]): Long = {
+      val w = (hi - lo) / nB
+      def cnt(xs: Seq[Double]) = xs.groupBy(v =>
+        math.min(math.max(math.floor((v - lo) / w).toLong, 0L), nB - 1L))
+        .view.mapValues(_.size.toLong).toMap
+      val (rc, cc) = (cnt(refVals), cnt(cur))
+      val (pd, qd) = (refVals.size + nB.toLong, cur.size + nB.toLong)
+      (0 until nB).map { b =>
+        val p = (rc.getOrElse(b.toLong, 0L) + 1).toDouble / pd
+        val q = (cc.getOrElse(b.toLong, 0L) + 1).toDouble / qd
+        math.floor((p - q) * math.log(p / q) * 1000000 + 0.5).toLong
+      }.sum
+    }
+    assert(psiOf(b1Vals) <= bar && psiOf(b2Vals) > bar,
+      "engineered batches must straddle the alert bar")
+    val inbox = tmp("graft_drift_inbox")
+    val monDir = tmp("graft_drift_mon")
+    val ckpt = tmp("graft_drift_ckpt")
+    val sch = StructType(Seq(StructField("value", DoubleType)))
+    def stream() = spark.readStream.schema(sch).csv(inbox)
+    def run(): Unit = DriftStream.monitor(
+      stream(), ref, "value", lo, hi, nB, bar, monDir, ckpt).awaitTermination()
+    def writeBatch(name: String, vals: Seq[Double]): Unit =
+      Files.write(new java.io.File(s"$inbox/$name.csv").toPath,
+        vals.mkString("\n").getBytes)
+    writeBatch("b1", b1Vals)
+    run() // batch 0: in-distribution
+    writeBatch("b2", b2Vals)
+    run() // batch 1 from the same checkpoint: only the new file
+    def monitor() = spark.read.parquet(monDir)
+      .select("batch_id", "psi_micros", "n_rows", "alert").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("psi_micros"),
+        r.getAs[Long]("n_rows"), r.getAs[Boolean]("alert"))).sortBy(_._1).toSeq
+    val rows = monitor()
+    assert(rows == Seq(
+      (0, psiOf(b1Vals), 100L, false),
+      (1, psiOf(b2Vals), 100L, true)), s"monitor table: $rows")
+    // at-least-once replay: re-scoring batch 1 overwrites identical rows
+    DriftStream.monitorBatch(spark, b2Vals.toDF("value"), 1L,
+      ref, "value", lo, hi, nB, bar, monDir)
+    assert(monitor() == rows, "replay changed the monitor table")
+    run() // idle restart: no new files, nothing changes
+    assert(monitor() == rows)
+  }
 }
