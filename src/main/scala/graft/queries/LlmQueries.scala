@@ -444,9 +444,10 @@ object LlmQueries {
         // (first/last hit) so a span-removal policy (PaLM) can cut the
         // overlap without dropping the doc. SCALE: the join is
         // deliberately UNHINTED — a real benchmark eval side is MBs, so
-        // AQE converts it to a runtime broadcast (PlanSpec pins the
-        // conversion at test scale) and the exploded train n-grams never
-        // shuffle before their per-doc aggregate; when the eval side is
+        // the size-based pick (static estimate or AQE runtime stats)
+        // lands it as the broadcast build side (PlanSpec pins the
+        // broadcast join at small scale) and the exploded train n-grams
+        // never shuffle before their per-doc aggregate; when the eval side is
         // instead an in-corpus split (as here — it grows WITH the
         // corpus, so a forced broadcast hint would be a 100 TB driver
         // OOM, exactly ScaleGuardSpec's fence), the same plan degrades

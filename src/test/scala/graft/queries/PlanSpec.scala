@@ -101,13 +101,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q143: a small eval n-gram set becomes a runtime broadcast under AQE — no hint needed") {
+  test("q143: the unhinted decontam join still ends as a broadcast hash join when a side is small") {
     // the join is deliberately UNHINTED (an in-corpus eval split grows
     // with the corpus — ScaleGuardSpec forbids force-broadcasting it);
-    // this pins the other half of the contract: when the eval side IS
-    // small, AQE's runtime stats convert the finalized join to a
-    // broadcast, so the exploded train grams never shuffle-join
-    val p = finalPlan("q143_eval_decontam")
+    // this pins the other half of the contract: the size-based pick
+    // (static estimate or AQE runtime stats) still lands a broadcast
+    // hash join of whichever side is small — in production the MB-scale
+    // benchmark side, so the exploded train grams never shuffle-join.
+    // Run at sf0.01: at sf0.001 the query's result is EMPTY and AQE's
+    // empty-relation propagation collapses the final plan, hiding the
+    // join. Unwrap to the FINAL adaptive plan so the assertion cannot
+    // accidentally match the initial (pre-AQE) tree.
+    val df = Registry.byName("q143_eval_decontam").fn(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
