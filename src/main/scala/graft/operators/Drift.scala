@@ -41,6 +41,16 @@ object Drift {
       " / (CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE)))" +
       " * 1000000 + 0.5) AS BIGINT)"
 
+  /** q142's KS statistic D = ks_num/(n_a·n_b) in integer micros over
+    * [[ksCounts]]'s one-row output; the numerator max is exact int64,
+    * only this one division is float — ONE expression string shared by
+    * the batch query, its DuckDB oracle twin, and the streaming monitor.
+    */
+  val ksMicrosExpr: String =
+    "CAST(floor(CAST(ks_num AS DOUBLE)" +
+      " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))" +
+      " * 1000000 + 0.5) AS BIGINT)"
+
   /** Per-bucket contingency counts over the FULL bucket domain
     * [0, nBuckets): (bucket, ref_n, cur_n, pn, pd, qn, qd) with
     * pn/pd (qn/qd) the Laplace-smoothed share numerator/denominator of

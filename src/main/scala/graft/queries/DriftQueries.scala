@@ -25,10 +25,7 @@ object DriftQueries {
   /** q142's KS statistic D = ks_num/(n_a·n_b) in integer micros; the
     * numerator max is exact int64, only this one division is float.
     */
-  private[queries] val ksMicros: String =
-    "CAST(floor(CAST(ks_num AS DOUBLE)" +
-      " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))" +
-      " * 1000000 + 0.5) AS BIGINT)"
+  private[queries] val ksMicros: String = graft.operators.Drift.ksMicrosExpr
 
   val all: Seq[Q] = Seq(
     Q(

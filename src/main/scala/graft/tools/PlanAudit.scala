@@ -79,11 +79,19 @@ object PlanAudit {
         val full =
           try q.fn(spark, sfDir).queryExecution.executedPlan.toString
           finally spark.conf.unset("spark.graft.orderstats.share")
+        // AQE empty-relation propagation: a query whose result is empty at
+        // this sf collapses its FINAL plan to EmptyRelation leaves —
+        // joins, scans, and codegen markers vanish from `p`. Flag that
+        // explicitly instead of letting it masquerade as noCodegen (the
+        // q143-at-sf0.001 shape); the `full` pre-execution tree still
+        // carries the real join/scan structure for the other flags.
+        val emptyCollapsed = p.contains("EmptyRelation")
         val flags = Seq(
           "CartesianProduct" -> (p.contains("CartesianProduct") || full.contains("CartesianProduct")),
           "SortMergeJoin" -> p.contains("SortMergeJoin"),
           "BroadcastNLJoin" -> p.contains("BroadcastNestedLoopJoin"),
-          "noCodegen" -> !p.contains("*("))
+          "emptyCollapsed" -> emptyCollapsed,
+          "noCodegen" -> (!p.contains("*(") && !emptyCollapsed))
           .collect { case (f, true) => f }
         f"${q.name}%-28s execScans=$execScans%2d scans=${"FileScan".r.findAllIn(p).length}%2d ckpt=${"Scan ExistingRDD".r.findAllIn(p).length}%2d fullScans=${"FileScan".r.findAllIn(full).length}%2d exchanges=${"Exchange".r.findAllIn(p).length}%2d ${flags.mkString(",")}"
       } catch { case e: Throwable => s"${q.name} PLAN ERROR: ${e.getMessage.take(100)}" }

@@ -503,5 +503,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(monitor() == rows, "replay changed the monitor table")
     run() // idle restart: no new files, nothing changes
     assert(monitor() == rows)
+
+    // the silent-source hole: an EMPTY batch under Laplace smoothing
+    // looks UNIFORM to PSI (qn=1/qd=nB per bucket), so against this
+    // near-uniform reference its PSI sits well under the bar — the
+    // alert must come from the row count, not the divergence
+    DriftStream.monitorBatch(spark, Seq.empty[Double].toDF("value"), 2L,
+      ref, "value", lo, hi, nB, bar, monDir)
+    val m2 = monitor().find(_._1 == 2).get
+    assert(m2._2 <= bar, "empty batch should score near-uniform PSI (the hole)")
+    assert(m2._3 == 0L && m2._4, "empty batch must alert on n_rows == 0")
+  }
+
+  test("streaming KS drift monitor: exact recount, shift alert, empty-batch alert") {
+    val bar = 250000L // D > 0.25
+    val refVals = (0 until 1000).map(i => (i * 7 % 500).toDouble)
+    val b1Vals = (0 until 100).map(i => (i * 37 % 500).toDouble)
+    val b2Vals = (0 until 100).map(i => (450 + i % 50).toDouble)
+    import spark.implicits._
+    val ref = refVals.toDF("value")
+    // driver-side exact recount of q142's arithmetic: int64 numerator
+    // max over the shared floor grid, one canonicalized division
+    def ksOf(cur: Seq[Double]): Long = {
+      def cnt(xs: Seq[Double]) = xs.groupBy(v => math.floor(v).toLong)
+        .view.mapValues(_.size.toLong).toMap
+      val (cc, rc) = (cnt(cur), cnt(refVals))
+      val grid = (cc.keySet ++ rc.keySet).toSeq.sorted
+      val (ta, tb) = (cur.size.toLong, refVals.size.toLong)
+      var (ca, cb, best) = (0L, 0L, 0L)
+      grid.foreach { g =>
+        ca += cc.getOrElse(g, 0L); cb += rc.getOrElse(g, 0L)
+        best = math.max(best, math.abs(ca * tb - cb * ta))
+      }
+      math.floor(best.toDouble / (ta.toDouble * tb.toDouble) * 1000000 + 0.5).toLong
+    }
+    assert(ksOf(b1Vals) <= bar && ksOf(b2Vals) > bar,
+      "engineered batches must straddle the KS bar")
+    val monDir = tmp("graft_ks_mon")
+    def score(vals: Seq[Double], id: Long): Unit =
+      DriftStream.monitorKsBatch(spark, vals.toDF("value"), id,
+        ref, "value", bar, monDir)
+    score(b1Vals, 0L); score(b2Vals, 1L)
+    score(Seq.empty[Double], 2L) // silent source
+    val rows = spark.read.parquet(monDir)
+      .select("batch_id", "ks_micros", "n_rows", "alert").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("ks_micros"),
+        r.getAs[Long]("n_rows"), r.getAs[Boolean]("alert"))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (0, ksOf(b1Vals), 100L, false),
+      (1, ksOf(b2Vals), 100L, true),
+      (2, 0L, 0L, true)), s"KS monitor table: $rows")
+    // replay idempotence
+    score(b2Vals, 1L)
+    assert(spark.read.parquet(monDir).count() == 3)
   }
 }
