@@ -126,7 +126,13 @@ object Bench {
     // times (normalized seconds), and any query running > 2× its reference
     // is flagged in "regressions" — empty on a clean run (r8 verdict #4).
     // Reference-less queries (new this round) are never flagged.
-    val (calRef, refTimes): (Double, Map[String, Double]) =
+    // refLoaded is EMITTED ("reference_loaded") so a missing/unreadable
+    // reference cannot masquerade as a clean gate: the identity fallback
+    // (calRef=calMs, no per-query times) produces "regressions":[] and a
+    // value_normalized equal to raw — exactly what a green run looks
+    // like — which is the silent-disable failure mode the gate exists to
+    // catch. false in the artifact = the gate never ran this time.
+    val (calRef, refTimes, refLoaded): (Double, Map[String, Double], Boolean) =
       try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
@@ -136,8 +142,8 @@ object Bench {
         val m = qs.fieldNames()
         val b = Map.newBuilder[String, Double]
         while (m.hasNext) { val k = m.next(); b += k -> qs.get(k).asDouble() }
-        (root.get("cal_spin_ref_ms").asDouble(), b.result())
-      } catch { case NonFatal(_) => (calMs, Map.empty[String, Double]) }
+        (root.get("cal_spin_ref_ms").asDouble(), b.result(), true)
+      } catch { case NonFatal(_) => (calMs, Map.empty[String, Double], false) }
     val normFactor = calRef / calMs
     val regressions = results.collect {
       case (k, v, true, _) if refTimes.get(k).exists(r => v * normFactor > 2 * r) => k
@@ -159,14 +165,14 @@ object Bench {
     val regsJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val normed = results.collect { case (k, v, true, _) =>
       s"\"" + k + "\":" + fmt(v * normFactor) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","cal_spin_ms":${fmt(calMs)},"cal_spin_ref_ms":${fmt(calRef)},"value_normalized":${fmt(total * normFactor)},"regressions":$regsJson,"heap_mb":$heaps$errsJson,"queries_normalized":$normed,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"noop-materialize","reps":$reps,"sf":"$sfDir","cal_spin_ms":${fmt(calMs)},"cal_spin_ref_ms":${fmt(calRef)},"value_normalized":${fmt(total * normFactor)},"reference_loaded":$refLoaded,"regressions":$regsJson,"heap_mb":$heaps$errsJson,"queries_normalized":$normed,"queries":$qs}"""
     println(line)
     // SECOND, compact summary line: the driver keeps only the log TAIL, so
     // with 125 queries the big line above gets truncated mid-map and the
     // driver's "parsed" field has been null for three rounds. This line is
     // always short enough to survive the tail whole — the full per-query
     // map still lives in the big line / target/bench.json.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_errors":${errors.size},"cal_spin_ms":${fmt(calMs)},"value_normalized":${fmt(total * normFactor)},"regressions":$regsJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_errors":${errors.size},"cal_spin_ms":${fmt(calMs)},"value_normalized":${fmt(total * normFactor)},"reference_loaded":$refLoaded,"regressions":$regsJson}""")
     // the driver keeps only the log tail, which truncates the per-query map
     // — persist the full line so each round's complete numbers can be
     // committed as BENCH_r*_full.json and compared across rounds

@@ -192,20 +192,35 @@ object Dedup {
     * screen interim deltas against index + recent-delta recompute;
     * exactness vs the recompute path is pinned by StoredIndexSpec.
     */
+  /** The three index slices of [[buildCorpusIndex]] as frames — the ONE
+    * copy of the load-bearing index schema, shared by the batch build
+    * (whole corpus, written once) and the streaming incremental grow
+    * (`DedupStream`, one slice per accepted batch): postings
+    * (sh, doc_id, df), sizes (doc_id, n_sh), exact (h, len, corp_id).
+    * In an incremental slice the `df` column is the WITHIN-SLICE
+    * frequency (global df is unknowable incrementally) — the documented
+    * reason dfCap stays a batch-rebuild feature.
+    */
+  def corpusIndexSlices(corpus: DataFrame,
+      n: Int = 3): (DataFrame, DataFrame, DataFrame) = {
+    val idx = shingleIndex(corpus, n).distinct()
+    val df = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    (idx.join(df, "sh").select(col("sh"), col("doc_id"), col("df")),
+      shingleSizes(idx),
+      corpus.select(col("doc_id"), xxhash64(col("text")).as("h"),
+          length(col("text")).as("len"))
+        .groupBy(col("h"), col("len")).agg(min(col("doc_id")).as("corp_id")))
+  }
+
   def buildCorpusIndex(corpus: DataFrame, tablePrefix: String, path: String,
       n: Int = 3, nBuckets: Int = 8): Unit = {
     import graft.sources.Bucketing
-    val idx = shingleIndex(corpus, n).distinct()
-    val df = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    Bucketing.writeBucketed(
-      idx.join(df, "sh").select(col("sh"), col("doc_id"), col("df")),
+    val (postings, sizes, exact) = corpusIndexSlices(corpus, n)
+    Bucketing.writeBucketed(postings,
       s"${tablePrefix}_postings", s"$path/postings", "sh", nBuckets)
-    Bucketing.writeBucketed(shingleSizes(idx),
+    Bucketing.writeBucketed(sizes,
       s"${tablePrefix}_sizes", s"$path/sizes", "doc_id", nBuckets)
-    Bucketing.writeBucketed(
-      corpus.select(col("doc_id"), xxhash64(col("text")).as("h"),
-          length(col("text")).as("len"))
-        .groupBy(col("h"), col("len")).agg(min(col("doc_id")).as("corp_id")),
+    Bucketing.writeBucketed(exact,
       s"${tablePrefix}_exact", s"$path/exact", "h", nBuckets)
   }
 

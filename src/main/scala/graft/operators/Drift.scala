@@ -97,7 +97,13 @@ object Drift {
     // carries the structural claim ScaleGuardSpec verifies: the global
     // cumulative window below sorts a histogram whose cardinality is
     // the VALUE DOMAIN (data-model-bounded), never the row count
-    val grid = df.filter(col(valueCol).isNotNull)
+    // rows whose side predicate is NULL are EXCLUDED, not defaulted: the
+    // when/otherwise counters below would silently fold a NULL tag into
+    // side B (when(a,1).otherwise(0) and when(a,0).otherwise(1) both take
+    // the otherwise branch), inflating B's distribution instead of
+    // erroring — q142 pre-filters its predicate non-NULL, this guard
+    // makes the operator itself safe for callers that don't
+    val grid = df.filter(col(valueCol).isNotNull && isA.isNotNull)
       .select(expr(s"CAST(floor($valueCol) AS BIGINT) DIV 1").as("bucket"),
         isA.as("a"))
       .groupBy(col("bucket")).agg(

@@ -61,6 +61,37 @@ object Bucketing {
       .saveAsTable(tableName)
   }
 
+  /** Re-register a [[writeBucketedPartitioned]] table in a FRESH session
+    * catalog from its surviving data files. `saveAsTable` metadata lives
+    * in the session catalog: with the default in-memory catalog it dies
+    * with the JVM, while the parquet + bucket files under `path` survive
+    * — so a restarted process (the crash-replay story) must re-attach
+    * before `spark.table` resolves. The declared spec MUST match the
+    * original write (bucket hashing is trusted from the catalog, not
+    * re-verified from files); the data schema is read back from the
+    * files themselves, and the partition column is declared BIGINT (the
+    * convention of every incremental index here — directory inference
+    * would narrow `batch_id=-1` to INT and diverge from appended data).
+    * On a persistent metastore this is unnecessary and a no-op guard
+    * (`tableExists`) keeps it idempotent.
+    */
+  def reattach(spark: SparkSession, tableName: String, path: String,
+      partCol: String, keyCol: String, nBuckets: Int = 8): Unit = {
+    if (spark.catalog.tableExists(tableName)) return
+    val dataCols = spark.read.parquet(path).schema.fields
+      .filterNot(_.name == partCol)
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE `$tableName` ($dataCols, `$partCol` BIGINT)
+         |USING parquet
+         |PARTITIONED BY (`$partCol`)
+         |CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    // partition discovery: the catalog entry starts empty; recover the
+    // existing batch_id=N directories so reads see the standing index
+    spark.sql(s"ALTER TABLE `$tableName` RECOVER PARTITIONS")
+  }
+
   /** Join two tables bucketed on the same key with the same bucket count:
     * plans as a sort-merge join with NO exchange on either side.
     */

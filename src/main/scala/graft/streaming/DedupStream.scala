@@ -102,27 +102,48 @@ object DedupStream {
       s"${tablePrefix}_exact", s"$path/exact", "batch_id", "h", nBuckets)
   }
 
-  private def indexSlices(docs: DataFrame, batchId: Long,
+  /** Re-attach the three stored-index tables after a JVM restart on the
+    * default in-memory catalog: table registrations die with the
+    * session, the bucketed parquet files under `path` survive — without
+    * this, a restarted stream's `spark.table` lookups throw and the
+    * 'replay-safe' contract cannot even begin. No-op (per table) when
+    * the catalog entry already exists, so it is safe to call
+    * unconditionally at startup; on a persistent metastore it is pure
+    * no-op. `nBuckets` must match the seed — the spec is declared, not
+    * re-verified from files (see `Bucketing.reattach`).
+    */
+  def reattachCorpusIndex(spark: SparkSession, tablePrefix: String,
+      path: String, nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    Bucketing.reattach(spark, s"${tablePrefix}_postings", s"$path/postings",
+      "batch_id", "sh", nBuckets)
+    Bucketing.reattach(spark, s"${tablePrefix}_sizes", s"$path/sizes",
+      "batch_id", "doc_id", nBuckets)
+    Bucketing.reattach(spark, s"${tablePrefix}_exact", s"$path/exact",
+      "batch_id", "h", nBuckets)
+  }
+
+  /** One batch's index slices = [[graft.operators.Dedup.corpusIndexSlices]]
+    * (the ONE copy of the index schema, shared with the batch build)
+    * stamped with this batch's id. `private[streaming]` so StreamingSpec
+    * can stage partial-append crash states directly.
+    */
+  private[streaming] def indexSlices(docs: DataFrame, batchId: Long,
       n: Int): (DataFrame, DataFrame, DataFrame) = {
-    import graft.operators.Dedup
-    val idx = Dedup.shingleIndex(docs, n).distinct()
-    val df = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    (idx.join(df, "sh")
-        .select(col("sh"), col("doc_id"), col("df"), lit(batchId).as("batch_id")),
-      Dedup.shingleSizes(idx).withColumn("batch_id", lit(batchId)),
-      docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
-          length(col("text")).as("len"))
-        .groupBy(col("h"), col("len")).agg(min(col("doc_id")).as("corp_id"))
-        .withColumn("batch_id", lit(batchId)))
+    val (postings, sizes, exact) =
+      graft.operators.Dedup.corpusIndexSlices(docs, n)
+    def stamp(df: DataFrame) = df.withColumn("batch_id", lit(batchId))
+    (stamp(postings), stamp(sizes), stamp(exact))
   }
 
   /** One micro-batch of the stored-index screen. Replay safety mirrors
     * [[screenBatch]]: all corpus reads prune to `batch_id < batchId`, so
     * a replayed batch recomputes identical decisions; the index append is
-    * APPEND-IF-ABSENT (the batch's own partition is probed first), so a
-    * crash on either side of the append converges to the same state —
-    * decisions are rewritten idempotently, the index partition lands
-    * exactly once.
+    * APPEND-IF-ABSENT probed PER TABLE (three tables = three commits —
+    * a crash between them must leave a replay that fills exactly the
+    * missing ones), so a crash at any point converges to the same
+    * state — decisions are rewritten idempotently, each index table's
+    * partition lands exactly once.
     */
   def screenBatchStored(spark: SparkSession, batch: DataFrame, batchId: Long,
       tablePrefix: String, decisionsDir: String,
@@ -140,31 +161,48 @@ object DedupStream {
       threshold, n)
     decisions.write.mode("overwrite")
       .parquet(s"$decisionsDir/batch_id=$batchId")
-    val alreadyIndexed = spark.table(s"${tablePrefix}_postings")
-      .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!alreadyIndexed) {
+    // append-if-absent, probed PER TABLE: three appends are three commits,
+    // and a crash between them (foreachBatch is at-least-once — exactly
+    // the window this mode exists for) must not strand the index. A
+    // single postings-only probe would: postings present on replay would
+    // skip ALL three appends, leaving the batch's sizes/exact slices
+    // missing forever — every later batch's near-dup score join and
+    // exact arm would silently pass duplicates of this batch's keeps.
+    // Per-table probing makes the replay fill exactly the missing tables
+    // (each single append is idempotent under its own probe).
+    val absent = Seq("postings", "sizes", "exact").filter { t =>
+      spark.table(s"${tablePrefix}_$t")
+        .filter(col("batch_id") === batchId).limit(1).count() == 0
+    }
+    if (absent.nonEmpty) {
       // child of the DURABLE decisions, as in screenBatch
       val kept = spark.read.parquet(s"$decisionsDir/batch_id=$batchId")
         .filter(col("keep") === 1L).select(col("doc_id"))
       val (postings, sizes, exact) = indexSlices(b.join(kept, "doc_id"), batchId, n)
-      Bucketing.appendBucketedPartition(postings, s"${tablePrefix}_postings")
-      Bucketing.appendBucketedPartition(sizes, s"${tablePrefix}_sizes")
-      Bucketing.appendBucketedPartition(exact, s"${tablePrefix}_exact")
+      val byName = Map("postings" -> postings, "sizes" -> sizes, "exact" -> exact)
+      absent.foreach(t =>
+        Bucketing.appendBucketedPartition(byName(t), s"${tablePrefix}_$t"))
     }
   }
 
   /** Stored-index variant of [[screen]]: same stream contract, corpus
-    * side never rescanned.
+    * side never rescanned. `n` is the shingle width and MUST match the
+    * width the index was seeded with ([[seedCorpusIndex]]) — shingle
+    * hashes of different widths never collide, so a mismatch would make
+    * the stored postings join silently match nothing (threading the
+    * parameter here, instead of hard-wiring the default, is what lets a
+    * non-default seed be screened at all).
     */
   def screenStored(docs: DataFrame, tablePrefix: String, decisionsDir: String,
-      checkpoint: String, threshold: Double = 0.8): StreamingQuery = {
+      checkpoint: String, threshold: Double = 0.8,
+      n: Int = 3): StreamingQuery = {
     StreamIngest.applyStateStoreDefaults(docs.sparkSession)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         screenBatchStored(batch.sparkSession, batch.toDF(), batchId,
-          tablePrefix, decisionsDir, threshold)
+          tablePrefix, decisionsDir, threshold, n)
       }
       .start()
   }

@@ -37,14 +37,26 @@ object StreamIngest {
     * provider (e.g. for tiny-state diagnostics). transformWithState
     * requires the RocksDB provider anyway (`StatefulOps`) — this makes
     * the rest of the stateful family consistent with it.
+    *
+    * A session whose provider is already NON-DEFAULT is left untouched:
+    * someone who set a third-party or custom provider through the
+    * standard Spark conf must not have it silently replaced by a helper
+    * they called for windowing. (An EXPLICIT choice of the HDFS default
+    * is indistinguishable from 'unset' through the conf API — that one
+    * case uses the graft escape hatch above.)
     */
-  def applyStateStoreDefaults(spark: SparkSession): Unit =
-    if (!spark.conf.getOption("spark.graft.streaming.stateStore").contains("hdfs")) {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+  def applyStateStoreDefaults(spark: SparkSession): Unit = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val current = spark.conf.getOption(providerKey)
+    val isBuiltInDefault = current.forall(_.endsWith("HDFSBackedStateStoreProvider"))
+    if (isBuiltInDefault &&
+      !spark.conf.getOption("spark.graft.streaming.stateStore").contains("hdfs")) {
+      spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     }
+  }
 
   /** Schema of inbox CSV batches (event_id + the reference's 3-column
     * projection shape, `simulate_stream.py:17-19`).

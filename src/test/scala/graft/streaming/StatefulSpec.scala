@@ -299,4 +299,23 @@ class StatefulSpec extends AnyFunSuite {
       prior.foreach(spark.conf.set(provKey, _))
     }
   }
+
+  test("an explicitly-set non-default state store provider is never overwritten") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    val custom = "com.example.state.CustomStateStoreProvider"
+    spark.conf.set(provKey, custom)
+    try {
+      StreamIngest.applyStateStoreDefaults(spark)
+      assert(spark.conf.get(provKey) == custom,
+        "a user's explicit provider choice through the standard conf was replaced")
+      // and the unset/default case still upgrades to RocksDB
+      spark.conf.unset(provKey)
+      StreamIngest.applyStateStoreDefaults(spark)
+      assert(spark.conf.get(provKey).contains("RocksDB"))
+    } finally {
+      spark.conf.unset(provKey)
+      prior.foreach(spark.conf.set(provKey, _))
+    }
+  }
 }

@@ -444,6 +444,48 @@ class StreamingSpec extends AnyFunSuite {
 
       screen() // idle restart: nothing changes
       assert(decisions() == before)
+
+      // PARTIAL-APPEND crash: three appends are three commits, and the
+      // JVM can die between them. Stage the stranded state directly —
+      // batch 7's postings slice landed, sizes/exact did not — and
+      // replay: the per-table probe must fill EXACTLY the missing
+      // tables (a postings-only probe would skip all three and strand
+      // the index forever).
+      val b7 = Seq(15L -> "fifteen carries entirely new words")
+        .toDF("doc_id", "text")
+      val (p7, _, _) = DedupStream.indexSlices(b7, 7L, 3)
+      graft.sources.Bucketing.appendBucketedPartition(p7, "sidx_postings")
+      val postings7 = spark.table("sidx_postings")
+        .filter(col("batch_id") === 7L).count()
+      assert(postings7 > 0)
+      DedupStream.screenBatchStored(spark, b7, 7L, "sidx", decisionsDir)
+      assert(spark.table("sidx_postings").filter(col("batch_id") === 7L)
+        .count() == postings7, "replay duplicated the landed postings slice")
+      assert(spark.table("sidx_sizes").filter(col("batch_id") === 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(15L),
+        "replay did not fill the missing sizes slice")
+      assert(spark.table("sidx_exact").filter(col("batch_id") === 7L)
+        .count() == 1L, "replay did not fill the missing exact slice")
+      assert(decisions()(15L) == ((None, None, 1L)))
+
+      // JVM-RESTART story: saveAsTable registrations live in the session
+      // catalog and die with the process under the default in-memory
+      // catalog, while the bucketed files survive — reattach must
+      // restore table resolution over the existing data (partitions
+      // recovered, appends still honoring the bucket spec)
+      val sizesBefore = spark.table("sidx_sizes")
+        .collect().map(_.toString).sorted.toSeq
+      for (t <- Seq("sidx_postings", "sidx_sizes", "sidx_exact"))
+        spark.sql(s"DROP TABLE $t") // external tables: files survive
+      DedupStream.reattachCorpusIndex(spark, "sidx", s"$base/index", nBuckets = 4)
+      assert(spark.table("sidx_sizes").collect().map(_.toString).sorted.toSeq
+        == sizesBefore, "reattach lost or altered index content")
+      // the reattached catalog entry still drives correct screening AND
+      // accepts bucket-spec appends (spec read back from the catalog)
+      val b8 = Seq(16L -> nearTwin).toDF("doc_id", "text") // near dup of seed 1
+      DedupStream.screenBatchStored(spark, b8, 8L, "sidx", decisionsDir)
+      assert(decisions()(16L) == ((None, Some(1L), 0L)),
+        "reattached index no longer screens near dups")
     } finally {
       for (t <- Seq("sidx_postings", "sidx_sizes", "sidx_exact"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
