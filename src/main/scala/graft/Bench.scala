@@ -145,8 +145,18 @@ object Bench {
         (root.get("cal_spin_ref_ms").asDouble(), b.result(), true)
       } catch { case NonFatal(_) => (calMs, Map.empty[String, Double], false) }
     val normFactor = calRef / calMs
+    // Flag iff normalized > max(2*ref, ref + 0.3 s): the pure-ratio rule
+    // flaps on sub-second queries — q121 measured 0.66–1.35 s across five
+    // SAME-CODE runs on one VM (JIT/host bimodality concentrated in a
+    // short query), so a lucky-fast reference entry makes 2x pure noise.
+    // The absolute floor means a flag always represents at least +0.3 s
+    // of real normalized time; a genuine 2x regression on any substantial
+    // query still trips. (The reference is also a per-query MEDIAN across
+    // committed same-code runs, not a single sample — see
+    // bench_reference.json's comment.)
     val regressions = results.collect {
-      case (k, v, true, _) if refTimes.get(k).exists(r => v * normFactor > 2 * r) => k
+      case (k, v, true, _) if refTimes.get(k)
+        .exists(r => v * normFactor > math.max(2 * r, r + 0.3)) => k
     }
     val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
