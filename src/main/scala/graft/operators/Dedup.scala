@@ -635,25 +635,38 @@ object Dedup {
       .select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: 4×16-bit band join (pigeonhole: any pair at
-    * Hamming distance ≤ 3 agrees exactly on ≥1 of 4 bands), then exact
-    * `bit_count(xor) ≤ maxHamming` on the candidates.
+  /** Near-dup id pairs over a slim `(id, h)` 64-bit-hash frame: 4×16-bit
+    * band join (pigeonhole: any pair at Hamming distance ≤ 3 agrees
+    * exactly on ≥1 of 4 bands — recall is EXACT, not probabilistic, for
+    * maxHamming ≤ 3), then exact `bit_count(xor) ≤ maxHamming` on the
+    * candidates. Shared by [[simhashPairs]] (text) and
+    * [[Multimodal.phashNearDupPairs]] (images) so the banding algebra
+    * cannot drift between the two hash families. The band shuffle
+    * carries only (id, h, band, key) — never payloads.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def bandedHammingPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only for distance <= 3")
-    val sims = simhashOf(docs)
-    val banded = sims.select(col("doc_id"), col("simhash"),
+    val banded = hashes.select(col("id"), col("h"),
       explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))"))
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(h, b * 16) & 65535 AS key))"))
         .as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.toDF("doc_a", "sim_a", "band", "key")
-      .join(banded.toDF("doc_b", "sim_b", "band_b", "key_b"),
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.toDF("id_a", "h_a", "band", "key")
+      .join(banded.toDF("id_b", "h_b", "band_b", "key_b"),
         col("band") === col("band_b") && col("key") === col("key_b") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a") bitwiseXOR col("sim_b")).cast("long").as("hamming"))
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a") bitwiseXOR col("h_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-dup pairs by SimHash — [[bandedHammingPairs]] over
+    * [[simhashOf]].
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      simhashOf(docs).select(col("doc_id").as("id"), col("simhash").as("h")),
+      maxHamming)
+      .toDF("doc_a", "doc_b", "hamming")
 }

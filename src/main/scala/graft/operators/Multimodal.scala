@@ -199,4 +199,105 @@ object Multimodal {
     */
   def decodeBatch(batch: Seq[MediaRow], dim: Int): Seq[Array[Double]] =
     batch.map(r => decodeMedia(r.media, r.mime, dim))
+
+  /** 64-bit average-hash (aHash) of a decoded image — the classic
+    * perceptual near-dup signature: an 8×8 grid of integer luma block
+    * sums; bit (row·8+col) is set iff the cell's mean luma exceeds the
+    * global mean. The comparison is the exact cross-multiplied integer
+    * form `cellSum·nTotal > totalSum·nCell` — no float division and no
+    * resampling codec anywhere, so the hash is bit-identical on any
+    * JVM/platform (a SCALE_AREA_AVERAGING resize would not be).
+    * Robust to re-encode/resize/brightness-preserving noise; the usual
+    * dup bar is Hamming ≤ 3 of 64.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        // integer Rec.601 luma in [0, 255] (imageFeatures' formula)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val c = gy * 8 + gx
+        sums(c) += lum
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val n = w.toLong * h
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      // luma ≤ 255 and cells hold ≤ n pixels, so both products stay well
+      // inside int64 up to ~100 MP images
+      if (cnts(c) > 0 && sums(c) * n > total * cnts(c)) bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  /** ======= STUB (non-image mimes only) =======
+    * Deterministic 64-bit hash for payloads the JDK cannot decode: bit k
+    * is the parity of the byte-sum over positions ≡ k (mod 64), so a
+    * small byte edit perturbs only the touched residue classes —
+    * mirroring how a small pixel edit perturbs few aHash cells. Exact
+    * duplicates collide at Hamming 0; unrelated payloads land ~32 apart.
+    */
+  def stubHash64(bytes: Array[Byte]): Long = {
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % 64) += bytes(i) & 0xff
+      i += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if ((sums(k) & 1L) == 1L) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Mime-dispatched perceptual hash: real aHash for decodable images,
+    * [[stubHash64]] for everything else (including undecodable image
+    * bytes — the crawled-corpus degrade rule of [[decodeMedia]]).
+    */
+  def perceptualHash(bytes: Array[Byte], mime: String): Long =
+    if (mime.startsWith("image/"))
+      decodeImage(bytes).map(aHash64).getOrElse(stubHash64(bytes))
+    else stubHash64(bytes)
+
+  /** (media_id, mime, phash): the slim perceptual-hash index — features
+    * detach from the raw bytes here, so everything downstream (banding,
+    * pair joins) never shuffles the binary payload.
+    */
+  def withPerceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Par.fanOut(media.select(col("media_id"), col("mime"), col("media"))).as[MediaRow]
+      .map(r => (r.media_id, r.mime, perceptualHash(r.media, r.mime)))
+      .toDF("media_id", "mime", "phash")
+  }
+
+  /** Image near-dup pairs: decode → 64-bit perceptual hash →
+    * [[Dedup.bandedHammingPairs]] (4×16-bit pigeonhole banding — recall
+    * is EXACT for Hamming ≤ 3, not probabilistic). The decode scan is
+    * the only pass over media bytes; the band join shuffles slim
+    * (id, hash) rows only.
+    */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(
+      withPerceptualHash(media).select(col("media_id").as("id"), col("phash").as("h")),
+      maxHamming)
+      .toDF("media_a", "media_b", "hamming")
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -58,6 +58,25 @@ object DocQueries {
     "CAST(floor(ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)" +
       " / CAST(COALESCE(c1, 0) + v_sz AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
 
+  /** q148's per-token naive-Bayes log-odds in integer micros — the
+    * [[bm25Micros]] shared-string discipline: Laplace-smoothed
+    * ln(p(tok|keep)) − ln(p(tok|drop)) with the vocabulary size as the
+    * smoothing denominator. Expects columns pos_c, neg_c, pos_tot,
+    * neg_tot, v_sz in scope.
+    */
+  private[queries] val nbTokenMicros: String =
+    "CAST(floor((ln(CAST(pos_c + 1 AS DOUBLE) / CAST(pos_tot + v_sz AS DOUBLE))" +
+      " - ln(CAST(neg_c + 1 AS DOUBLE) / CAST(neg_tot + v_sz AS DOUBLE)))" +
+      " * 1000000 + 0.5) AS BIGINT)"
+
+  /** q148's class-prior log-odds in integer micros (add-one smoothed).
+    * Expects columns n_pos, n_neg in scope.
+    */
+  private[queries] val nbPriorMicros: String =
+    "CAST(floor((ln(CAST(n_pos + 1 AS DOUBLE) / CAST(n_pos + n_neg + 2 AS DOUBLE))" +
+      " - ln(CAST(n_neg + 1 AS DOUBLE) / CAST(n_pos + n_neg + 2 AS DOUBLE)))" +
+      " * 1000000 + 0.5) AS BIGINT)"
+
   /** q135's per-distinct-char entropy contribution −p·ln(p) in integer
     * micros — the [[bm25Micros]] shared-string discipline. Expects a char
     * count `c` and the doc's total char count `n_ch` in scope (in Spark,
@@ -67,6 +86,42 @@ object DocQueries {
   private[queries] val charEntropyMicros: String =
     "CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE))" +
       " * ln(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
+  /** Gopher-gated docs with RAW gate signals — q75's staged pipeline
+    * extracted so q148's classifier labels come from the SAME expression
+    * tree as the gate itself (single source of truth; the four threshold
+    * constants above are already shared). Columns: doc_id, n_tokens,
+    * __frac_stop (raw double), __dup_raw (raw double, NULL when no
+    * bigrams), keep_flag (long 0/1, never NULL — see the three-valued
+    * logic note in q75).
+    */
+  private def gopherFlagged(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.bigramArray
+    // staged projections (see q74): tokens, grams, and the filtered/
+    // distinct counts each materialize exactly once
+    val fracStop = col("__n_stop").cast("double") / col("n_tokens").cast("double")
+    val dupFrac = when(col("__n2") > 0,
+      col("__ndup").cast("double") / col("__n2").cast("double"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .select(col("doc_id"), col("__t"), bigramArray(col("__t")).as("__g2"))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__t"), t => t.isin(stopwords: _*))).cast("long").as("__n_stop"),
+        size(col("__g2")).cast("long").as("__n2"),
+        (size(col("__g2")) - size(array_distinct(col("__g2")))).cast("long").as("__ndup"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        fracStop.as("__frac_stop"),
+        dupFrac.as("__dup_raw"),
+        // NB three-valued logic: a single-token doc has NULL dup_frac,
+        // but n_tokens<10 is already FALSE, and FALSE AND NULL = FALSE
+        // in both engines, so keep_flag stays 0, never NULL
+        (col("n_tokens").between(MinTok, MaxTok) && fracStop >= StopFloor &&
+          dupFrac <= DupCeil)
+          .cast("long").as("keep_flag"))
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -296,34 +351,17 @@ object DocQueries {
 
     Q(
       "q75_docs_quality_filter",
-      (s, d) => {
-        import graft.operators.TextAnalysis.bigramArray
-        // staged projections (see q74): tokens, grams, and the filtered/
-        // distinct counts each materialize exactly once
-        val fracStop = col("__n_stop").cast("double") / col("n_tokens").cast("double")
-        val dupFrac = when(col("__n2") > 0,
-          col("__ndup").cast("double") / col("__n2").cast("double"))
-        documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("__t"))
-          .select(col("doc_id"), col("__t"), bigramArray(col("__t")).as("__g2"))
-          .select(col("doc_id"),
-            size(col("__t")).cast("long").as("n_tokens"),
-            size(filter(col("__t"), t => t.isin(stopwords: _*))).cast("long").as("__n_stop"),
-            size(col("__g2")).cast("long").as("__n2"),
-            (size(col("__g2")) - size(array_distinct(col("__g2")))).cast("long").as("__ndup"))
+      (s, d) =>
+        // staged gate pipeline shared with q148's classifier labels
+        // (see [[gopherFlagged]])
+        gopherFlagged(documents(s, d))
           .select(
             col("doc_id"),
             col("n_tokens"),
-            round(fracStop, 4).as("frac_stop"),
-            round(dupFrac, 4).as("dup_frac"),
-            // NB three-valued logic: a single-token doc has NULL dup_frac,
-            // but n_tokens<10 is already FALSE, and FALSE AND NULL = FALSE
-            // in both engines, so keep_flag stays 0, never NULL
-            (col("n_tokens").between(MinTok, MaxTok) && fracStop >= StopFloor &&
-              dupFrac <= DupCeil)
-              .cast("long").as("keep_flag"))
-          .orderBy(col("doc_id"))
-      },
+            round(col("__frac_stop"), 4).as("frac_stop"),
+            round(col("__dup_raw"), 4).as("dup_frac"),
+            col("keep_flag"))
+          .orderBy(col("doc_id")),
       Some(s"""WITH s AS (
              |  SELECT doc_id,
              |    len(string_split(text, ' ')) AS n_tokens,
@@ -893,5 +931,104 @@ object DocQueries {
              |FROM ent e JOIN tok t ON t.doc_id = e.doc_id
              |GROUP BY e.source
              |ORDER BY e.source""".stripMargin),
-      "per-source curation dashboard: doc counts, token mass, floor-average char entropy — the q81-cap / q130-temperature decision table; per-doc stage is q135's zero-shuffle shape, one source-keyed exchange"))
+      "per-source curation dashboard: doc counts, token mass, floor-average char entropy — the q81-cap / q130-temperature decision table; per-doc stage is q135's zero-shuffle shape, one source-keyed exchange"),
+
+    Q(
+      "q148_nb_quality_classifier",
+      (s, d) => {
+        // Distilled quality classifier (the fasttext-filter pattern of
+        // GPT-3/CCNet/DCLM: train a CHEAP linear classifier on labels
+        // from an expensive gate, then score everything): naive-Bayes
+        // token log-odds with labels from q75's Gopher gate
+        // ([[gopherFlagged]] — the SAME expression tree, so gate and
+        // labels cannot drift). Per-token weight = Laplace-smoothed
+        // ln p(tok|keep) − ln p(tok|drop) floored to int64 micros
+        // ([[nbTokenMicros]], one shared IEEE tree); per-doc score =
+        // prior + Σ tf·weight — an order-independent integer sum, the
+        // q131 discipline. SCALE: the model is one token-keyed count
+        // aggregate (vocabulary-sized); scoring joins the (doc, tok, tf)
+        // postings back to the model on the token key — q133's shuffle
+        // class — and the 1-row totals/prior frames ride cross-joined
+        // broadcasts. At 100 TB the model above a df floor is
+        // broadcast-sized (Zipf tail is singletons), turning the scoring
+        // join into a broadcast (q105's documented shape).
+        val docs = documents(s, d)
+        val flags = gopherFlagged(docs).select(col("doc_id"), col("keep_flag"))
+        val tf = graft.operators.Par.fanOut(docs)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val labeled = tf.join(flags, "doc_id")
+        val model = labeled.groupBy(col("tok")).agg(
+          sum(when(col("keep_flag") === 1, col("tf")).otherwise(0L)).as("pos_c"),
+          sum(when(col("keep_flag") === 0, col("tf")).otherwise(0L)).as("neg_c"))
+        val totals = model.agg(
+          sum(col("pos_c")).as("pos_tot"),
+          sum(col("neg_c")).as("neg_tot"),
+          count(lit(1)).as("v_sz"))
+        val prior = flags
+          .agg(sum(col("keep_flag")).as("n_pos"),
+            sum(lit(1L) - col("keep_flag")).as("n_neg"))
+          .select(expr(nbPriorMicros).as("prior_micros"))
+        labeled.join(model, "tok")
+          .crossJoin(broadcast(totals))
+          .withColumn("tok_micros", expr(nbTokenMicros))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("tf") * col("tok_micros")).as("__tok_sum"))
+          .crossJoin(broadcast(prior))
+          .select(col("doc_id"), col("n_terms"),
+            (col("prior_micros") + col("__tok_sum")).as("score_micros"),
+            (col("prior_micros") + col("__tok_sum") > 0).cast("long").as("nb_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH st AS (
+             |  SELECT doc_id,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frac_stop,
+             |    list_transform(range(greatest(len(string_split(text, ' ')) - 1, 0)),
+             |      i -> string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]) AS g2
+             |  FROM documents),
+             |gd AS (
+             |  SELECT doc_id, n_tokens, frac_stop,
+             |    CASE WHEN len(g2) > 0 THEN
+             |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+             |    END AS dup_raw
+             |  FROM st),
+             |g AS (
+             |  SELECT doc_id,
+             |    CAST(COALESCE(n_tokens BETWEEN $MinTok AND $MaxTok
+             |      AND frac_stop >= $StopFloor
+             |      AND dup_raw <= $DupCeil, FALSE) AS BIGINT) AS keep_flag
+             |  FROM gd),
+             |tf AS (
+             |  SELECT doc_id, tok, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY doc_id, tok),
+             |lab AS (SELECT tf.doc_id, tok, tf, keep_flag FROM tf JOIN g USING (doc_id)),
+             |model AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN keep_flag = 1 THEN tf ELSE 0 END) AS BIGINT) AS pos_c,
+             |    CAST(sum(CASE WHEN keep_flag = 0 THEN tf ELSE 0 END) AS BIGINT) AS neg_c
+             |  FROM lab GROUP BY tok),
+             |tot AS (
+             |  SELECT CAST(sum(pos_c) AS BIGINT) AS pos_tot,
+             |    CAST(sum(neg_c) AS BIGINT) AS neg_tot,
+             |    count(*) AS v_sz FROM model),
+             |pr AS (
+             |  SELECT CAST(sum(keep_flag) AS BIGINT) AS n_pos,
+             |    CAST(sum(1 - keep_flag) AS BIGINT) AS n_neg FROM g),
+             |prm AS (SELECT $nbPriorMicros AS prior_micros FROM pr),
+             |sc AS (
+             |  SELECT lab.doc_id, lab.tf, $nbTokenMicros AS tok_micros
+             |  FROM lab JOIN model USING (tok) CROSS JOIN tot)
+             |SELECT sc.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             |  CAST(prior_micros + sum(tf * tok_micros) AS BIGINT) AS score_micros,
+             |  CAST((prior_micros + sum(tf * tok_micros)) > 0 AS BIGINT) AS nb_keep
+             |FROM sc CROSS JOIN prm
+             |GROUP BY sc.doc_id, prior_micros
+             |ORDER BY sc.doc_id""".stripMargin),
+      "distilled quality classifier (fasttext-filter pattern): naive-Bayes token log-odds trained on q75's Gopher-gate labels, scored as prior + Σ tf·weight in exact integer micros — token-keyed model agg + postings join (q133's shuffle class), broadcast totals/prior"))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data operator inventory (driver mandate): near-dup dedup
   * (exact Jaccard, MinHash+LSH, SimHash), embedding near-dup + ANN,
@@ -455,21 +455,10 @@ object LlmQueries {
         // shuffle volume class — with only matched rows reaching the
         // final doc_id exchange. The 13-gram hash is md5 for the DuckDB
         // twin; at 100 TB use xxhash64 (q127's documented substitution).
-        val N = 13
-        val base = documents(s, d).select(
-          col("doc_id"), split(col("text"), " ").as("t"),
-          pmod(col("doc_id") * lit(2654435761L), lit(100)).as("bucket"))
-        // guard BEFORE sequence(): sequence(1, n) with n < 1 DESCENDS
-        def grams(df: org.apache.spark.sql.DataFrame) = df
-          .filter(size(col("t")) >= N)
-          .select(col("doc_id"), col("t"),
-            explode(sequence(lit(1), size(col("t")) - lit(N - 1))).as("i"))
-          .select(col("doc_id"), col("i"),
-            md5(concat_ws(" ", slice(col("t"), col("i"), lit(N)))).as("h"))
-        val ev = grams(base.filter(col("bucket") >= 95))
-          .select(col("h"), col("doc_id").as("eval_doc")).distinct()
-        val tr = grams(base.filter(col("bucket") < 90))
-        tr.join(ev, "h")
+        // gram-hit pipeline shared with q147's span-removal policy layer
+        // (operators/Decontam — single source of truth for the split
+        // convention and window hashing)
+        Decontam.gramHits(documents(s, d), n = 13)
           .groupBy(col("doc_id"))
           .agg(
             countDistinct(col("h")).as("n_grams_hit"),
@@ -546,5 +535,104 @@ object LlmQueries {
              |    AS weight_micros
              |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
              |ORDER BY d.doc_id""".stripMargin),
-      "soft dedup (SoftDeDup-style reweighting): every doc keeps sampling weight 1/|near-dup component| in exact integer micros instead of q107's hard keep-one removal — duplicate clusters contribute ~unit mass, borderline members keep proportional signal"))
+      "soft dedup (SoftDeDup-style reweighting): every doc keeps sampling weight 1/|near-dup component| in exact integer micros instead of q107's hard keep-one removal — duplicate clusters contribute ~unit mass, borderline members keep proportional signal"),
+
+    Q(
+      "q147_decontam_spans",
+      (s, d) => {
+        // The POLICY layer over q143's audit (PaLM-style span removal):
+        // merge each contaminated doc's matched 13-gram windows into
+        // maximal removal spans (overlapping/adjacent windows coalesce —
+        // gaps-and-islands over hit rows) and budget the cut: how many
+        // spans, how many tokens go, how many remain. The actionable
+        // report before rewriting text — a doc whose tokens_kept is
+        // near zero should be DROPPED, not scrubbed (the rewrite itself
+        // is Decontam.scrubText, pinned by DecontamSpec: the scrubbed
+        // corpus re-audits clean). SCALE: the gram join is q143's (slim
+        // posting streams / AQE broadcast of a real benchmark side); the
+        // span sweep windows are partitioned per doc over HIT rows only,
+        // and every output column is exact integer arithmetic.
+        val n = 13
+        val docs = documents(s, d)
+        val spans = Decontam.mergedSpans(Decontam.gramHits(docs, n), n)
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        spans.groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(col("hi") - col("lo") + 1).cast("long").as("tokens_removed"),
+            min(col("lo")).cast("long").as("first_lo"),
+            max(col("hi")).cast("long").as("last_hi"))
+          .join(dl, "doc_id")
+          .select(col("doc_id"), col("n_spans"), col("tokens_removed"),
+            col("n_tokens"),
+            (col("n_tokens") - col("tokens_removed")).as("tokens_kept"),
+            col("first_lo"), col("last_hi"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    (doc_id * 2654435761) % 100 AS bucket
+             |  FROM documents),
+             |ev AS (
+             |  SELECT DISTINCT md5(array_to_string(t[i:i+12], ' ')) AS h
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS i
+             |        FROM b WHERE bucket >= 95)),
+             |tr AS (
+             |  SELECT doc_id, i, md5(array_to_string(t[i:i+12], ' ')) AS h
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS i
+             |        FROM b WHERE bucket < 90)),
+             |hit AS (SELECT DISTINCT tr.doc_id, tr.i FROM tr JOIN ev USING (h)),
+             |m AS (
+             |  SELECT doc_id, i,
+             |    max(i + 12) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+             |  FROM hit),
+             |isl AS (
+             |  SELECT doc_id, i,
+             |    CAST(sum(CASE WHEN prev_hi IS NULL OR i > prev_hi + 1
+             |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS span_id
+             |  FROM m),
+             |sp AS (
+             |  SELECT doc_id, span_id, min(i) AS lo, max(i) + 12 AS hi
+             |  FROM isl GROUP BY doc_id, span_id),
+             |ds AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |    CAST(sum(hi - lo + 1) AS BIGINT) AS tokens_removed,
+             |    CAST(min(lo) AS BIGINT) AS first_lo,
+             |    CAST(max(hi) AS BIGINT) AS last_hi
+             |  FROM sp GROUP BY doc_id),
+             |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             |       FROM documents)
+             |SELECT ds.doc_id, n_spans, tokens_removed, n_tokens,
+             |  n_tokens - tokens_removed AS tokens_kept, first_lo, last_hi
+             |FROM ds JOIN dl USING (doc_id)
+             |ORDER BY ds.doc_id""".stripMargin),
+      "decontamination span-removal budget (PaLM-style): matched 13-gram windows merged into maximal spans per contaminated doc (gaps-and-islands over hit rows), with exact removed/kept token counts — the policy report q143's audit feeds; the text rewrite itself is Decontam.scrubText (DecontamSpec: scrubbed corpus re-audits clean)"),
+
+    Q(
+      "q149_media_phash_neardup",
+      (s, d) =>
+        // Perceptual-hash near-dup over the media table (the image-dedup
+        // leg of the multimodal family, q39/q40/q64): decode → 64-bit
+        // hash (REAL integer aHash for image mimes via javax.imageio;
+        // the documented deterministic stub for mimes the JDK can't
+        // decode — here the text/plain stand-in corpus) → the 4×16-bit
+        // banded Hamming join shared with SimHash
+        // (Dedup.bandedHammingPairs — recall EXACT for distance ≤ 3 by
+        // pigeonhole). Rows-only: the hash lives decoder-side, not in
+        // SQL; MultimodalSpec pins real-image behavior (re-encode →
+        // Hamming 0, noise ≤ bar, distinct images far) and banding
+        // equality against a brute-force all-pairs scan. SCALE: one
+        // decode pass over media bytes, then slim (id, hash) rows only —
+        // the band shuffle never carries payloads.
+        Multimodal.phashNearDupPairs(
+          Multimodal.mediaFromDocuments(documents(s, d)), maxHamming = 3)
+          .orderBy(col("media_a"), col("media_b")),
+      None,
+      "image near-dup by 64-bit perceptual hash (real integer aHash for decodable images, deterministic stub otherwise) + the shared 4x16-bit banded Hamming join — exact recall at distance <= 3; rows-only, pinned by MultimodalSpec"))
 }

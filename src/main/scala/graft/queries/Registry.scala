@@ -44,7 +44,7 @@ object Registry {
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++ VectorQueries.all ++
       LlmQueries.all ++ ExtraQueries.all ++ CurationQueries.all ++
       ClusterQueries.all ++ AssemblyQueries.all ++ PqQueries.all ++
-      DriftQueries.all
+      DriftQueries.all ++ RetrievalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

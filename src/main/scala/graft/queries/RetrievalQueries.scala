@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorFunctions._
+
+/** Retrieval-adjacent training-data operators: hard-negative mining for
+  * contrastive training (q145) and hybrid lexical+dense rank fusion
+  * (q146). Both compose the engine's existing retrieval legs — q131's
+  * BM25 integer-micros scorer and q29's brute-force cosine — into the
+  * next layer a training pipeline actually ships: picking negatives and
+  * fusing rankers.
+  */
+object RetrievalQueries {
+
+  /** q145's hard-negative band: similar enough to be HARD (floor) but
+    * not so similar it is a likely false negative / unlabeled positive
+    * (ceiling) — the standard contrastive-mining heuristic (e.g. the
+    * RocketQA/ANCE denoising bound). Interpolated into both engines.
+    */
+  private val NegFloor = 0.25
+  private val NegCeil = 0.95
+
+  /** RRF constant (Cormack et al. 2009's k=60) and per-list depth. */
+  private val RrfK = 60
+  private val FuseDepth = 100
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q145_hard_negatives",
+      (s, d) => {
+        // Hard-negative mining for contrastive/embedding training: for
+        // each anchor in a fixed training batch (vec_id < 32 — batch
+        // size is a constant, NOT a corpus fraction, so the anchor side
+        // is broadcastable at any corpus size), the top-5 most-similar
+        // vectors with a DIFFERENT label whose cosine falls in the hard
+        // band [NegFloor, NegCeil). SCALE: one corpus scan joined
+        // against the broadcast batch (32·n candidate scorings), the
+        // band filter prunes before ranking, and the per-anchor top-k
+        // window partitions by anchor — 32 independent partition sorts
+        // over band survivors only. DETERMINISM: both engines evaluate
+        // the same IEEE cosine tree (q29's parity), rank ties break on
+        // vec_id, and the displayed cosine rounds to 6dp.
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        val anchors = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+            col("v").as("av"))
+        val byAnchor = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id"))
+        emb.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+          .withColumn("cos_raw", cosine(col("v"), col("av")))
+          .filter(col("cos_raw") >= NegFloor && col("cos_raw") < NegCeil)
+          .withColumn("rk", row_number().over(byAnchor).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("anchor_id"), col("rk"), col("vec_id").as("neg_id"),
+            col("label").as("neg_label"), round(col("cos_raw"), 6).as("cos_sim"))
+          .orderBy(col("anchor_id"), col("rk"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |a AS (
+             |  SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+             |  FROM e WHERE vec_id < 32),
+             |sc AS (
+             |  SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+             |    list_inner_product(e.v, a.av)
+             |      / (sqrt(list_inner_product(e.v, e.v))
+             |         * sqrt(list_inner_product(a.av, a.av))) AS cos_raw
+             |  FROM e JOIN a ON e.label <> a.anchor_label),
+             |b AS (
+             |  SELECT anchor_id, neg_id, neg_label, cos_raw,
+             |    row_number() OVER (PARTITION BY anchor_id
+             |      ORDER BY cos_raw DESC, neg_id) AS rk
+             |  FROM sc
+             |  WHERE cos_raw >= $NegFloor AND cos_raw < $NegCeil)
+             |SELECT anchor_id, rk, neg_id, neg_label,
+             |  round(cos_raw, 6) AS cos_sim
+             |FROM b WHERE rk <= 5
+             |ORDER BY anchor_id, rk""".stripMargin),
+      "hard-negative mining for contrastive training: per-anchor (fixed 32-vector batch, broadcast) top-5 different-label neighbors inside the hard cosine band [0.25, 0.95) — band filter before the per-anchor rank window; the denoised-negatives shape of RocketQA/ANCE"),
+
+    Q(
+      "q146_rrf_hybrid",
+      (s, d) => {
+        // Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+        // 2009): fuse the BM25 lexical top-100 (q131's scorer, shared
+        // bm25Micros IEEE tree) with the dense cosine top-100 (q29's
+        // leg, vec_id 0 as the query embedding; doc_id = vec_id is the
+        // corpus alignment) as score = Σ 1/(60 + rank) in exact integer
+        // micros (1000000 DIV (60+rank) — no float division anywhere).
+        // SCALE: each leg cuts to its top-FuseDepth with a TakeOrdered
+        // (no global sort), ranking then runs on a constant-size frame,
+        // and the fusion join is bounded at 2·FuseDepth rows whatever
+        // the corpus size.
+        val docs = documents(s, d)
+        val toks = split(col("text"), " ")
+        val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+        val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+        val tf = docs
+          .select(col("doc_id"), explode(toks).as("token"))
+          .filter(col("token").isin(DocQueries.bm25Terms: _*))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val bm = tf.join(dfc, "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("c_micros", expr(DocQueries.bm25Micros))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c_micros")).as("score_micros"))
+        val lex = bm.orderBy(col("score_micros").desc, col("doc_id"))
+          .limit(FuseDepth)
+          .withColumn("rank_lex",
+            row_number().over(Window.orderBy(col("score_micros").desc, col("doc_id")))
+              .cast("long"))
+          .select(col("doc_id"), col("rank_lex"))
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val dense = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("cos_raw", cosine(col("v"), col("qv")))
+          .orderBy(col("cos_raw").desc, col("vec_id"))
+          .limit(FuseDepth)
+          .withColumn("rank_dense",
+            row_number().over(Window.orderBy(col("cos_raw").desc, col("vec_id")))
+              .cast("long"))
+          .select(col("vec_id").as("doc_id"), col("rank_dense"))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+            (coalesce(expr(s"1000000 DIV ($RrfK + rank_lex)"), lit(0L)) +
+              coalesce(expr(s"1000000 DIV ($RrfK + rank_dense)"), lit(0L)))
+              .as("rrf_micros"))
+          .orderBy(col("rrf_micros").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH dl AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+             |st AS (
+             |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+             |tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  WHERE token IN (${DocQueries.bm25Terms.map("'" + _ + "'").mkString(", ")})
+             |  GROUP BY doc_id, token),
+             |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+             |bm AS (
+             |  SELECT tf.doc_id,
+             |    CAST(sum(${DocQueries.bm25Micros}) AS BIGINT) AS score_micros
+             |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+             |  GROUP BY tf.doc_id),
+             |lex AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rank_lex
+             |  FROM bm ORDER BY score_micros DESC, doc_id LIMIT $FuseDepth),
+             |q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             |  WHERE vec_id = 0),
+             |dn AS (
+             |  SELECT vec_id,
+             |    list_inner_product(CAST(embedding AS DOUBLE[]), qv)
+             |      / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+             |                                 CAST(embedding AS DOUBLE[])))
+             |         * sqrt(list_inner_product(qv, qv))) AS cos_raw
+             |  FROM embeddings, q WHERE vec_id <> 0),
+             |dense AS (
+             |  SELECT vec_id AS doc_id,
+             |    row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank_dense
+             |  FROM dn ORDER BY cos_raw DESC, vec_id LIMIT $FuseDepth)
+             |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             |  rank_lex, rank_dense,
+             |  COALESCE(1000000 // ($RrfK + rank_lex), 0)
+             |    + COALESCE(1000000 // ($RrfK + rank_dense), 0) AS rrf_micros
+             |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+             |ORDER BY rrf_micros DESC, doc_id
+             |LIMIT 20""".stripMargin),
+      "hybrid retrieval: reciprocal-rank fusion (k=60, integer micros — 1000000 DIV (60+rank), no float) of the BM25 lexical top-100 and the dense cosine top-100 — per-leg TakeOrdered cuts, constant-size ranking and fusion join at any corpus size"))
+}
