@@ -39,21 +39,28 @@ object Decontam {
     * md5 for the DuckDB twin; at 100 TB use xxhash64 (q127's documented
     * substitution).
     */
-  def gramHits(docs: DataFrame, n: Int = 13,
-      evalFloor: Int = 95, trainCeil: Int = 90): DataFrame = {
-    val base = docs.select(
-      col("doc_id"), split(col("text"), " ").as("t"),
-      bucketOf(col("doc_id")).as("bucket"))
-    // guard BEFORE sequence(): sequence(1, n) with n < 1 DESCENDS
-    def grams(df: DataFrame) = df
+  /** (doc_id, i, h): every n-token window of every doc, as a 1-based
+    * start position plus the window's gram hash — the ONE gram/hash
+    * definition every decontamination face shares (batch audit q143,
+    * span policy q147, streaming screen DecontamStream). The 13-gram
+    * hash is md5 for the DuckDB twin; at 100 TB use xxhash64 (q127's
+    * documented substitution).
+    */
+  def grams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      // guard BEFORE sequence(): sequence(1, n) with n < 1 DESCENDS
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - lit(n - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))).as("h"))
-    val ev = grams(base.filter(col("bucket") >= evalFloor))
+
+  def gramHits(docs: DataFrame, n: Int = 13,
+      evalFloor: Int = 95, trainCeil: Int = 90): DataFrame = {
+    val base = docs.withColumn("bucket", bucketOf(col("doc_id")))
+    val ev = grams(base.filter(col("bucket") >= evalFloor), n)
       .select(col("h"), col("doc_id").as("eval_doc")).distinct()
-    val tr = grams(base.filter(col("bucket") < trainCeil))
+    val tr = grams(base.filter(col("bucket") < trainCeil), n)
     tr.join(ev, "h")
   }
 

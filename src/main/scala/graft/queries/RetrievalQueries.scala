@@ -44,7 +44,12 @@ object RetrievalQueries {
         // vec_id, and the displayed cosine rounds to 6dp.
         val emb = embeddings(s, d)
           .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-        val anchors = emb.filter(col("vec_id") < 32)
+        // .limit(32) is a no-op on the result (the id filter already
+        // admits <= 32 rows) but makes the batch bound STRUCTURAL: the
+        // broadcast hint below provably wraps a bounded subtree
+        // (ScaleGuardSpec's fence), rather than relying on vec_id being
+        // a unique key — which the plan cannot see
+        val anchors = emb.filter(col("vec_id") < 32).limit(32)
           .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
             col("v").as("av"))
         val byAnchor = Window.partitionBy(col("anchor_id"))

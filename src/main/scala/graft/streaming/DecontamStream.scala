@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Decontam
+
+/** Streaming face of eval-set decontamination (the q143 audit + q147
+  * span policy as an INGEST GUARD): every micro-batch of incoming
+  * training documents is screened against a STORED benchmark-gram index
+  * before it lands — flagged, span-budgeted, and rewritten with the
+  * contaminated spans excised, so downstream consumers only ever see
+  * decontaminated text.
+  *
+  * The eval side is a real benchmark suite: MBs, fixed, built ONCE
+  * ([[buildEvalIndex]] — distinct gram hashes only, no text). Per batch
+  * the cost is O(|batch| windows) grams joined against that small index
+  * — the size-based pick lands it as a broadcast build side (the q143
+  * plan argument), so the batch's exploded grams never shuffle.
+  *
+  * Exactly-once: the DedupStream discipline — output keyed by batch_id,
+  * one overwritten directory per batch; screening is deterministic and
+  * reads only the immutable eval index, so an at-least-once replay
+  * rewrites identical rows in place. Unlike DedupStream there is no
+  * standing-state append at all, so there is no cross-table crash
+  * window to reconcile.
+  */
+object DecontamStream {
+
+  /** Build the stored eval-gram index: the DISTINCT n-gram hashes of the
+    * benchmark corpus (no positions, no text — the index cannot leak the
+    * benchmark itself into the pipeline). Run once per benchmark drop.
+    */
+  def buildEvalIndex(evalDocs: DataFrame, indexDir: String, n: Int = 13): Unit =
+    Decontam.grams(evalDocs, n).select(col("h")).distinct()
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** One micro-batch of the screen — exposed so replay and batch-parity
+    * properties are directly testable. Emits one row per input doc:
+    * (doc_id, contaminated, n_spans, tokens_removed, n_tokens,
+    * clean_text) where clean docs pass through with their original text
+    * and contaminated docs carry the span-scrubbed rewrite (the q147
+    * budget columns + the applied policy in one artifact).
+    */
+  def screenBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      evalIndexDir: String, outDir: String, n: Int = 13): Unit = {
+    val b = batch.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val evalIndex = spark.read.parquet(evalIndexDir)
+    val hits = Decontam.grams(b, n).join(evalIndex, "h")
+      .select(col("doc_id"), col("i"))
+    val spans = Decontam.mergedSpans(hits, n)
+    val budget = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("hi") - col("lo") + 1).cast("long").as("tokens_removed"))
+    Decontam.scrubText(b, spans)
+      .join(budget, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_spans").isNotNull.cast("long").as("contaminated"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("clean_text"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The streaming screen: AvailableNow over a document stream,
+    * idempotent batch_id-keyed decisions via [[screenBatch]].
+    */
+  def screen(docs: DataFrame, evalIndexDir: String, outDir: String,
+      checkpoint: String, n: Int = 13): StreamingQuery = {
+    StreamIngest.applyStateStoreDefaults(docs.sparkSession)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        screenBatch(batch.sparkSession, batch.toDF(), batchId,
+          evalIndexDir, outDir, n)
+      }
+      .start()
+  }
+}

@@ -72,4 +72,89 @@ class MultimodalSpec extends AnyFunSuite {
       targetBytes = 128).collect()(0).getAs[Array[Byte]]("media")
     assert(stubOut.length == 128)
   }
+
+  /** 64×64 checkerboard of 8-px squares — aligned to aHash's 8×8 grid, so
+    * every grid cell is uniformly black or white and single-block edits
+    * have an exactly predictable Hamming effect.
+    */
+  private def checker(invertBlock: Option[(Int, Int)] = None): Array[Byte] =
+    png(64, 64) { (x, y) =>
+      val base = (x / 8 + y / 8) % 2 == 0
+      val inv = invertBlock.contains((x / 8, y / 8))
+      if (base ^ inv) 0xffffff else 0x000000
+    }
+
+  test("aHash64: re-encode-stable, single-block edit = Hamming 1, inverse image far") {
+    def hashOf(b: Array[Byte]): Long = Multimodal.aHash64(Multimodal.decodeImage(b).get)
+    val a = hashOf(checker())
+    assert(a == hashOf(checker())) // byte path fully deterministic
+    // decode → re-encode as PNG (lossless) → identical hash
+    val reenc = Multimodal.resizeImage(checker(), 64, 64).get
+    assert(java.lang.Long.bitCount(a ^ hashOf(reenc)) <= 1)
+    // inverting ONE aligned 8×8 block flips exactly that cell's bit (the
+    // global mean moves 1/64th — not enough to flip any other cell of a
+    // saturated checkerboard)
+    val oneBlock = hashOf(checker(invertBlock = Some((3, 5))))
+    assert(java.lang.Long.bitCount(a ^ oneBlock) == 1)
+    // the full inverse is maximally far
+    val inverse = Multimodal.aHash64(Multimodal.decodeImage(
+      png(64, 64)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)).get)
+    assert(java.lang.Long.bitCount(a ^ inverse) == 64)
+  }
+
+  test("perceptualHash dispatches on mime: images via aHash, others via the stub") {
+    val img = checker()
+    assert(Multimodal.perceptualHash(img, "image/png") ==
+      Multimodal.aHash64(Multimodal.decodeImage(img).get))
+    val txt = "hello world".getBytes("UTF-8")
+    assert(Multimodal.perceptualHash(txt, "text/plain") == Multimodal.stubHash64(txt))
+    // undecodable image bytes degrade to the stub, not an abort
+    assert(Multimodal.perceptualHash(txt, "image/png") == Multimodal.stubHash64(txt))
+  }
+
+  test("bandedHammingPairs = brute force exactly (pigeonhole recall AND precision)") {
+    import spark.implicits._
+    // 300 seeded hashes plus planted near-pairs at distances 0–4
+    val rnd = new java.util.Random(11L)
+    val base = Seq.fill(260)(rnd.nextLong())
+    def flip(h: Long, k: Int): Long = {
+      var out = h
+      var i = 0
+      while (i < k) { out ^= 1L << rnd.nextInt(64); i += 1 }
+      out
+    }
+    val planted = Seq(flip(base(0), 0), flip(base(1), 1), flip(base(2), 2),
+      flip(base(3), 3), flip(base(4), 4))
+    val all = (base ++ planted).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = all.toDF("id", "h")
+    val got = Dedup.bandedHammingPairs(df, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming")))
+      .toSet
+    val brute = (for {
+      a <- all; b <- all
+      if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2)
+      if d <= 3
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(got == brute) // exact: banding loses nothing at distance ≤ 3 and adds nothing
+    assert(brute.size >= 4) // the distance-0..3 plants are all present
+  }
+
+  test("phashNearDupPairs on real images: edit-pair found, unrelated pair absent") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image/png", checker()),
+      (2L, "image/png", checker(invertBlock = Some((0, 0)))), // Hamming 1 from #1
+      (3L, "image/png", png(64, 64)((x, y) =>
+        if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)), // inverse: far from both
+      (4L, "text/plain", "same bytes".getBytes("UTF-8")),
+      (5L, "text/plain", "same bytes".getBytes("UTF-8"))) // exact dup → stub Hamming 0
+      .toDF("media_id", "mime", "media")
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 1L)
+    assert(pairs((4L, 5L)) == 0L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }

@@ -122,4 +122,55 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q145: the fixed anchor batch is the broadcast side; corpus never shuffle-joins") {
+    // the anchor side is a CONSTANT-size training batch (vec_id < 32),
+    // so the label-mismatch join must plan as a broadcast nested-loop
+    // with the batch as build side — the corpus scans once, no
+    // SortMergeJoin/shuffle of the embedding table for the join
+    val p = plan("q145_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q146: both retrieval legs cut with TakeOrderedAndProject before ranking") {
+    // each leg's top-FuseDepth is a TakeOrdered (partial per-partition
+    // top-k + driver merge), NOT a global sort; the rank windows then
+    // run on constant-size frames
+    val p = plan("q146_rrf_hybrid")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q149: the banded-Hamming join never carries the media payload") {
+    // features detach from bytes at the hash projection: the band join's
+    // exchange shuffles slim (id, hash, band, key) rows — the binary
+    // `media` column must not appear in any exchange output
+    val df = Registry.byName("q149_media_phash_neardup").fn(spark, sf0001)
+    df.collect() // materialize so the adaptive plan is final
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Nil
+      })
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.nonEmpty)
+    // the ONE exchange allowed to move bytes is Par.fanOut's round-robin
+    // repartition before the decode (local-mode parallelism guard — a
+    // no-op at scale where scans arrive pre-partitioned); every KEYED
+    // exchange downstream of the hash projection must be payload-free
+    exchanges.foreach { e =>
+      val roundRobin = e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+      assert(roundRobin || !e.output.map(_.name).contains("media"),
+        s"media payload in keyed exchange: ${e.output.map(_.name)}")
+    }
+    assert(exchanges.exists(e => !e.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]))
+  }
 }

@@ -838,4 +838,161 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- shared vector helpers for the q145/q146 recounts (the VecDot
+  // sequential-left-fold order, float→double element casts) ----
+  private def vdot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def vcos(a: Array[Double], b: Array[Double]): Double =
+    vdot(a, b) / (math.sqrt(vdot(a, a)) * math.sqrt(vdot(b, b)))
+  private def embRows: Array[(Long, Array[Double], Int)] =
+    graft.Tables.embeddings(spark, sf0001).collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getAs[Int]("label"))
+    }
+
+  test("q145 hard negatives: brute-force recount — band, labels, per-anchor top-5") {
+    val embs = embRows
+    val anchors = embs.filter(_._1 < 32)
+    assert(anchors.nonEmpty)
+    val expected = anchors.flatMap { case (aid, av, al) =>
+      embs.filter(_._3 != al)
+        .map { case (nid, nv, nl) => (nid, nl, vcos(nv, av)) }
+        .filter(c => c._3 >= 0.25 && c._3 < 0.95)
+        .sortBy(c => (-c._3, c._1))
+        .take(5).zipWithIndex
+        .map { case ((nid, nl, c), idx) => ((aid, idx + 1L), (nid, nl, c)) }
+    }.toMap
+    val got = Registry.byName("q145_hard_negatives").fn(spark, sf0001).collect()
+      .map(r => ((r.getAs[Long]("anchor_id"), r.getAs[Long]("rk")),
+        (r.getAs[Long]("neg_id"), r.getAs[Int]("neg_label"),
+          r.getAs[Double]("cos_sim"))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (nid, nl, c)) =>
+      val (enid, enl, ec) = expected(k)
+      assert(nid == enid && nl == enl, s"$k picked $nid, expected $enid")
+      assert(math.abs(c - ec) < 1e-6, s"$k cos $c vs $ec")
+    }
+    assert(expected.nonEmpty, "band must be non-trivial at sf0.001")
+    // every returned negative really crosses labels (re-checked from data)
+    val labelOf = embs.map(e => e._1 -> e._3).toMap
+    val anchorLabel = anchors.map(a => a._1 -> a._3).toMap
+    got.foreach { case ((aid, _), (nid, _, _)) =>
+      assert(labelOf(nid) != anchorLabel(aid), s"anchor $aid negative $nid shares label")
+    }
+  }
+
+  test("q146 RRF hybrid: both legs and the fused integer arithmetic recount exactly") {
+    // dense leg: brute cosine vs vec 0, top-100 rank
+    val embs = embRows
+    val qv = embs.find(_._1 == 0L).get._2
+    val denseRank = embs.filter(_._1 != 0L)
+      .map { case (id, v, _) => (id, vcos(v, qv)) }
+      .sortBy(x => (-x._2, x._1)).take(100).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // lexical leg: the q131 BM25 recount shape over the fixed terms
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val terms = Seq("spark", "merge", "window")
+    val nDocs = docs.length.toLong
+    val totDl = docs.map(_._2.length.toLong).sum
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.filter(terms.contains).groupBy(identity).map { case (t, xs) =>
+        ((id, t), xs.length.toLong)
+      }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val avgDl = totDl.toDouble / nDocs.toDouble
+    val lexScores = tf.groupBy(_._1._1).map { case (id, m) =>
+      id -> m.map { case ((_, t), f) =>
+        math.floor(math.log(1 + (nDocs.toDouble - df(t).toDouble + 0.5) /
+          (df(t).toDouble + 0.5)) * f.toDouble * 2.2 /
+          (f.toDouble + 1.2 * (0.25 + 0.75 * docs.find(_._1 == id).get._2.length.toDouble /
+            avgDl)) * 1000000 + 0.5).toLong
+      }.sum
+    }
+    val lexRank = lexScores.toSeq.sortBy(x => (-x._2, x._1)).take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // fuse
+    val allIds = (lexRank.keySet ++ denseRank.keySet).toSeq
+    val expected = allIds.map { id =>
+      val rrf = lexRank.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+        denseRank.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L)
+      (id, lexRank.get(id), denseRank.get(id), rrf)
+    }.sortBy(x => (-x._4, x._1)).take(20)
+    val got = Registry.byName("q146_rrf_hybrid").fn(spark, sf0001).collect()
+      .map { r =>
+        (r.getAs[Long]("doc_id"),
+          if (r.isNullAt(r.fieldIndex("rank_lex"))) None else Some(r.getAs[Long]("rank_lex")),
+          if (r.isNullAt(r.fieldIndex("rank_dense"))) None else Some(r.getAs[Long]("rank_dense")),
+          r.getAs[Long]("rrf_micros"))
+      }.toSeq
+    assert(got == expected)
+    // both legs must actually contribute to the fused top-20
+    assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
+  }
+
+  test("q148 NB classifier: exact driver-side refit and rescore; separates the gate classes") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    def keepOf(ws: Seq[String]): Long = {
+      val n = ws.length
+      val fracStop = ws.count(stop).toDouble / n.toDouble
+      val bgs = ws.dropRight(1).zip(ws.drop(1)).map { case (x, y) => s"${x}_$y" }
+      val dup =
+        if (bgs.isEmpty) Double.NaN
+        else (bgs.length - bgs.distinct.length).toDouble / bgs.length.toDouble
+      if (n >= 10 && n <= 5000 && fracStop >= 0.02 && !dup.isNaN && dup <= 0.2) 1L else 0L
+    }
+    val flags = docs.map { case (id, ws) => id -> keepOf(ws) }.toMap
+    // the labels really are q75's gate
+    val q75 = Registry.byName("q75_docs_quality_filter").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_flag")).toMap
+    assert(flags == q75)
+    // refit: per-token class counts over token INSTANCES
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (t, xs) => (id, t, xs.length.toLong) }
+    }
+    val posC = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val negC = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    tf.foreach { case (id, t, f) =>
+      if (flags(id) == 1L) posC(t) += f else negC(t) += f
+    }
+    val vocab = tf.map(_._2).distinct
+    val vSz = vocab.size.toLong
+    val posTot = vocab.map(posC).sum
+    val negTot = vocab.map(negC).sum
+    val nPos = flags.values.count(_ == 1L).toLong
+    val nNeg = flags.size.toLong - nPos
+    val prior = math.floor((math.log((nPos + 1).toDouble / (nPos + nNeg + 2).toDouble) -
+      math.log((nNeg + 1).toDouble / (nPos + nNeg + 2).toDouble)) * 1000000 + 0.5).toLong
+    def tokMicros(t: String): Long =
+      math.floor((math.log((posC(t) + 1).toDouble / (posTot + vSz).toDouble) -
+        math.log((negC(t) + 1).toDouble / (negTot + vSz).toDouble)) * 1000000 + 0.5).toLong
+    val expected = tf.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.size.toLong, prior + rows.map { case (_, t, f) => f * tokMicros(t) }.sum)
+    }
+    val got = Registry.byName("q148_nb_quality_classifier").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("score_micros"), r.getAs[Long]("nb_keep")))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (nTerms, score)) =>
+      val (gn, gs, gk) = got(id)
+      assert(gn == nTerms && gs == score, s"doc $id: ($gn,$gs) vs ($nTerms,$score)")
+      assert(gk == (if (score > 0) 1L else 0L))
+    }
+    // the distilled classifier separates its training classes on average
+    def meanScore(flag: Long): Double = {
+      val xs = flags.collect { case (id, f) if f == flag => got(id)._2 }
+      xs.sum.toDouble / xs.size
+    }
+    assert(meanScore(1L) > meanScore(0L),
+      s"keep=${meanScore(1L)} drop=${meanScore(0L)}")
+  }
 }

@@ -36,7 +36,10 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q132_dsir_importance" -> "cross-join of the 1-row token-totals aggregate into the 256-row bucket frame",
     "q133_bigram_lm_score" -> "cross-join of the 1-row distinct-vocab aggregate",
     "q141_drift_psi" -> "cross-join of the 1-row Laplace-smoothing totals aggregate into the nBuckets-row contingency frame",
-    "q142_drift_ks" -> "cross-join of the 1-row (total_a, total_b) aggregate into the grid-bounded cumulative frame")
+    "q142_drift_ks" -> "cross-join of the 1-row (total_a, total_b) aggregate into the grid-bounded cumulative frame",
+    "q145_hard_negatives" -> "non-equi (label-mismatch) join against the structurally bounded <=32-row anchor batch",
+    "q146_rrf_hybrid" -> "cross-joins of the 1-row corpus-stats / query-vector frames (the q131/q29 legs)",
+    "q148_nb_quality_classifier" -> "cross-joins of the 1-row model-totals and class-prior aggregates")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
@@ -260,6 +263,11 @@ class ScaleGuardSpec extends AnyFunSuite {
       case u: Union => u.children.forall(histogramInput(winParts))
       case w: LogicalWindow => histogramInput(winParts)(w.child)
       case f: Filter => histogramInput(winParts)(f.child)
+      // a LIMIT bounds the window input to a plan-time constant: ranking
+      // a TakeOrdered top-k frame (q146's RRF legs) is a constant-size
+      // sort whatever the corpus size — same standing as a histogram
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit |
+           _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
       case _ => false
     }
   }
