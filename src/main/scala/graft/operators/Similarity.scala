@@ -106,7 +106,18 @@ object Similarity {
     */
   def nearDupPairsLsh(emb: DataFrame, minCos: Double,
       tables: Int = 32, bits: Int = -1, targetBucket: Int = 16,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None): DataFrame =
+    lshScoredPairs(emb, tables, bits, targetBucket, maxBucket)
+      .filter(col("cos_raw") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
+
+  /** The LSH candidate-pair core shared by [[nearDupPairsLsh]] and
+    * [[hardNegativesLsh]]: banded candidates scored with exact cosine,
+    * RAW score retained so callers apply their own thresholds/rounding.
+    * Returns (vec_a, vec_b, cos_raw) with vec_a < vec_b.
+    */
+  private def lshScoredPairs(emb: DataFrame, tables: Int, bits: Int,
+      targetBucket: Int, maxBucket: Option[Int]): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val effBits =
@@ -132,8 +143,43 @@ object Similarity {
       .join(e.toDF("vec_a", "va", "norm_a"), "vec_a")
       .join(e.toDF("vec_b", "vb", "norm_b"), "vec_b")
       .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
-      .filter(col("cos_raw") >= minCos)
-      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col("cos_raw"))
+  }
+
+  /** Corpus-wide hard-negative mining — the scale path of q145's
+    * brute-force baseline. q145 broadcasts a FIXED anchor batch against
+    * one corpus scan (exact, the right plan when anchors are a training
+    * batch); when EVERY vector needs negatives (contrastive pre-training
+    * over the whole corpus), that is n anchors × n candidates — the
+    * all-pairs shape — so candidates come from the banded LSH index
+    * instead: n·tables slim posting rows, ~linear pair growth under the
+    * adaptive bucket sizing, exact cosine only on same-bucket pairs.
+    * Each undirected candidate pair serves both directions (a is a
+    * candidate negative for b and vice versa); label mismatch + the
+    * hard band [lo, hi) filter BEFORE the per-anchor top-k rank window.
+    * Recall is probabilistic in the LSH tables (RetrievalSpec pins a
+    * floor against q145's exact result); precision is exact — every
+    * returned row re-checks labels and band on true cosine.
+    */
+  def hardNegativesLsh(emb: DataFrame, k: Int = 3, lo: Double = 0.25,
+      hi: Double = 0.95, tables: Int = 32, bits: Int = -1,
+      targetBucket: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = lshScoredPairs(emb, tables, bits, targetBucket, None)
+      .filter(col("cos_raw") >= lo && col("cos_raw") < hi)
+    val sym = pairs.select(col("vec_a").as("anchor_id"), col("vec_b").as("neg_id"), col("cos_raw"))
+      .union(pairs.select(col("vec_b").as("anchor_id"), col("vec_a").as("neg_id"), col("cos_raw")))
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_raw").desc, col("neg_id"))
+    sym
+      .join(lbl.toDF("anchor_id", "anchor_label"), "anchor_id")
+      .join(lbl.toDF("neg_id", "neg_label"), "neg_id")
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .withColumn("rk", row_number().over(byAnchor).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("rk"), col("neg_id"), col("neg_label"),
+        round(col("cos_raw"), 6).as("cos_sim"))
   }
 
   /** Deterministic pseudo-centroids for IVF (fixed seed, unit-normalized). */

@@ -182,5 +182,23 @@ object RetrievalQueries {
              |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
              |ORDER BY rrf_micros DESC, doc_id
              |LIMIT 20""".stripMargin),
-      "hybrid retrieval: reciprocal-rank fusion (k=60, integer micros — 1000000 DIV (60+rank), no float) of the BM25 lexical top-100 and the dense cosine top-100 — per-leg TakeOrdered cuts, constant-size ranking and fusion join at any corpus size"))
+      "hybrid retrieval: reciprocal-rank fusion (k=60, integer micros — 1000000 DIV (60+rank), no float) of the BM25 lexical top-100 and the dense cosine top-100 — per-leg TakeOrdered cuts, constant-size ranking and fusion join at any corpus size"),
+
+    Q(
+      "q150_hard_negatives_lsh",
+      (s, d) =>
+        // q145's scale path: hard negatives for EVERY vector (whole-corpus
+        // contrastive mining, where n anchors x n candidates is the
+        // all-pairs shape q145's broadcast-batch plan cannot cover) —
+        // candidates from the banded LSH index (n·tables slim posting
+        // rows, ~linear pair growth under adaptive bucket bits), exact
+        // cosine only on same-bucket pairs, label/band re-check exact.
+        // Rows-only (LSH recall is probabilistic); RetrievalSpec pins a
+        // recall floor against the q145-style exact computation and
+        // exact precision on every returned row.
+        graft.operators.Similarity.hardNegativesLsh(
+          embeddings(s, d), k = 3)
+          .orderBy(col("anchor_id"), col("rk")),
+      None,
+      "corpus-wide hard-negative mining via banded LSH candidates (q145's scale path): per-vector top-3 different-label neighbors in the hard band — linear candidate growth, exact label/band re-check; rows-only, recall floor + exact precision pinned in RetrievalSpec"))
 }

@@ -44,8 +44,10 @@ object DecontamStream {
     */
   def screenBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       evalIndexDir: String, outDir: String, n: Int = 13): Unit = {
+    // malformed inbox rows (missing id or text) are dropped, not passed
+    // through with NULL arithmetic — the DedupStream contract
     val b = batch.select(col("doc_id"), col("text"))
-      .filter(col("doc_id").isNotNull)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
     val evalIndex = spark.read.parquet(evalIndexDir)
     val hits = Decontam.grams(b, n).join(evalIndex, "h")
       .select(col("doc_id"), col("i"))

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, sf0001}
+import graft.queries.Registry
+
+/** q150 (LSH hard-negative mining, rows-only) against the exact
+  * computation it approximates: recall floor on the per-anchor exact
+  * top-k, exact precision on every returned row.
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  private def vdot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def vcos(a: Array[Double], b: Array[Double]): Double =
+    vdot(a, b) / (math.sqrt(vdot(a, a)) * math.sqrt(vdot(b, b)))
+
+  test("q150 hard negatives LSH: recall floor vs exact top-3; precision exact") {
+    val embs = graft.Tables.embeddings(spark, sf0001).collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getAs[Int]("label"))
+    }
+    // exact per-anchor top-3 different-label in-band neighbors (q145's
+    // brute shape extended to every anchor)
+    val exact: Set[(Long, Long)] = embs.flatMap { case (aid, av, al) =>
+      embs.filter(_._3 != al)
+        .map { case (nid, nv, _) => (nid, vcos(nv, av)) }
+        .filter(c => c._2 >= 0.25 && c._2 < 0.95)
+        .sortBy(c => (-c._2, c._1))
+        .take(3)
+        .map { case (nid, _) => (aid, nid) }
+    }.toSet
+    assert(exact.nonEmpty, "band must be non-trivial at sf0.001")
+
+    val got = Registry.byName("q150_hard_negatives_lsh").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neg_id"), r.getAs[Int]("neg_label"),
+        r.getAs[Double]("cos_sim")))
+
+    // PRECISION is exact: every returned row re-checks labels and band
+    // against driver-recomputed truth, and ranks are 1..k per anchor
+    val vecOf = embs.map(e => e._1 -> e._2).toMap
+    val lblOf = embs.map(e => e._1 -> e._3).toMap
+    got.foreach { case (aid, rk, nid, nl, cs) =>
+      assert(lblOf(aid) != nl && lblOf(nid) == nl, s"label mismatch on ($aid,$nid)")
+      val c = vcos(vecOf(nid), vecOf(aid))
+      assert(c >= 0.25 && c < 0.95, s"($aid,$nid) out of band: $c")
+      assert(math.abs(cs - c) < 1e-6, s"($aid,$nid) cos $cs vs $c")
+      assert(rk >= 1 && rk <= 3)
+    }
+    got.groupBy(_._1).foreach { case (aid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"ranks of $aid")
+    }
+
+    // RECALL floor vs the exact top-3 set (pair-level): the banded index
+    // must surface at least half of the true hard negatives at this
+    // scale (adaptive bits ~3, 32 tables → near-certain collisions)
+    val gotPairs = got.map(r => (r._1, r._3)).toSet
+    val recall = exact.count(gotPairs).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below floor (|exact|=${exact.size})")
+
+    // determinism: identical output on a second run
+    val again = Registry.byName("q150_hard_negatives_lsh").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neg_id"), r.getAs[Int]("neg_label"),
+        r.getAs[Double]("cos_sim")))
+    assert(got.toSeq == again.toSeq)
+  }
+}

@@ -57,12 +57,14 @@ class DecontamStreamSpec extends AnyFunSuite {
     assert(reAudit() == 0L)
 
     // batch 2 after a restart: adjacent double plant merges to ONE span
-    // covering the whole doc — the rewrite empties it (a drop signal)
-    publish("b2.csv", Seq(3L -> s"$secret $secret", 4L -> toks("d", 15)))
+    // covering the whole doc — the rewrite empties it (a drop signal);
+    // the malformed row (missing text) is dropped, not NULL-propagated
+    publish("b2.csv", Seq(3L -> s"$secret $secret", 4L -> toks("d", 15)) :+ (5L -> ""))
     screen()
     val r2 = rows()
     assert(r2(3L) == ((1L, 1L, 26L, 26L, "")))
     assert(r2(4L) == ((0L, 0L, 0L, 15L, toks("d", 15))))
+    assert(!r2.contains(5L), "empty-text row must be dropped, not screened")
     assert(reAudit() == 0L)
 
     // idle restart: no new files — nothing changes
