@@ -72,7 +72,12 @@ class ShuffleGrowthSpec extends AnyFunSuite {
     // distinct-gram index + df join-back: the shape goes quadratic if a
     // hot boilerplate gram's postings blow up the join (q30's failure
     // mode, caught here rather than by plan shape)
-    "q137_dup_ngram_fraction" -> "documents")
+    "q137_dup_ngram_fraction" -> "documents",
+    // corpus-wide LSH hard negatives (r10): same banded-candidate core as
+    // q70 PLUS a symmetric pair union and two label join-backs — the
+    // candidate volume doubles through the union, so a bucket-sizing
+    // regression would compound; exactly this spec's clientele
+    "q150_hard_negatives_lsh" -> "embeddings")
 
   test(s"heavy-family shuffle write grows <= ${HEADROOM}x its input growth (sf0.001 -> sf0.1)") {
     val rows = heavy.map { case (name, table) =>
