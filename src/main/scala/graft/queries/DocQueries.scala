@@ -123,6 +123,93 @@ object DocQueries {
           .cast("long").as("keep_flag"))
   }
 
+  /** The q148 naive-Bayes pipeline, shared with q151's calibration
+    * table: (doc_id, keep_flag, n_terms, score_micros, nb_keep). See
+    * q148's scaladoc for the scale argument.
+    */
+  private def nbScored(docs: DataFrame): DataFrame = {
+    val flags = gopherFlagged(docs).select(col("doc_id"), col("keep_flag"))
+    val tf = graft.operators.Par.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val labeled = tf.join(flags, "doc_id")
+    val model = labeled.groupBy(col("tok")).agg(
+      sum(when(col("keep_flag") === 1, col("tf")).otherwise(0L)).as("pos_c"),
+      sum(when(col("keep_flag") === 0, col("tf")).otherwise(0L)).as("neg_c"))
+    val totals = model.agg(
+      sum(col("pos_c")).as("pos_tot"),
+      sum(col("neg_c")).as("neg_tot"),
+      count(lit(1)).as("v_sz"))
+    val prior = flags
+      .agg(sum(col("keep_flag")).as("n_pos"),
+        sum(lit(1L) - col("keep_flag")).as("n_neg"))
+      .select(expr(nbPriorMicros).as("prior_micros"))
+    labeled.join(model, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("tok_micros", expr(nbTokenMicros))
+      .groupBy(col("doc_id"), col("keep_flag"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf") * col("tok_micros")).as("__tok_sum"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("keep_flag"), col("n_terms"),
+        (col("prior_micros") + col("__tok_sum")).as("score_micros"),
+        (col("prior_micros") + col("__tok_sum") > 0).cast("long").as("nb_keep"))
+  }
+
+  /** The q148 pipeline as shared DuckDB CTE text (through the per-doc
+    * scored frame `sc2`), interpolated into both q148's and q151's
+    * oracles so the two cannot drift.
+    */
+  private def nbCtes: String =
+    s"""WITH st AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frac_stop,
+       |    list_transform(range(greatest(len(string_split(text, ' ')) - 1, 0)),
+       |      i -> string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]) AS g2
+       |  FROM documents),
+       |gd AS (
+       |  SELECT doc_id, n_tokens, frac_stop,
+       |    CASE WHEN len(g2) > 0 THEN
+       |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+       |    END AS dup_raw
+       |  FROM st),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(n_tokens BETWEEN $MinTok AND $MaxTok
+       |      AND frac_stop >= $StopFloor
+       |      AND dup_raw <= $DupCeil, FALSE) AS BIGINT) AS keep_flag
+       |  FROM gd),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |lab AS (SELECT tf.doc_id, tok, tf, keep_flag FROM tf JOIN g USING (doc_id)),
+       |model AS (
+       |  SELECT tok,
+       |    CAST(sum(CASE WHEN keep_flag = 1 THEN tf ELSE 0 END) AS BIGINT) AS pos_c,
+       |    CAST(sum(CASE WHEN keep_flag = 0 THEN tf ELSE 0 END) AS BIGINT) AS neg_c
+       |  FROM lab GROUP BY tok),
+       |tot AS (
+       |  SELECT CAST(sum(pos_c) AS BIGINT) AS pos_tot,
+       |    CAST(sum(neg_c) AS BIGINT) AS neg_tot,
+       |    count(*) AS v_sz FROM model),
+       |pr AS (
+       |  SELECT CAST(sum(keep_flag) AS BIGINT) AS n_pos,
+       |    CAST(sum(1 - keep_flag) AS BIGINT) AS n_neg FROM g),
+       |prm AS (SELECT $nbPriorMicros AS prior_micros FROM pr),
+       |sc AS (
+       |  SELECT lab.doc_id, lab.keep_flag, lab.tf, $nbTokenMicros AS tok_micros
+       |  FROM lab JOIN model USING (tok) CROSS JOIN tot),
+       |sc2 AS (
+       |  SELECT sc.doc_id, sc.keep_flag, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(prior_micros + sum(tf * tok_micros) AS BIGINT) AS score_micros
+       |  FROM sc CROSS JOIN prm
+       |  GROUP BY sc.doc_id, sc.keep_flag, prior_micros)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q24_docs_dedup_exact",
@@ -952,83 +1039,40 @@ object DocQueries {
         // broadcasts. At 100 TB the model above a df floor is
         // broadcast-sized (Zipf tail is singletons), turning the scoring
         // join into a broadcast (q105's documented shape).
-        val docs = documents(s, d)
-        val flags = gopherFlagged(docs).select(col("doc_id"), col("keep_flag"))
-        val tf = graft.operators.Par.fanOut(docs)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
-        val labeled = tf.join(flags, "doc_id")
-        val model = labeled.groupBy(col("tok")).agg(
-          sum(when(col("keep_flag") === 1, col("tf")).otherwise(0L)).as("pos_c"),
-          sum(when(col("keep_flag") === 0, col("tf")).otherwise(0L)).as("neg_c"))
-        val totals = model.agg(
-          sum(col("pos_c")).as("pos_tot"),
-          sum(col("neg_c")).as("neg_tot"),
-          count(lit(1)).as("v_sz"))
-        val prior = flags
-          .agg(sum(col("keep_flag")).as("n_pos"),
-            sum(lit(1L) - col("keep_flag")).as("n_neg"))
-          .select(expr(nbPriorMicros).as("prior_micros"))
-        labeled.join(model, "tok")
-          .crossJoin(broadcast(totals))
-          .withColumn("tok_micros", expr(nbTokenMicros))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("tf") * col("tok_micros")).as("__tok_sum"))
-          .crossJoin(broadcast(prior))
-          .select(col("doc_id"), col("n_terms"),
-            (col("prior_micros") + col("__tok_sum")).as("score_micros"),
-            (col("prior_micros") + col("__tok_sum") > 0).cast("long").as("nb_keep"))
+        nbScored(documents(s, d))
+          .select(col("doc_id"), col("n_terms"), col("score_micros"), col("nb_keep"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH st AS (
-             |  SELECT doc_id,
-             |    len(string_split(text, ' ')) AS n_tokens,
-             |    CAST(len(list_filter(string_split(text, ' '),
-             |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frac_stop,
-             |    list_transform(range(greatest(len(string_split(text, ' ')) - 1, 0)),
-             |      i -> string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]) AS g2
-             |  FROM documents),
-             |gd AS (
-             |  SELECT doc_id, n_tokens, frac_stop,
-             |    CASE WHEN len(g2) > 0 THEN
-             |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
-             |    END AS dup_raw
-             |  FROM st),
-             |g AS (
-             |  SELECT doc_id,
-             |    CAST(COALESCE(n_tokens BETWEEN $MinTok AND $MaxTok
-             |      AND frac_stop >= $StopFloor
-             |      AND dup_raw <= $DupCeil, FALSE) AS BIGINT) AS keep_flag
-             |  FROM gd),
-             |tf AS (
-             |  SELECT doc_id, tok, count(*) AS tf FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-             |  GROUP BY doc_id, tok),
-             |lab AS (SELECT tf.doc_id, tok, tf, keep_flag FROM tf JOIN g USING (doc_id)),
-             |model AS (
-             |  SELECT tok,
-             |    CAST(sum(CASE WHEN keep_flag = 1 THEN tf ELSE 0 END) AS BIGINT) AS pos_c,
-             |    CAST(sum(CASE WHEN keep_flag = 0 THEN tf ELSE 0 END) AS BIGINT) AS neg_c
-             |  FROM lab GROUP BY tok),
-             |tot AS (
-             |  SELECT CAST(sum(pos_c) AS BIGINT) AS pos_tot,
-             |    CAST(sum(neg_c) AS BIGINT) AS neg_tot,
-             |    count(*) AS v_sz FROM model),
-             |pr AS (
-             |  SELECT CAST(sum(keep_flag) AS BIGINT) AS n_pos,
-             |    CAST(sum(1 - keep_flag) AS BIGINT) AS n_neg FROM g),
-             |prm AS (SELECT $nbPriorMicros AS prior_micros FROM pr),
-             |sc AS (
-             |  SELECT lab.doc_id, lab.tf, $nbTokenMicros AS tok_micros
-             |  FROM lab JOIN model USING (tok) CROSS JOIN tot)
-             |SELECT sc.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-             |  CAST(prior_micros + sum(tf * tok_micros) AS BIGINT) AS score_micros,
-             |  CAST((prior_micros + sum(tf * tok_micros)) > 0 AS BIGINT) AS nb_keep
-             |FROM sc CROSS JOIN prm
-             |GROUP BY sc.doc_id, prior_micros
-             |ORDER BY sc.doc_id""".stripMargin),
-      "distilled quality classifier (fasttext-filter pattern): naive-Bayes token log-odds trained on q75's Gopher-gate labels, scored as prior + Σ tf·weight in exact integer micros — token-keyed model agg + postings join (q133's shuffle class), broadcast totals/prior"))
+      Some(s"""$nbCtes
+             |SELECT doc_id, n_terms, score_micros,
+             |  CAST(score_micros > 0 AS BIGINT) AS nb_keep
+             |FROM sc2
+             |ORDER BY doc_id""".stripMargin),
+      "distilled quality classifier (fasttext-filter pattern): naive-Bayes token log-odds trained on q75's Gopher-gate labels, scored as prior + Σ tf·weight in exact integer micros — token-keyed model agg + postings join (q133's shuffle class), broadcast totals/prior"),
+
+    Q(
+      "q151_nb_calibration",
+      (s, d) =>
+        // The validation step of the distill workflow: before the cheap
+        // classifier replaces the expensive gate at 100 TB, measure its
+        // agreement — a (gate_keep × nb_keep) confusion table with the
+        // score range per cell (the cells' score separation is what a
+        // threshold-tuning pass would read). SCALE: q148's pipeline plus
+        // one 4-row aggregate; nothing new shuffles.
+        nbScored(documents(s, d))
+          .groupBy(col("keep_flag").as("gate_keep"), col("nb_keep"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("score_micros")).as("min_score"),
+            max(col("score_micros")).as("max_score"))
+          .orderBy(col("gate_keep"), col("nb_keep")),
+      Some(s"""$nbCtes
+             |SELECT keep_flag AS gate_keep,
+             |  CAST(score_micros > 0 AS BIGINT) AS nb_keep,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(score_micros) AS BIGINT) AS min_score,
+             |  CAST(max(score_micros) AS BIGINT) AS max_score
+             |FROM sc2
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin),
+      "distilled-classifier calibration: (gate_keep x nb_keep) confusion table with per-cell doc counts and score ranges — the agreement check before q148's cheap classifier replaces the expensive gate; q148's pipeline plus one 4-row aggregate"))
 }

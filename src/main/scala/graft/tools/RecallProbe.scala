@@ -89,6 +89,33 @@ object RecallProbe {
       .collect().map(_.getLong(0)).toSet
     check("ivf_pq", (ivfpq intersect exactIp).size / 10.0, 0.3)
 
+    // corpus-wide hard negatives (q150) vs the exact per-anchor top-3 —
+    // pair-level recall, the RetrievalSpec floor re-asserted at scale
+    // (adaptive bucket bits grow with n: exactly the dial whose cliff
+    // only a larger corpus can show). The exact baseline is computed
+    // DISTRIBUTED (an n² scan is fine as a probe baseline; a top-k-pairs
+    // cut would truncate low-cos anchors' candidates and silently shrink
+    // the denominator) — only the ≤3n (anchor, neg) winners are
+    // collected.
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.operators.Par.fanOut(
+      emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")))
+    val av = emb.select(col("vec_id").as("anchor_id"),
+      col("label").as("anchor_label"), asDouble(col("embedding")).as("av"))
+    val exactTop3 = ev.join(av, col("label") =!= col("anchor_label"))
+      .withColumn("cos_raw", cosine(col("v"), col("av")))
+      .filter(col("cos_raw") >= 0.25 && col("cos_raw") < 0.95)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("anchor_id")).orderBy(col("cos_raw").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("anchor_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotNeg = Similarity.hardNegativesLsh(emb, k = 3)
+      .select(col("anchor_id"), col("neg_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exactTop3.isEmpty) println("RECALL hard_neg      SKIP: band empty")
+    else check("hard_neg", exactTop3.count(gotNeg).toDouble / exactTop3.size, 0.5)
+
     spark.stop()
     if (fail > 0) sys.exit(1)
   }

@@ -995,4 +995,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(meanScore(1L) > meanScore(0L),
       s"keep=${meanScore(1L)} drop=${meanScore(0L)}")
   }
+
+  test("q151 calibration: confusion cells recount exactly from q148 x q75") {
+    val nb = Registry.byName("q148_nb_quality_classifier").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_micros"), r.getAs[Long]("nb_keep"))).toMap
+    val gate = Registry.byName("q75_docs_quality_filter").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_flag")).toMap
+    val expected = nb.toSeq.groupBy { case (id, (_, k)) => (gate(id), k) }
+      .map { case (cell, rs) =>
+        cell -> (rs.size.toLong, rs.map(_._2._1).min, rs.map(_._2._1).max)
+      }
+    val got = Registry.byName("q151_nb_calibration").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("gate_keep"), r.getAs[Long]("nb_keep")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("min_score"), r.getAs[Long]("max_score"))))
+      .toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == nb.size.toLong, "cells partition the corpus")
+  }
 }
