@@ -32,13 +32,6 @@ object Decontam {
     */
   def bucketOf(docId: Column): Column = pmod(docId * lit(2654435761L), lit(100))
 
-  /** Matched-window hits: one row per (train doc_id, window start i,
-    * gram hash h, eval_doc) where the train doc's exact `n`-gram at
-    * position i also occurs in the eval split. Window starts are
-    * 1-based; the window covers tokens [i, i+n-1]. The 13-gram hash is
-    * md5 for the DuckDB twin; at 100 TB use xxhash64 (q127's documented
-    * substitution).
-    */
   /** (doc_id, i, h): every n-token window of every doc, as a 1-based
     * start position plus the window's gram hash — the ONE gram/hash
     * definition every decontamination face shares (batch audit q143,
@@ -55,6 +48,11 @@ object Decontam {
       .select(col("doc_id"), col("i"),
         md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))).as("h"))
 
+  /** Matched-window hits: one row per (train doc_id, window start i,
+    * gram hash h, eval_doc) where the train doc's exact `n`-gram at
+    * position i also occurs in the eval split. Window starts are
+    * 1-based; the window covers tokens [i, i+n-1].
+    */
   def gramHits(docs: DataFrame, n: Int = 13,
       evalFloor: Int = 95, trainCeil: Int = 90): DataFrame = {
     val base = docs.withColumn("bucket", bucketOf(col("doc_id")))

@@ -247,10 +247,19 @@ object Multimodal {
 
   /** ======= STUB (non-image mimes only) =======
     * Deterministic 64-bit hash for payloads the JDK cannot decode: bit k
-    * is the parity of the byte-sum over positions ≡ k (mod 64), so a
-    * small byte edit perturbs only the touched residue classes —
-    * mirroring how a small pixel edit perturbs few aHash cells. Exact
-    * duplicates collide at Hamming 0; unrelated payloads land ~32 apart.
+    * is the parity of the byte-sum over positions ≡ k (mod 64), XORed
+    * with a length-derived mask (splitmix64 of the byte count), so a
+    * small SAME-LENGTH byte edit perturbs only the touched residue
+    * classes — mirroring how a small pixel edit perturbs few aHash cells
+    * — while payloads of different lengths land ~32 apart even when
+    * shorter than 64 bytes (without the mask, untouched residue classes
+    * of short payloads all sat at parity 0 and distinct short payloads
+    * collided at tiny Hamming distance). Exact duplicates still collide
+    * at Hamming 0. Remaining caveat, inherent to the class-per-position
+    * design: two DISTINCT same-length payloads shorter than 64 bytes can
+    * differ only in the classes they touch (≤ length bits), so
+    * sub-64-byte non-duplicates may still band together — filter tiny
+    * payloads before near-dup banding if that matters for the corpus.
     */
   def stubHash64(bytes: Array[Byte]): Long = {
     val sums = new Array[Long](64)
@@ -265,7 +274,11 @@ object Multimodal {
       if ((sums(k) & 1L) == 1L) bits |= 1L << k
       k += 1
     }
-    bits
+    // splitmix64 finalizer of the length (public-domain constants)
+    var z = bytes.length.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    bits ^ (z ^ (z >>> 31))
   }
 
   /** Mime-dispatched perceptual hash: real aHash for decodable images,

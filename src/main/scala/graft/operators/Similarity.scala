@@ -22,6 +22,18 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** The hard-negative cosine band — similar enough to be HARD (floor)
+    * but not so similar it is a likely false negative / unlabeled
+    * positive (ceiling); the standard contrastive-mining denoising bound
+    * (RocketQA/ANCE). SINGLE SOURCE OF TRUTH for q145 (exact broadcast
+    * batch), q150 ([[hardNegativesLsh]] scale path), RetrievalSpec's
+    * pinned q145↔q150 equivalence, and RecallProbe's at-scale floor —
+    * the four used to carry their own literals, so editing one silently
+    * broke the others' comparison.
+    */
+  val HardNegFloor = 0.25
+  val HardNegCeil = 0.95
+
   /** Top-k most-similar pairs by cosine, brute force (baseline/oracle).
     * Norms are computed once per vector, not per pair (n vs n² folds), and
     * the left side of the O(n²) nested-loop join is fanned out so pair
@@ -161,8 +173,8 @@ object Similarity {
     * floor against q145's exact result); precision is exact — every
     * returned row re-checks labels and band on true cosine.
     */
-  def hardNegativesLsh(emb: DataFrame, k: Int = 3, lo: Double = 0.25,
-      hi: Double = 0.95, tables: Int = 32, bits: Int = -1,
+  def hardNegativesLsh(emb: DataFrame, k: Int = 3, lo: Double = HardNegFloor,
+      hi: Double = HardNegCeil, tables: Int = 32, bits: Int = -1,
       targetBucket: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = lshScoredPairs(emb, tables, bits, targetBucket, None)

@@ -14,13 +14,13 @@ import graft.functions.VectorFunctions._
   */
 object RetrievalQueries {
 
-  /** q145's hard-negative band: similar enough to be HARD (floor) but
-    * not so similar it is a likely false negative / unlabeled positive
-    * (ceiling) — the standard contrastive-mining heuristic (e.g. the
-    * RocketQA/ANCE denoising bound). Interpolated into both engines.
+  /** q145's hard-negative band, interpolated into both engines — the
+    * shared constant on [[graft.operators.Similarity]] (single source of
+    * truth with q150's scale path and the specs that pin their
+    * equivalence).
     */
-  private val NegFloor = 0.25
-  private val NegCeil = 0.95
+  private val NegFloor = graft.operators.Similarity.HardNegFloor
+  private val NegCeil = graft.operators.Similarity.HardNegCeil
 
   /** RRF constant (Cormack et al. 2009's k=60) and per-list depth. */
   private val RrfK = 60

@@ -27,13 +27,66 @@ import graft.operators.Decontam
   */
 object DecontamStream {
 
+  /** Stored-index layout marker — bump on any layout change so a stale
+    * index fails loudly instead of silently matching nothing.
+    */
+  val IndexFormat = 1
+
   /** Build the stored eval-gram index: the DISTINCT n-gram hashes of the
     * benchmark corpus (no positions, no text — the index cannot leak the
-    * benchmark itself into the pipeline). Run once per benchmark drop.
+    * benchmark itself into the pipeline) under `indexDir/grams`, plus a
+    * 1-row `indexDir/meta` recording the gram size `n` and the layout
+    * format. The meta row exists because n is independently overridable
+    * on both build and screen: screening an n=13 index with n=10 grams
+    * would match NOTHING and wave every contaminated doc through — the
+    * worst failure mode for an ingest guard — so [[screenBatch]] asserts
+    * the recorded n instead of trusting the caller. Run once per
+    * benchmark drop.
     */
-  def buildEvalIndex(evalDocs: DataFrame, indexDir: String, n: Int = 13): Unit =
+  def buildEvalIndex(evalDocs: DataFrame, indexDir: String, n: Int = 13): Unit = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
     Decontam.grams(evalDocs, n).select(col("h")).distinct()
-      .write.mode("overwrite").parquet(indexDir)
+      .write.mode("overwrite").parquet(s"$indexDir/grams")
+    Seq((IndexFormat, n)).toDF("format", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Load + validate the stored index: the meta row must exist, carry the
+    * current format, and record the SAME n the screen is about to use;
+    * the gram set must be non-empty. Every violation throws — an ingest
+    * safety guard must never degrade to a silent no-op screen.
+    */
+  private def loadEvalIndex(spark: SparkSession, indexDir: String, n: Int): DataFrame = {
+    val meta =
+      try spark.read.parquet(s"$indexDir/meta").collect()
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"eval-gram index at $indexDir has no readable meta — rebuild with buildEvalIndex", e)
+      }
+    require(meta.length == 1, s"eval-gram index meta at $indexDir must be exactly 1 row, got ${meta.length}")
+    val fmt = meta(0).getAs[Int]("format")
+    val storedN = meta(0).getAs[Int]("n")
+    require(fmt == IndexFormat,
+      s"eval-gram index format $fmt != expected $IndexFormat — rebuild with buildEvalIndex")
+    require(storedN == n,
+      s"eval-gram index was built with n=$storedN but the screen is running with n=$n — " +
+        "the gram join would match nothing and contaminated docs would pass as clean; " +
+        "rebuild the index or screen with the recorded n")
+    // an all-short benchmark writes ZERO part files (nothing to infer a
+    // schema from), so the read itself can throw — same verdict: empty
+    val grams =
+      try spark.read.parquet(s"$indexDir/grams")
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"eval-gram index at $indexDir is empty or unreadable — screening against it " +
+            "would be a no-op; rebuild from a benchmark corpus with docs of >= n tokens", e)
+      }
+    require(!grams.isEmpty,
+      s"eval-gram index at $indexDir is empty — screening against it is a no-op; " +
+        "rebuild from a benchmark corpus with docs of >= n tokens")
+    grams
+  }
 
   /** One micro-batch of the screen — exposed so replay and batch-parity
     * properties are directly testable. Emits one row per input doc:
@@ -48,7 +101,7 @@ object DecontamStream {
     // through with NULL arithmetic — the DedupStream contract
     val b = batch.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
-    val evalIndex = spark.read.parquet(evalIndexDir)
+    val evalIndex = loadEvalIndex(spark, evalIndexDir, n)
     val hits = Decontam.grams(b, n).join(evalIndex, "h")
       .select(col("doc_id"), col("i"))
     val spans = Decontam.mergedSpans(hits, n)

@@ -104,7 +104,8 @@ object RecallProbe {
       col("label").as("anchor_label"), asDouble(col("embedding")).as("av"))
     val exactTop3 = ev.join(av, col("label") =!= col("anchor_label"))
       .withColumn("cos_raw", cosine(col("v"), col("av")))
-      .filter(col("cos_raw") >= 0.25 && col("cos_raw") < 0.95)
+      .filter(col("cos_raw") >= Similarity.HardNegFloor &&
+        col("cos_raw") < Similarity.HardNegCeil)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("anchor_id")).orderBy(col("cos_raw").desc, col("vec_id"))))
       .filter(col("rk") <= 3)

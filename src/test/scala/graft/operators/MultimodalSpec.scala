@@ -112,6 +112,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.perceptualHash(txt, "image/png") == Multimodal.stubHash64(txt))
   }
 
+  test("stubHash64: exact dups collide, same-length edits stay local, short payloads separate by length") {
+    def h(b: Array[Byte]) = Multimodal.stubHash64(b)
+    val a = "payload one payload one payload one payload one payload one!!!!!!!".getBytes("UTF-8")
+    assert(h(a) == h(a.clone())) // exact duplicate → Hamming 0
+    // same-length single-byte edit perturbs ONLY its residue class
+    val edited = a.clone(); edited(10) = (edited(10) + 2).toByte
+    assert(java.lang.Long.bitCount(h(a) ^ h(edited)) <= 1)
+    // short payloads of DIFFERENT lengths no longer collide near Hamming 0
+    // (pre-fix: untouched residue classes all sat at parity 0, so any two
+    // same-parity 1-byte payloads hashed identically)
+    val d1 = java.lang.Long.bitCount(h(Array[Byte](2)) ^ h(Array[Byte](2, 4)))
+    assert(d1 >= 16, s"1-byte vs 2-byte payloads landed $d1 apart")
+    val d2 = java.lang.Long.bitCount(h("ab".getBytes) ^ h("abc".getBytes))
+    assert(d2 >= 16, s"adjacent-length short payloads landed $d2 apart")
+  }
+
   test("bandedHammingPairs = brute force exactly (pigeonhole recall AND precision)") {
     import spark.implicits._
     // 300 seeded hashes plus planted near-pairs at distances 0–4

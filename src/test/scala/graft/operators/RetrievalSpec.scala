@@ -29,7 +29,7 @@ class RetrievalSpec extends AnyFunSuite {
     val exact: Set[(Long, Long)] = embs.flatMap { case (aid, av, al) =>
       embs.filter(_._3 != al)
         .map { case (nid, nv, _) => (nid, vcos(nv, av)) }
-        .filter(c => c._2 >= 0.25 && c._2 < 0.95)
+        .filter(c => c._2 >= Similarity.HardNegFloor && c._2 < Similarity.HardNegCeil)
         .sortBy(c => (-c._2, c._1))
         .take(3)
         .map { case (nid, _) => (aid, nid) }
@@ -48,7 +48,8 @@ class RetrievalSpec extends AnyFunSuite {
     got.foreach { case (aid, rk, nid, nl, cs) =>
       assert(lblOf(aid) != nl && lblOf(nid) == nl, s"label mismatch on ($aid,$nid)")
       val c = vcos(vecOf(nid), vecOf(aid))
-      assert(c >= 0.25 && c < 0.95, s"($aid,$nid) out of band: $c")
+      assert(c >= Similarity.HardNegFloor && c < Similarity.HardNegCeil,
+        s"($aid,$nid) out of band: $c")
       assert(math.abs(cs - c) < 1e-6, s"($aid,$nid) cos $cs vs $c")
       assert(rk >= 1 && rk <= 3)
     }

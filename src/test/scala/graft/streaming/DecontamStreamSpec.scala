@@ -26,7 +26,11 @@ class DecontamStreamSpec extends AnyFunSuite {
     DecontamStream.buildEvalIndex(
       Seq((100L, s"intro words $secret trailing")).toDF("doc_id", "text"), idx)
     // the index stores HASHES only — the benchmark text cannot leak
-    assert(spark.read.parquet(idx).columns.toSeq == Seq("h"))
+    assert(spark.read.parquet(s"$idx/grams").columns.toSeq == Seq("h"))
+    // and a meta row recording the gram size + layout format
+    assert(spark.read.parquet(s"$idx/meta").collect().map(r =>
+      (r.getAs[Int]("format"), r.getAs[Int]("n"))).toSeq ==
+      Seq((DecontamStream.IndexFormat, 13)))
 
     def publish(name: String, rows: Seq[(Long, String)]): Unit = {
       val body = "doc_id,text\n" + rows.map { case (id, t) => s"$id,$t" }.mkString("\n")
@@ -53,7 +57,7 @@ class DecontamStreamSpec extends AnyFunSuite {
     // eval grams (re-audit the clean_text against the same index)
     def reAudit(): Long = Decontam.grams(
       spark.read.parquet(out).select(col("doc_id"), col("clean_text").as("text")), 13)
-      .join(spark.read.parquet(idx), "h").count()
+      .join(spark.read.parquet(s"$idx/grams"), "h").count()
     assert(reAudit() == 0L)
 
     // batch 2 after a restart: adjacent double plant merges to ONE span
@@ -79,5 +83,35 @@ class DecontamStreamSpec extends AnyFunSuite {
         2L -> toks("c", 20)).toDF("doc_id", "text"),
       0L, idx, out)
     assert(rows() == before, "replay changed the screened output")
+  }
+
+  test("screen fails loudly on n mismatch, missing meta, and an empty index") {
+    import spark.implicits._
+    val base = tmp("graft_decontam_guard")
+    val batch = Seq(1L -> s"$secret trailing").toDF("doc_id", "text")
+
+    // n mismatch: an n=13 index screened with n=10 would match nothing —
+    // the guard must throw, never silently pass contaminated docs
+    val idx = s"$base/idx13"
+    DecontamStream.buildEvalIndex(Seq((100L, secret)).toDF("doc_id", "text"), idx)
+    val eN = intercept[IllegalArgumentException] {
+      DecontamStream.screenBatch(spark, batch, 0L, idx, s"$base/out1", n = 10)
+    }
+    assert(eN.getMessage.contains("n=13") && eN.getMessage.contains("n=10"))
+
+    // missing meta (pre-format or wrong dir): loud failure, not a no-op
+    val bare = s"$base/bare"
+    Seq("deadbeef").toDF("h").write.parquet(bare) // hashes at the OLD layout root
+    intercept[IllegalStateException] {
+      DecontamStream.screenBatch(spark, batch, 0L, bare, s"$base/out2")
+    }
+
+    // empty gram set (benchmark docs all shorter than n): also loud
+    val empty = s"$base/empty"
+    DecontamStream.buildEvalIndex(Seq((100L, "too short")).toDF("doc_id", "text"), empty)
+    val eE = intercept[IllegalArgumentException] {
+      DecontamStream.screenBatch(spark, batch, 0L, empty, s"$base/out3")
+    }
+    assert(eE.getMessage.contains("empty"))
   }
 }
