@@ -77,11 +77,18 @@ object Clustering {
       .groupBy(col("cluster_id"), col("pos"))
       .agg(sum(col("fx")).as("sum_fx"), count(lit(1)).as("n"))
 
-  /** Full Lloyd iteration loop; returns (final assignment, final centroids).
-    * Empty clusters keep their previous centroid.
+  /** Lloyd refinement only — `iters` exact deterministic iterations from
+    * the seeded start, returning the final centroids. This is the coarse-
+    * quantizer trainer shared by [[kmeans]] and the IVF family
+    * (Similarity.ivfTopK / Pq.ivfPqTopK): fixed seeded centroids kept IVF
+    * deterministic but ignored the data's actual density (sf0.1 recall
+    * sat at 0.50 for both ivf and ivf_pq); learned lists cover the query
+    * neighborhoods the probe set actually visits. Per iteration: one
+    * assignment scan + one k·dim slim aggregate + a driver-side scalar
+    * fold — the DqChecks report-row pattern, not a data collect.
     */
-  def kmeans(emb: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 3,
-      seed: Long = 11L): (DataFrame, Seq[Seq[Double]]) = {
+  def fitCentroids(emb: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 3,
+      seed: Long = 11L): Seq[Seq[Double]] = {
     var cs = centroids(k, dim, seed)
     for (_ <- 1 to iters) {
       val rows = updateSums(assign(emb, cs)).collect() // k·dim rows, driver-side fold
@@ -98,6 +105,15 @@ object Clustering {
         }
       }
     }
+    cs
+  }
+
+  /** Full Lloyd iteration loop; returns (final assignment, final centroids).
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeans(emb: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 3,
+      seed: Long = 11L): (DataFrame, Seq[Seq[Double]]) = {
+    val cs = fitCentroids(emb, k, dim, iters, seed)
     (assign(emb, cs), cs)
   }
 

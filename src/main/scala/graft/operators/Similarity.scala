@@ -194,47 +194,45 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-centroids for IVF (fixed seed, unit-normalized). */
-  private def centroids(k: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new java.util.Random(7L)
-    Seq.fill(k) {
-      val v = Seq.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
-    }
-  }
-
   /** IVF-flat ANN: vectors are assigned to their nearest of `k` centroids
     * (one list per centroid); a query probes its `nProbe` nearest lists and
     * scores only those vectors exactly. The complementary trade-off to
     * hyperplane LSH: one bucket per vector (minimal index size, one shuffle
-    * key per row) vs LSH's L-fold replication for recall. Real IVF learns
-    * centroids with k-means; fixed seeded centroids keep the operator
-    * deterministic, and the assignment/probe dataflow — the part that has
-    * to scale — is identical.
+    * key per row) vs LSH's L-fold replication for recall. The coarse
+    * quantizer is LEARNED — `lloydIters` exact deterministic Lloyd
+    * iterations from the seeded start (Clustering.fitCentroids, the same
+    * int64 fixed-point machinery as q85/Pq.fit, so the operator stays
+    * bit-deterministic on any cluster size); seeded-but-unlearned
+    * centroids (`lloydIters = 0`) ignored the corpus density and pinned
+    * sf0.1 recall at 0.50. Training cost is `iters` scans + k·dim-row
+    * aggregates — amortized over every query against the index.
     */
   def ivfTopK(emb: DataFrame, queryVecId: Long, kResults: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cs = centroids(nCentroids, 64)
+      nCentroids: Int = 16, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
+    val cs = Clustering.fitCentroids(emb, nCentroids, 64, lloydIters, seed = 7L)
     val csLit = typedlit(cs)
-    // nearest-centroid id via one pass over the centroid literal array
-    def nearest(v: org.apache.spark.sql.Column) = {
-      val scored = (0 until nCentroids).map { c =>
-        struct(dot(v, element_at(csLit, c + 1)).as("s"), lit(c).as("c"))
+    // true nearest-centroid: argmin ||v−c||² ≡ argmax (⟨v,c⟩ − ||c||²/2)
+    // (Pq.withCodes' algebra). The half-norm term was a no-op for the old
+    // unit-norm seeded centroids but is REQUIRED for learned means, which
+    // have data-dependent norms — raw argmax-dot would bias assignment
+    // toward long centroids.
+    def scored(v: org.apache.spark.sql.Column) =
+      (0 until nCentroids).map { c =>
+        val halfNorm = lit(cs(c).map(x => x * x).sum / 2)
+        struct((dot(v, element_at(csLit, c + 1)) - halfNorm).as("s"), lit(c).as("c"))
       }
-      // greatest() ≡ desc-sort-take-1 over the same structs (O(k), no
-      // per-row array build+sort); ties keep this operator's historical
-      // max-c pick — the struct carries c, not -c
-      greatest(scored: _*).getField("c")
-    }
+    // greatest() ≡ desc-sort-take-1 over the same structs (O(k), no
+    // per-row array build+sort); ties keep this operator's historical
+    // max-c pick — the struct carries c, not -c
+    def nearest(v: org.apache.spark.sql.Column) =
+      greatest(scored(v): _*).getField("c")
     val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("list_id", nearest(col("v")))
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     // the query's nProbe nearest lists, computed once from its vector
     val probeLists = e.filter(col("vec_id") === queryVecId)
-      .select(explode(slice(sort_array(array((0 until nCentroids).map { c =>
-        struct(dot(col("v"), element_at(csLit, c + 1)).as("s"), lit(c).as("c"))
-      }: _*), asc = false), 1, nProbe).getField("c")).as("probe_list"))
+      .select(explode(slice(sort_array(array(scored(col("v")): _*), asc = false),
+        1, nProbe).getField("c")).as("probe_list"))
     e.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(probeLists), col("list_id") === col("probe_list"))
       .crossJoin(broadcast(q))

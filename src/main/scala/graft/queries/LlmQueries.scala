@@ -210,7 +210,7 @@ object LlmQueries {
       "q63_ivf_topk",
       (s, d) => Similarity.ivfTopK(embeddings(s, d), queryVecId = 0L, kResults = 10),
       None,
-      "IVF-flat ANN (16 lists, probe 4): complementary index family to hyperplane LSH; recall floor in ScalaTest"),
+      "IVF-flat ANN (16 LEARNED lists — 2 exact Lloyd iterations — probe 6): complementary index family to hyperplane LSH; recall floor in ScalaTest + RecallProbe"),
 
     Q(
       "q64_media_frames",

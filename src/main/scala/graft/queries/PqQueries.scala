@@ -70,10 +70,19 @@ object PqQueries {
       "q123_ivfpq_topk",
       (s, d) => {
         val emb = embeddings(s, d)
-        val coarse = graft.operators.Clustering.centroids(16, 64, seed = 7L)
+        // LEARNED coarse quantizer (r10 verdict #1): 2 exact Lloyd
+        // iterations over the corpus instead of raw seeded Gaussians —
+        // same deterministic int64 machinery as the residual codebook
+        // fit below. Measured at sf0.1 (IvfProbe, 20-query mean):
+        // learning lifts nProbe=4 recall 0.50→0.58 and worst-query
+        // recall 0.10→0.40; the corpus is near-isotropic, so list
+        // coverage (nProbe, here 6/16 → ~0.70 mean) stays the dominant
+        // recall dial — exactly the real-IVF trade.
+        val coarse = graft.operators.Clustering.fitCentroids(
+          emb, k = 16, dim = 64, iters = 2, seed = 7L)
         val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
-        Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 4)
+        Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 6)
       },
       None,
-      "full IVF-PQ with exact re-rank: coarse inverted lists + residual PQ codes, query probes 4 of 16 lists, ADC-scores codes only, then re-ranks the candidate set exactly — recall bounded by list coverage (nProbe), not code resolution; floors in PqSpec + RecallProbe"))
+      "full IVF-PQ with exact re-rank: LEARNED coarse inverted lists (2 exact Lloyd iterations) + residual PQ codes, query probes 6 of 16 lists, ADC-scores codes only, then re-ranks the candidate set exactly — recall bounded by list coverage (nProbe), not code resolution; floors in PqSpec + RecallProbe"))
 }

@@ -41,11 +41,33 @@ object RecallProbe {
     val exact = graft.queries.Registry.byName("q29_cosine_topk")
       .fn(spark, sfDir).collect().map(_.getLong(0)).toSet
 
+    // exact cosine top-10 for an arbitrary query id (multi-query floors)
+    import graft.functions.VectorFunctions._
+    def exactTop10(qid: Long): Set[Long] = {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(asDouble(col("embedding")).as("qv"))
+      emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .join(broadcast(q))
+        .withColumn("c", cosine(col("v"), col("qv")))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+    }
+
     val ann = Similarity.annTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     check("ann_lsh", (ann intersect exact).size / 10.0, 0.5)
 
-    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
-    check("ivf", (ivf intersect exact).size / 10.0, 0.2)
+    // IVF floors are a MEAN over 5 query ids: single-query recall on a
+    // 10-element set is a coin-flip-grade sample (the r10 floors of
+    // 0.20/0.30 existed to absorb that variance); the mean tightens the
+    // claim to what the operator actually delivers — learned lists +
+    // probe 6/16 ≈ 0.6–0.7 on this near-isotropic corpus (IvfProbe).
+    val ivfQueries = Seq(0L, 1L, 2L, 3L, 4L)
+    val ivfRecall = ivfQueries.map { qid =>
+      val got = Similarity.ivfTopK(emb, qid, 10).collect().map(_.getLong(0)).toSet
+      (got intersect exactTop10(qid)).size / 10.0
+    }.sum / ivfQueries.size
+    check("ivf", ivfRecall, 0.6)
 
     // near-dup pair recall vs brute force at the cosine threshold. The
     // baseline must be ALL pairs ≥ threshold: the first probe run used
@@ -69,25 +91,32 @@ object RecallProbe {
     }
 
     // PQ-ADC approximates the inner product: baseline is exact IP top-10
-    import graft.functions.VectorFunctions._
-    val qv = emb.filter(col("vec_id") === 0L)
-      .select(asDouble(col("embedding")).as("qv"))
-    val exactIp = emb.filter(col("vec_id") =!= 0L)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .join(broadcast(qv))
-      .withColumn("ip", dot(col("v"), col("qv")))
-      .orderBy(col("ip").desc, col("vec_id"))
-      .limit(10).collect().map(_.getLong(0)).toSet
+    def exactIpTop10(qid: Long): Set[Long] = {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(asDouble(col("embedding")).as("qv"))
+      emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .join(broadcast(q))
+        .withColumn("ip", dot(col("v"), col("qv")))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+    }
+    val exactIp = exactIpTop10(0L)
     val cbs = Pq.fit(emb, iters = 2)
     val adc = Pq.adcTopK(emb, cbs, queryVecId = 0L, k = 10)
       .collect().map(_.getLong(0)).toSet
     check("pq_adc", (adc intersect exactIp).size / 10.0, 0.3)
 
-    val coarse = Clustering.centroids(16, 64, seed = 7L)
+    // IVF-PQ: same 5-query mean as the ivf check (one coarse + codebook
+    // fit, reused across queries — the real index/query split)
+    val coarse = Clustering.fitCentroids(emb, 16, 64, iters = 2, seed = 7L)
     val rcbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
-    val ivfpq = Pq.ivfPqTopK(emb, coarse, rcbs, queryVecId = 0L, k = 10, nProbe = 4)
-      .collect().map(_.getLong(0)).toSet
-    check("ivf_pq", (ivfpq intersect exactIp).size / 10.0, 0.3)
+    val ivfPqRecall = ivfQueries.map { qid =>
+      val got = Pq.ivfPqTopK(emb, coarse, rcbs, queryVecId = qid, k = 10, nProbe = 6)
+        .collect().map(_.getLong(0)).toSet
+      (got intersect exactIpTop10(qid)).size / 10.0
+    }.sum / ivfQueries.size
+    check("ivf_pq", ivfPqRecall, 0.5)
 
     // corpus-wide hard negatives (q150) vs the exact per-anchor top-3 —
     // pair-level recall, the RetrievalSpec floor re-asserted at scale

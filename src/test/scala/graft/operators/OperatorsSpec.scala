@@ -285,13 +285,27 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("IVF top-k: valid results with usable recall; probing fewer lists than exist") {
-    val exact = graft.queries.Registry.byName("q29_cosine_topk")
-      .fn(spark, sf0001).collect().map(_.getLong(0)).toSet
-    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
-    assert(ivf.size == 10)
-    assert(!ivf.contains(0L))
-    val recall = (ivf intersect exact).size / 10.0
-    assert(recall >= 0.2, s"IVF recall too low: $recall") // 4 of 16 lists probed
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    // 5-query MEAN recall (RecallProbe's methodology): single-query recall
+    // on a 10-element set is too coarse a sample to pin a meaningful floor
+    val recalls = Seq(0L, 1L, 2L, 3L, 4L).map { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(asDouble(col("embedding")).as("qv"))
+      val exact = emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .join(broadcast(qv))
+        .withColumn("c", cosine(col("v"), col("qv")))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfTopK(emb, qid, 10).collect().map(_.getLong(0)).toSet
+      assert(ivf.size == 10)
+      assert(!ivf.contains(qid))
+      (ivf intersect exact).size / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    // learned lists (2 Lloyd iters) + 6/16 probed
+    assert(recall >= 0.6, s"IVF mean recall too low: $recall ($recalls)")
   }
 
   test("frame sampling emits every stride-th fixed-size chunk; resize bounds payloads") {

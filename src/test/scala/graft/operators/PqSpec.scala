@@ -81,23 +81,30 @@ class PqSpec extends AnyFunSuite {
 
   test("IVF-PQ: probed subset only, and residual coding clears the recall floor") {
     import graft.functions.VectorFunctions._
-    val coarse = Clustering.centroids(16, 64, seed = 7L)
+    // the LEARNED coarse quantizer q123 ships (2 exact Lloyd iterations),
+    // fit ONCE and reused across the 5 probe queries (index/query split)
+    val coarse = Clustering.fitCentroids(emb, 16, 64, iters = 2, seed = 7L)
     val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
-    val got = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 4)
-      .collect()
-    assert(got.length == 10)
-    assert(!got.map(_.getLong(0)).contains(0L))
-    // results only come from probed lists (<= nProbe distinct list ids)
-    assert(got.map(_.getInt(1)).distinct.length <= 4)
-    val qv = emb.filter(col("vec_id") === 0L)
-      .select(asDouble(col("embedding")).as("qv"))
-    val exact = emb.filter(col("vec_id") =!= 0L)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .join(broadcast(qv))
-      .withColumn("ip", dot(col("v"), col("qv")))
-      .orderBy(col("ip").desc, col("vec_id"))
-      .limit(10).collect().map(_.getLong(0)).toSet
-    val recall = (got.map(_.getLong(0)).toSet intersect exact).size / 10.0
-    assert(recall >= 0.2, s"IVF-PQ recall too low: $recall") // 4/16 lists probed
+    // 5-query MEAN recall vs exact inner-product top-10 (RecallProbe's
+    // methodology — one query is too coarse a sample for a 10-set floor)
+    val recalls = Seq(0L, 1L, 2L, 3L, 4L).map { qid =>
+      val got = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = qid, k = 10, nProbe = 6)
+        .collect()
+      assert(got.length == 10)
+      assert(!got.map(_.getLong(0)).contains(qid))
+      // results only come from probed lists (<= nProbe distinct list ids)
+      assert(got.map(_.getInt(1)).distinct.length <= 6)
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(asDouble(col("embedding")).as("qv"))
+      val exact = emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .join(broadcast(qv))
+        .withColumn("ip", dot(col("v"), col("qv")))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+      (got.map(_.getLong(0)).toSet intersect exact).size / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.5, s"IVF-PQ mean recall too low: $recall ($recalls)")
   }
 }
