@@ -61,6 +61,17 @@ object Similarity {
     * of <v, plane_tj>.
     */
   def withLshBuckets(emb: DataFrame, tables: Int = 32, bits: Int = 6,
+      dim: Int = 64): DataFrame =
+    withLshBucketsOn(
+      Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))),
+      tables, bits, dim)
+
+  /** [[withLshBuckets]] over a PREPARED (vec_id, v: array<double>, …)
+    * frame — the entry point for callers that already materialized the
+    * projected corpus (the checkpointed frame in [[lshScoredPairs]]), so
+    * bucketing does not force a second scan of the source.
+    */
+  private def withLshBucketsOn(e: DataFrame, tables: Int, bits: Int,
       dim: Int = 64): DataFrame = {
     // Explode the table INDEX (trivial generator) and compute one table's
     // bucket per emitted row — exploding a precomputed array of all bucket
@@ -74,15 +85,14 @@ object Similarity {
     // ~0.5 s PER EXECUTION flat — measured 2-3.5x slower than the
     // broadcast join at any scale. A broadcast ships the planes to each
     // executor once per query instead of once per task binary.
-    val spark = emb.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
     val pl = planes(tables, bits, dim).zipWithIndex
       .map { case (ps, t) => (t, ps) }.toDF("table", "planes")
     val bucket = (0 until bits).map { j =>
       when(dot(col("v"), element_at(col("planes"), j + 1)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
-    Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
-      .select(col("vec_id"), col("v"),
+    e.select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
       .join(broadcast(pl), "table")
       .withColumn("bucket", bucket)
@@ -104,8 +114,9 @@ object Similarity {
     * bit form at 9.8x shuffle growth on 4x rows before this change. The
     * price is the standard LSH trade: more bits at larger n lowers
     * per-table recall (collision prob p_bit^bits), which production
-    * systems buy back with more tables; the sizing job is one
-    * metadata-cheap count() at plan-build.
+    * systems buy back with more tables; the sizing count reads the
+    * already-checkpointed projected corpus, not the source (see
+    * [[lshScoredPairs]]).
     *
     * Pairs are generated per-bucket from the sorted member list (the
     * [[Dedup.shingleJaccardPairs]] posting-list idiom) — one groupBy
@@ -130,15 +141,26 @@ object Similarity {
     */
   private def lshScoredPairs(emb: DataFrame, tables: Int, bits: Int,
       targetBucket: Int, maxBucket: Option[Int]): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // ONE corpus scan feeds everything: fan out, project (vec_id, v, nrm),
+    // checkpoint eagerly (the q144/components lineage pattern), and read
+    // the adaptive-bits row count from the CHECKPOINT — the old shape paid
+    // a dedicated emb.count() parquet pass just to size bucket bits (r10
+    // verdict #8) plus two more source scans for the bucket index and the
+    // scoring joins; all three now read the materialized blocks. The
+    // checkpoint holds the projected corpus (id, vector, norm) in
+    // executor block storage — memory-and-disk, same footprint class as
+    // the components/soft-dedup checkpoints; a multi-tenant 100 TB
+    // deployment would swap in reliable checkpoint() to cluster storage.
+    val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("nrm", l2Norm(col("v")))
+      .localCheckpoint(true)
     val effBits =
       if (bits > 0) bits
       else {
-        val n = emb.count().toDouble
+        val n = e.count().toDouble // counts checkpointed blocks, no re-scan
         math.max(3, (math.log(math.max(1.0, n / targetBucket)) / math.log(2.0)).ceil.toInt)
       }
-    val slim = withLshBuckets(emb, tables, effBits)
+    val slim = withLshBucketsOn(e.select(col("vec_id"), col("v")), tables, effBits)
       .select(col("vec_id"), col("table"), col("bucket"))
     val postings = slim.groupBy(col("table"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ds"))
