@@ -264,6 +264,48 @@ object Similarity {
       .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** BATCHED ANN top-k (r10 verdict #2): per-anchor top-k over the LSH
+    * index for a fixed training batch of anchors (vec_id < batchSize —
+    * a CONSTANT, not a corpus fraction, so the anchor side is
+    * broadcastable at any corpus size; the `.limit` makes the bound
+    * structural, the q145 fence). This is the retrieval shape a training
+    * pipeline actually runs — one batch of queries per step — where
+    * looping [[annTopK]] would rebuild the corpus bucket index per
+    * query. SCALE: the corpus side is bucketed ONCE (n·tables slim
+    * rows), candidates come from an equi-join of those postings against
+    * the broadcast batch·tables anchor-bucket index — the corpus never
+    * shuffles for the batch — and exact cosine touches only candidates;
+    * the per-anchor rank window partitions by anchor over candidate
+    * rows. Recall is probabilistic in the LSH tables (RetrievalSpec
+    * floor vs the exact batch baseline, q152); precision is exact.
+    */
+  def annTopKBatch(emb: DataFrame, batchSize: Int = 16, k: Int = 5,
+      tables: Int = 32, bits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val anchors = emb.filter(col("vec_id") < batchSize).limit(batchSize)
+    val corpusBuckets = withLshBuckets(emb, tables, bits)
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val anchorBuckets = withLshBuckets(anchors, tables, bits)
+      .select(col("vec_id").as("anchor_id"), col("table"), col("bucket"))
+    val cand = corpusBuckets
+      .join(broadcast(anchorBuckets), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id")).distinct()
+    val av = anchors.select(col("vec_id").as("anchor_id"),
+      asDouble(col("embedding")).as("av"))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id") // fetch vectors only for surviving candidates
+      .join(broadcast(av), "anchor_id")
+      .withColumn("cos_raw", cosine(col("v"), col("av")))
+      .withColumn("rk", row_number().over(byAnchor).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("rk"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** ANN top-k for one query vector: union of same-bucket candidates over L
     * tables, then exact cosine on candidates only.
     */

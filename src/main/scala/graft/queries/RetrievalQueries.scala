@@ -185,6 +185,67 @@ object RetrievalQueries {
       "hybrid retrieval: reciprocal-rank fusion (k=60, integer micros — 1000000 DIV (60+rank), no float) of the BM25 lexical top-100 and the dense cosine top-100 — per-leg TakeOrdered cuts, constant-size ranking and fusion join at any corpus size"),
 
     Q(
+      "q152_ann_topk_batch",
+      (s, d) => {
+        // BATCHED exact retrieval: for every anchor in a fixed training
+        // batch (vec_id < 16, structurally bounded — the q145 fence),
+        // the top-5 most-cosine-similar other vectors. The brute-force
+        // ORACLE baseline of q153's LSH path: one corpus scan against
+        // the broadcast batch (16·n scorings), per-anchor rank window
+        // over all scored rows. DETERMINISM: shared IEEE cosine tree
+        // (q29 parity), rank ties on vec_id, 6dp display rounding.
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val anchors = emb.filter(col("vec_id") < 16).limit(16)
+          .select(col("vec_id").as("anchor_id"), col("v").as("av"))
+        val byAnchor = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id"))
+        emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+          .withColumn("cos_raw", cosine(col("v"), col("av")))
+          .withColumn("rk", row_number().over(byAnchor).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("anchor_id"), col("rk"), col("vec_id"),
+            round(col("cos_raw"), 6).as("cos_sim"))
+          .orderBy(col("anchor_id"), col("rk"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |a AS (
+             |  SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 16),
+             |sc AS (
+             |  SELECT a.anchor_id, e.vec_id,
+             |    list_inner_product(e.v, a.av)
+             |      / (sqrt(list_inner_product(e.v, e.v))
+             |         * sqrt(list_inner_product(a.av, a.av))) AS cos_raw
+             |  FROM e JOIN a ON e.vec_id <> a.anchor_id),
+             |b AS (
+             |  SELECT anchor_id, vec_id, cos_raw,
+             |    row_number() OVER (PARTITION BY anchor_id
+             |      ORDER BY cos_raw DESC, vec_id) AS rk
+             |  FROM sc)
+             |SELECT anchor_id, rk, vec_id, round(cos_raw, 6) AS cos_sim
+             |FROM b WHERE rk <= 5
+             |ORDER BY anchor_id, rk""".stripMargin),
+      "batched exact top-k retrieval: per-anchor (fixed 16-vector training batch, broadcast) top-5 cosine neighbors over one corpus scan — the brute-force oracle baseline of q153's batched-LSH scale path"),
+
+    Q(
+      "q153_ann_topk_batch_lsh",
+      (s, d) =>
+        // q152's scale path: candidates from the banded LSH index — the
+        // corpus is bucketed once (n·tables slim posting rows) and
+        // joined against the broadcast batch·tables anchor-bucket index,
+        // so the corpus never shuffles for the batch; exact cosine only
+        // on same-bucket candidates, per-anchor top-k on true scores.
+        // Rows-only (LSH recall is probabilistic); RetrievalSpec pins a
+        // recall floor vs q152's exact answer + exact precision, and
+        // RecallProbe re-asserts the floor at sf0.1.
+        graft.operators.Similarity.annTopKBatch(embeddings(s, d))
+          .orderBy(col("anchor_id"), col("rk")),
+      None,
+      "batched ANN top-k via the LSH bucket index (q152's scale path): per-anchor top-5 from same-bucket candidates — corpus bucketed once, broadcast anchor-bucket join, exact cosine re-score; rows-only, recall floor + exact precision in RetrievalSpec"),
+
+    Q(
       "q150_hard_negatives_lsh",
       (s, d) =>
         // q145's scale path: hard negatives for EVERY vector (whole-corpus

@@ -57,6 +57,16 @@ object RecallProbe {
     val ann = Similarity.annTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     check("ann_lsh", (ann intersect exact).size / 10.0, 0.5)
 
+    // batched ANN (q153) vs the exact batch baseline (q152) — pair-level
+    // recall over the whole 16-anchor batch
+    val exactBatch = graft.queries.Registry.byName("q152_ann_topk_batch")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val gotBatch = Similarity.annTopKBatch(emb)
+      .select(col("anchor_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    check("ann_batch", exactBatch.count(gotBatch).toDouble / exactBatch.size, 0.5)
+
     // IVF floors are a MEAN over 5 query ids: single-query recall on a
     // 10-element set is a coin-flip-grade sample (the r10 floors of
     // 0.20/0.30 existed to absorb that variance); the mean tightens the

@@ -71,4 +71,53 @@ class RetrievalSpec extends AnyFunSuite {
         r.getAs[Double]("cos_sim")))
     assert(got.toSeq == again.toSeq)
   }
+
+  test("q153 batched ANN: recall floor vs q152's exact per-anchor top-5; precision exact") {
+    val embs = graft.Tables.embeddings(spark, sf0001).collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    }
+    val vecOf = embs.map(e => e._1 -> e._2).toMap
+    // exact per-anchor top-5 (q152's answer, driver-recomputed)
+    val anchors = embs.map(_._1).filter(_ < 16L)
+    assert(anchors.length == 16)
+    val exact: Set[(Long, Long)] = anchors.flatMap { aid =>
+      embs.filter(_._1 != aid)
+        .map { case (nid, nv) => (nid, vcos(nv, vecOf(aid))) }
+        .sortBy(c => (-c._2, c._1))
+        .take(5)
+        .map { case (nid, _) => (aid, nid) }
+    }.toSet
+
+    val got = Registry.byName("q153_ann_topk_batch_lsh").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+
+    // PRECISION exact: every row's cosine re-checks against driver truth,
+    // self never retrieved, ranks contiguous 1..k per anchor
+    got.foreach { case (aid, rk, nid, cs) =>
+      assert(nid != aid, s"anchor $aid retrieved itself")
+      val c = vcos(vecOf(nid), vecOf(aid))
+      assert(math.abs(cs - c) < 1e-6, s"($aid,$nid) cos $cs vs $c")
+      assert(rk >= 1 && rk <= 5)
+    }
+    got.groupBy(_._1).foreach { case (aid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"ranks of $aid")
+      // within-anchor order matches the exact cosine order
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"order of $aid")
+    }
+
+    // RECALL floor vs the exact top-5 set (32 tables x 6 bits at sf0.001
+    // gives near-certain bucket collisions for true neighbors)
+    val gotPairs = got.map(r => (r._1, r._3)).toSet
+    val recall = exact.count(gotPairs).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below floor (|exact|=${exact.size})")
+
+    // determinism: identical output on a second run
+    val again = Registry.byName("q153_ann_topk_batch_lsh").fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    assert(got.toSeq == again.toSeq)
+  }
 }
