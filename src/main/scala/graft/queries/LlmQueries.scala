@@ -115,6 +115,55 @@ object LlmQueries {
       "exact 3-gram Jaccard near-dup pairs: Spark uses an inverted-index join, oracle brute-forces — same answer"),
 
     Q(
+      "q154_shingle_jaccard_capped",
+      (s, d) =>
+        // q30's 100 TB configuration (r10 verdict #4): shingles appearing
+        // in more than dfCap=16 docs are dropped BEFORE pair generation —
+        // a viral boilerplate shingle otherwise explodes its posting list
+        // into |postings|² pairs on one row, and carries ~no near-dup
+        // signal anyway. Capped Jaccard is a STRICT LOWER BOUND on exact
+        // Jaccard (denominators stay the FULL per-doc set sizes; the cap
+        // only removes common-shingle evidence), so the capped pair set
+        // is always a subset of q30's — OperatorsSpec pins both
+        // properties, ShuffleGrowthSpec pins the flattened shuffle. The
+        // cap is a no-op at sf0.01 (max shingle df = 7) and bites at
+        // sf0.1 (669 shingles over the cap; 178 of q30's 256 pairs
+        // survive), so the tri-scale soak exercises both regimes of the
+        // SAME oracle SQL. 16 = the duplicate-cluster scale this corpus
+        // actually has: at cap 8 whole >8-copy clusters lose ALL their
+        // shared shingles and the result collapses to empty.
+        Dedup.shingleJaccardPairs(documents(s, d), threshold = 0.8,
+          dfCap = Some(16))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS MATERIALIZED (SELECT doc_id,
+             |         list_distinct(list_transform(range(len(t) - 2),
+             |           i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])) AS sg
+             |       FROM toks),
+             |ex AS MATERIALIZED (SELECT doc_id, unnest(sg) AS sgram FROM sh),
+             |dfc AS (SELECT sgram, count(*) AS df FROM ex GROUP BY sgram),
+             |capped AS (SELECT sgram FROM dfc WHERE df <= 16),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(count(*) AS BIGINT) AS n_common
+             |  FROM ex a
+             |  JOIN capped c ON c.sgram = a.sgram
+             |  JOIN ex b ON b.sgram = a.sgram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, CAST(len(sg) AS BIGINT) AS n FROM sh)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(n_common AS DOUBLE)
+             |    / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+             |FROM common
+             |JOIN sz sa ON sa.doc_id = doc_a
+             |JOIN sz sb ON sb.doc_id = doc_b
+             |WHERE CAST(n_common AS DOUBLE)
+             |  / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "df-capped shingle Jaccard (q30's 100 TB configuration): shingles in > 16 docs dropped before pair generation, denominators keep FULL set sizes — a strict lower bound on exact Jaccard; cap is a no-op at sf0.01 and drops 78 of 256 pairs at sf0.1, oracle replays the capped algebra at both"),
+
+    Q(
       "q31_docs_fingerprint",
       (s, d) =>
         graft.operators.Par.fanOut(documents(s, d))

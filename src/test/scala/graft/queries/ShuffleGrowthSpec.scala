@@ -77,7 +77,16 @@ class ShuffleGrowthSpec extends AnyFunSuite {
     // q70 PLUS a symmetric pair union and two label join-backs — the
     // candidate volume doubles through the union, so a bucket-sizing
     // regression would compound; exactly this spec's clientele
-    "q150_hard_negatives_lsh" -> "embeddings")
+    "q150_hard_negatives_lsh" -> "embeddings",
+    // df-capped Jaccard (r11): the cap exists precisely to flatten the
+    // hot-shingle pair blowup — at sf0.1 16.6k shingles exceed the cap
+    // and their posting lists never reach pair generation, so the capped
+    // variant must grow SLOWER than exact q30's shape
+    "q154_shingle_jaccard_capped" -> "documents",
+    // batched ANN (r11): corpus postings joined against the broadcast
+    // anchor index — candidate volume must track corpus size x constant
+    // batch, not corpus²
+    "q153_ann_topk_batch_lsh" -> "embeddings")
 
   test(s"heavy-family shuffle write grows <= ${HEADROOM}x its input growth (sf0.001 -> sf0.1)") {
     val rows = heavy.map { case (name, table) =>
