@@ -87,6 +87,61 @@ object DocQueries {
     "CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE))" +
       " * ln(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
 
+  /** q155's DuckDB twin, generated for `k` unrolled merge rounds. Each
+    * round reads the previous round's token lists (cur_{r-1}), counts
+    * adjacent pairs, takes the (cnt DESC, l, r) winner, and rebuilds the
+    * lists with the GREEDY left-to-right merge applied — expressed as
+    * gaps-and-islands parity: candidate positions (where t[i..i+1] =
+    * winner) group into runs of consecutive i; within a run the 1st,
+    * 3rd, 5th … merge and each consumes positions {i, i+1}. This is
+    * exactly the one-pass greedy rule Spark's fold implements (a merge
+    * at i kills the candidate at i+1 and leaves i+2 live — run parity).
+    */
+  private def bpeTrainOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = s"cur_${r - 1}"
+      s"""pos_$r AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM $prev),
+         |pc_$r AS (
+         |  SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt
+         |  FROM pos_$r WHERE i < len(t) GROUP BY 1, 2),
+         |top_$r AS (
+         |  SELECT l, r, CAST(cnt AS BIGINT) AS cnt
+         |  FROM pc_$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |cand_$r AS (
+         |  SELECT p.doc_id, p.i FROM pos_$r p, top_$r w
+         |  WHERE p.i < len(p.t) AND p.t[p.i] = w.l AND p.t[p.i+1] = w.r),
+         |isl_$r AS (
+         |  SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM cand_$r),
+         |mrg_$r AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i,
+         |      row_number() OVER (PARTITION BY doc_id, grp ORDER BY i) AS rn
+         |    FROM isl_$r)
+         |  WHERE rn % 2 = 1),
+         |cur_$r AS (
+         |  SELECT doc_id, list(tok ORDER BY pos) AS t FROM (
+         |    SELECT m.doc_id, m.i AS pos, w.l || '_' || w.r AS tok
+         |    FROM mrg_$r m, top_$r w
+         |    UNION ALL
+         |    SELECT p.doc_id, p.i AS pos, p.t[p.i] AS tok FROM pos_$r p
+         |    WHERE NOT EXISTS (SELECT 1 FROM mrg_$r m
+         |      WHERE m.doc_id = p.doc_id AND (m.i = p.i OR m.i = p.i - 1)))
+         |  GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, l, r, cnt FROM top_$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cur_0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |$rounds
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Gopher-gated docs with RAW gate signals — q75's staged pipeline
     * extracted so q148's classifier labels come from the SAME expression
     * tree as the gate itself (single source of truth; the four threshold
@@ -615,6 +670,26 @@ object DocQueries {
              |ORDER BY cnt DESC, l, r
              |LIMIT 100""".stripMargin),
       "BPE-training inner loop: corpus-wide adjacent token-pair counts, top-100 merge candidates (deterministic total order)"),
+
+    Q(
+      "q155_bpe_train",
+      (s, d) =>
+        // The ITERATIVE BPE trainer (r10 verdict #5) — q110 is one round
+        // of this loop: count adjacent pairs, take the (cnt DESC, l, r)
+        // winner, apply the merge greedily left-to-right, recount; 3
+        // rounds here. Per round the distributed work is one map-side-
+        // combined pair count + TakeOrdered(1) and one merge projection;
+        // the corpus re-tokenization localCheckpoints between rounds
+        // (components' iterative-lineage discipline) and the winner is a
+        // 1-row scalar read. The DuckDB twin replays all 3 rounds with
+        // the greedy rule rewritten as gaps-and-islands parity (within a
+        // run of overlapping candidates the 1st, 3rd, 5th … merge) —
+        // provably the same pick set, pinned equal by BpeSpec's fold-vs-
+        // recount properties and this oracle's tri-scale hash match.
+        graft.operators.Bpe.train(documents(s, d), rounds = 3)
+          .orderBy(col("round")),
+      Some(bpeTrainOracleSql(3)),
+      "iterative BPE trainer: 3 merge rounds (count pairs, take total-order winner, greedy left-to-right apply, recount) — per round one pair-count aggregate + one merge projection, checkpointed between rounds; oracle replays the loop via gaps-and-islands parity"),
 
     Q(
       "q115_vocab_coverage",

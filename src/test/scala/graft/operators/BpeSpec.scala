@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+
+/** Iterative BPE trainer (q155): greedy-merge semantics on crafted runs,
+  * the recount property (each round's count equals a fresh q110-style
+  * pair count over the previous round's corpus), and determinism.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  private def applied(tokens: Seq[String], l: String, r: String): Seq[String] = {
+    import spark.implicits._
+    Seq(tokens).toDF("t")
+      .select(Bpe.applyMerge(col("t"), l, r).as("t"))
+      .collect()(0).getSeq[String](0).toSeq
+  }
+
+  test("applyMerge: greedy left-to-right, non-overlapping, run parity") {
+    // simple hit + miss
+    assert(applied(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "a_b", "y"))
+    assert(applied(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+    // overlapping run of the same token: "a a a" has candidates at 1,2 —
+    // greedy merges at 1, consumes 2
+    assert(applied(Seq("a", "a", "a"), "a", "a") == Seq("a_a", "a"))
+    // even run: candidates 1,2,3 — merges at 1 and 3
+    assert(applied(Seq("a", "a", "a", "a"), "a", "a") == Seq("a_a", "a_a"))
+    // pair at the very end; no out-of-bounds probe past it
+    assert(applied(Seq("x", "a", "b"), "a", "b") == Seq("x", "a_b"))
+    // single token and the pair-as-whole-doc edge
+    assert(applied(Seq("a"), "a", "a") == Seq("a"))
+    assert(applied(Seq("a", "b"), "a", "b") == Seq("a_b"))
+    // adjacent DIFFERENT candidates interleave: "a b a b" candidates at
+    // 1,3 (not a run) — both merge
+    assert(applied(Seq("a", "b", "a", "b"), "a", "b") == Seq("a_b", "a_b"))
+  }
+
+  test("train: each round's winner matches a fresh recount of the evolving corpus") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val merges = Bpe.train(docs, rounds = 3).orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.map(_._1).toSeq == Seq(1L, 2L, 3L))
+
+    // replay the loop driver-side: greedy apply + full recount per round
+    def pairsOf(t: Seq[String]): Seq[(String, String)] =
+      if (t.length < 2) Nil else t.zip(t.tail)
+    def apply1(t: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
+          out += s"${l}_$r"; i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var corpus = docs.select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    merges.foreach { case (_, l, r, cnt) =>
+      val counts = corpus.flatMap(pairsOf).groupBy(identity).view.mapValues(_.size)
+      val best = counts.toSeq.map { case ((a, b), c) => (-c, a, b) }.min
+      assert((best._2, best._3) == (l, r), s"winner mismatch: got ($l,$r), expect $best")
+      assert(counts((l, r)).toLong == cnt, s"count mismatch for ($l,$r)")
+      corpus = corpus.map(t => apply1(t, l, r))
+    }
+
+    // determinism: identical merge table on a second run
+    val again = Bpe.train(docs, rounds = 3).orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == again.toSeq)
+  }
+
+  test("train stops early when no pair remains") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val merges = Bpe.train(tiny, rounds = 5).orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1 merges (a,b) -> a_b; afterwards every doc is 1 token and
+    // rounds 2+ have no candidate pair
+    assert(merges.toSeq == Seq((1L, "a", "b", 1L)))
+  }
+}
