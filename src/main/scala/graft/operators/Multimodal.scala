@@ -281,6 +281,51 @@ object Multimodal {
     bits ^ (z ^ (z >>> 31))
   }
 
+  /** Block-mean pooling of a `srcDim`-wide array<double> down to `dim`
+    * values (mean of each srcDim/dim-wide slice) — the STUB stand-in for
+    * a learned projection head mapping the text-embedding space into the
+    * image-feature space. Pure expression work, zero shuffles.
+    */
+  private def poolTo(v: org.apache.spark.sql.Column, dim: Int,
+      srcDim: Int = 64): org.apache.spark.sql.Column = {
+    val block = srcDim / dim
+    transform(sequence(lit(0), lit(dim - 1)), b =>
+      aggregate(slice(v, b * lit(block) + 1, lit(block)),
+        lit(0.0), (a, x) => a + x) / lit(block.toDouble))
+  }
+
+  /** CLIP-score-style cross-modal gate (r10 verdict #7): for each ALIGNED
+    * (image, caption) pair — media_id = vec_id, the web-scraped
+    * image/alt-text alignment — the cosine between the image feature
+    * vector and the caption embedding projected into the same space,
+    * plus the keep decision at `minCos` (the LAION-style CLIP-score
+    * filter that drops mismatched pairs before multimodal training).
+    *
+    * STUB boundary, real dataflow: the "image encoder" is
+    * [[extractFeatures]] (real luma histogram for images, deterministic
+    * stub otherwise) and the "projection head" is block-mean pooling —
+    * swapping in real CLIP towers changes those two functions and
+    * nothing else. SCALE: one media scan for features (bytes detach
+    * immediately), one embedding scan, one media_id-keyed equi-join —
+    * linear end to end, no candidate blowup anywhere. Rows-only (the
+    * encoders are JVM code, not SQL); MultimodalSpec recomputes every
+    * score driver-side from the same encoders and pins the keep split.
+    */
+  def clipScorePairs(media: DataFrame, emb: DataFrame, dim: Int = 8,
+      minCos: Double = 0.2): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val feats = extractFeatures(media, dim).toDF()
+      .select(col("media_id"), col("features").as("iv"))
+      .withColumn("i_norm", l2Norm(col("iv")))
+    val pooled = emb.select(col("vec_id").as("media_id"),
+        poolTo(asDouble(col("embedding")), dim).as("tv"))
+      .withColumn("t_norm", l2Norm(col("tv")))
+    feats.join(pooled, "media_id")
+      .withColumn("clip_cos", dot(col("iv"), col("tv")) / (col("i_norm") * col("t_norm")))
+      .select(col("media_id"), round(col("clip_cos"), 6).as("clip_cos"),
+        (col("clip_cos") >= minCos).cast("long").as("keep"))
+  }
+
   /** Mime-dispatched perceptual hash: real aHash for decodable images,
     * [[stubHash64]] for everything else (including undecodable image
     * bytes — the crawled-corpus degrade rule of [[decodeMedia]]).

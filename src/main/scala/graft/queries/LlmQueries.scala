@@ -318,6 +318,23 @@ object LlmQueries {
       "per-partition batched feature extraction over binary media (decode STUB, real plumbing)"),
 
     Q(
+      "q156_clip_score_filter",
+      (s, d) =>
+        // cross-modal curation gate: CLIP-score analog over aligned
+        // (image, caption) pairs — media payloads from the documents
+        // table (q39's wrapper), captions from the embeddings table,
+        // aligned on media_id = vec_id. Keep decision at the minCos
+        // threshold (the LAION filter shape). Rows-only: the encoders
+        // are JVM code; MultimodalSpec recomputes every score from the
+        // same encoders driver-side and pins the keep split + floor.
+        Multimodal.clipScorePairs(
+          Multimodal.mediaFromDocuments(documents(s, d)),
+          embeddings(s, d))
+          .orderBy(col("media_id")),
+      None,
+      "cross-modal CLIP-score filter (stub encoders, real dataflow): cosine of image features vs block-pooled caption embedding per aligned pair + keep flag at the threshold — one media scan, one embedding scan, one equi-join; rows-only, scores re-verified in MultimodalSpec"),
+
+    Q(
       "q55_approx_distinct_users",
       (s, d) =>
         events(s, d)

@@ -156,6 +156,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(brute.size >= 4) // the distance-0..3 plants are all present
   }
 
+  test("clipScorePairs (q156): every score matches a driver-side recompute; keep split populated") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sf0001)
+    val got = Multimodal.clipScorePairs(Multimodal.mediaFromDocuments(docs), emb)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Double]("clip_cos"), r.getAs[Long]("keep")))).toMap
+
+    // driver-side truth from the SAME encoders: stub image features of
+    // the text bytes, block-mean pooling of the 64-dim caption embedding
+    val textOf = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val embOf = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def pooled(v: Array[Double], dim: Int): Array[Double] =
+      Array.tabulate(dim)(b => v.slice(b * 8, b * 8 + 8).sum / 8.0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) = x.zip(y).map { case (p, q) => p * q }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val ids = textOf.keySet intersect embOf.keySet
+    assert(got.keySet == ids, "one row per aligned (image, caption) pair")
+    ids.foreach { id =>
+      val iv = Multimodal.decodeMedia(textOf(id).getBytes("UTF-8"), "text/plain", 8)
+      val c = cos(iv, pooled(embOf(id), 8))
+      val (gc, keep) = got(id)
+      assert(math.abs(gc - c) < 1e-6, s"pair $id: $gc vs $c")
+      assert(keep == (if (c >= 0.2) 1L else 0L), s"pair $id keep flag")
+    }
+    // the gate must actually split the corpus (both classes present)
+    val keeps = got.values.count(_._2 == 1L)
+    assert(keeps > 0 && keeps < ids.size, s"degenerate keep split: $keeps/${ids.size}")
+  }
+
   test("phashNearDupPairs on real images: edit-pair found, unrelated pair absent") {
     import spark.implicits._
     val media = Seq(
