@@ -695,10 +695,15 @@ object LlmQueries {
         // Hamming 0, noise ≤ bar, distinct images far) and banding
         // equality against a brute-force all-pairs scan. SCALE: one
         // decode pass over media bytes, then slim (id, hash) rows only —
-        // the band shuffle never carries payloads.
+        // the band shuffle never carries payloads. EMPTY below sf0.1 is
+        // the CORRECT answer: the corpus has no byte-identical media
+        // there (first duplicates appear at sf0.1 — 8 groups → exactly 8
+        // Hamming-0 pairs, pinned in MultimodalSpec); the r10 sf0.01
+        // output's 25 "pairs" were short-payload stub-hash collisions,
+        // removed by the r11 length-mixing fix (the advisor finding).
         Multimodal.phashNearDupPairs(
           Multimodal.mediaFromDocuments(documents(s, d)), maxHamming = 3)
           .orderBy(col("media_a"), col("media_b")),
       None,
-      "image near-dup by 64-bit perceptual hash (real integer aHash for decodable images, deterministic stub otherwise) + the shared 4x16-bit banded Hamming join — exact recall at distance <= 3; rows-only, pinned by MultimodalSpec"))
+      "image near-dup by 64-bit perceptual hash (real integer aHash for decodable images, deterministic stub otherwise) + the shared 4x16-bit banded Hamming join — exact recall at distance <= 3; rows-only, pinned by MultimodalSpec; empty below sf0.1 BY DESIGN (no byte-identical media there — prior nonzero counts were stub-hash false positives, fixed r11)"))
 }

@@ -191,6 +191,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(keeps > 0 && keeps < ids.size, s"degenerate keep split: $keeps/${ids.size}")
   }
 
+  test("q149 at sf0.1 returns exactly the true byte-identical duplicate pairs") {
+    // ground truth from the corpus itself: with the length-mixed stub
+    // hash, the only text/plain near-dups are byte-identical payloads —
+    // sf0.1 is the first scale with any (8 duplicate groups); below it
+    // the correct answer is EMPTY (the pre-fix sf0.01 "pairs" were
+    // short-payload hash collisions, the advisor's finding)
+    import org.apache.spark.sql.functions._
+    val big = "/root/testdata/sf0.1"
+    val docs = graft.Tables.documents(spark, big)
+    val dupPairs = docs.select(col("doc_id"), col("text")).collect()
+      .groupBy(_.getString(1)).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_.getLong(0)).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    assert(dupPairs.nonEmpty, "sf0.1 must contain byte-identical docs")
+    val got = graft.queries.Registry.byName("q149_media_phash_neardup")
+      .fn(spark, big).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got.keySet == dupPairs, s"got ${got.keySet}, want $dupPairs")
+    assert(got.values.forall(_ == 0L), "byte-identical payloads must hash at Hamming 0")
+  }
+
   test("phashNearDupPairs on real images: edit-pair found, unrelated pair absent") {
     import spark.implicits._
     val media = Seq(

@@ -144,9 +144,15 @@ class PlanSpec extends AnyFunSuite {
   test("q149: the banded-Hamming join never carries the media payload") {
     // features detach from bytes at the hash projection: the band join's
     // exchange shuffles slim (id, hash, band, key) rows — the binary
-    // `media` column must not appear in any exchange output
-    val df = Registry.byName("q149_media_phash_neardup").fn(spark, sf0001)
-    df.collect() // materialize so the adaptive plan is final
+    // `media` column must not appear in any exchange output.
+    // AQE is OFF for this inspection: at sf0.001 the corpus has no
+    // byte-level duplicates, so the (correctly) empty result lets AQE
+    // collapse the adaptive plan to EmptyRelation and the exchanges
+    // vanish from the executed tree — the static plan is the one that
+    // carries the shape under test. (Before the r11 stubHash64 length
+    // fix, sf0.001 "pairs" existed only as short-payload hash collisions
+    // — the advisor's false-positive finding; at sf0.1 the query now
+    // returns exactly the 8 true duplicate pairs.)
     def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
         Seq[org.apache.spark.sql.execution.SparkPlan] =
       (p +: p.children.flatMap(allNodes)) ++ (p match {
@@ -156,9 +162,17 @@ class PlanSpec extends AnyFunSuite {
           allNodes(q.plan)
         case _ => Nil
       })
-    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try {
+        // plan INSIDE the conf window — executedPlan is lazy and reads
+        // the session conf at planning time
+        val plan = Registry.byName("q149_media_phash_neardup").fn(spark, sf0001)
+          .queryExecution.executedPlan
+        allNodes(plan).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(exchanges.nonEmpty)
     // the ONE exchange allowed to move bytes is Par.fanOut's round-robin
     // repartition before the decode (local-mode parallelism guard — a
