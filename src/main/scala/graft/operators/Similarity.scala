@@ -282,18 +282,22 @@ object Similarity {
   def annTopKBatch(emb: DataFrame, batchSize: Int = 16, k: Int = 5,
       tables: Int = 32, bits: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val anchors = emb.filter(col("vec_id") < batchSize).limit(batchSize)
-    val corpusBuckets = withLshBuckets(emb, tables, bits)
+    // ONE corpus scan (the lshScoredPairs discipline): the projected
+    // vectors checkpoint once and feed the bucket index, the candidate
+    // vector fetch, and the anchor slices — the anchor side keeps its
+    // structural .limit so the broadcast stays provably bounded.
+    val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .localCheckpoint(true)
+    val anchors = e.filter(col("vec_id") < batchSize).limit(batchSize)
+    val corpusBuckets = withLshBucketsOn(e, tables, bits)
       .select(col("vec_id"), col("table"), col("bucket"))
-    val anchorBuckets = withLshBuckets(anchors, tables, bits)
+    val anchorBuckets = withLshBucketsOn(anchors, tables, bits)
       .select(col("vec_id").as("anchor_id"), col("table"), col("bucket"))
     val cand = corpusBuckets
       .join(broadcast(anchorBuckets), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("vec_id")).distinct()
-    val av = anchors.select(col("vec_id").as("anchor_id"),
-      asDouble(col("embedding")).as("av"))
+    val av = anchors.select(col("vec_id").as("anchor_id"), col("v").as("av"))
     val byAnchor = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
     cand
