@@ -214,6 +214,47 @@ object Pq {
     }
   }
 
+  /** BATCHED ADC top-k (the r10-verdict batched-retrieval shape over the
+    * PQ leg): per-anchor top-k for a fixed training batch (vec_id <
+    * batchSize, structurally bounded via `.limit` — the q145/q152
+    * fence), scored codes-only against the broadcast anchor vectors,
+    * then exact re-rank of the per-anchor candidate sets. SCALE: the
+    * corpus side is the 8-byte code projection (one zero-shuffle encode
+    * pass); the batch join is a broadcast of `batchSize` query vectors;
+    * candidates after the per-anchor ADC cut are ≤ batch·k·rerank rows
+    * (the trailing global `.limit` is a no-op on the result that makes
+    * the bound STRUCTURAL, so the re-rank broadcast is provably tiny).
+    * Recall floor vs the exact per-anchor inner-product top-k in PqSpec
+    * + RecallProbe.
+    */
+  def adcTopKBatch(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]],
+      batchSize: Int = 16, k: Int = 5, rerank: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = emb.filter(col("vec_id") < batchSize).limit(batchSize)
+      .select(col("vec_id").as("anchor_id"), asDouble(col("embedding")).as("qv"))
+    val enc = encode(emb, cbs)
+      .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    val byAnchorAdc = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val cand = enc.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .withColumn("adc_score", adcSum(cbs))
+      .withColumn("rk", row_number().over(byAnchorAdc))
+      .filter(col("rk") <= k * rerank)
+      .select(col("anchor_id"), col("vec_id"), col("adc_score"))
+      .limit(batchSize * k * rerank) // no-op: rows are already <= this
+    val byAnchorExact = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(anchors), "anchor_id")
+      .withColumn("score", dot(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(byAnchorExact).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("rk"), col("vec_id"),
+        round(col("score"), 6).as("score"),
+        round(col("adc_score"), 6).as("adc_score"))
+  }
+
   /** The full IVF-PQ composition — the classical billion-vector index
     * layout (coarse inverted lists + PQ codes of the RESIDUAL v − c_list):
     *

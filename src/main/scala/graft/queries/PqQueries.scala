@@ -67,6 +67,23 @@ object PqQueries {
       "PQ ADC top-10 with exact re-rank of the codes-only candidate set (k*32 survivors get one exact dot each — the Faiss refine shape; fixes the sf0.1 recall cliff pure ADC hit at 4-bit resolution); recall floor vs exact top-k in PqSpec + RecallProbe at sf0.1"),
 
     Q(
+      "q157_pq_adc_topk_batch",
+      (s, d) => {
+        // the batched-retrieval shape over the PQ leg (q152/q153's
+        // training-batch pattern): per-anchor top-5 by codes-only ADC
+        // against the broadcast 16-vector batch, exact re-rank of the
+        // structurally bounded candidate set. Rows-only (data-dependent
+        // fitted codebooks); PqSpec pins a pair-level recall floor vs
+        // the exact per-anchor inner-product top-5 and RecallProbe
+        // re-asserts it at sf0.1.
+        val emb = embeddings(s, d)
+        Pq.adcTopKBatch(emb, Pq.fit(emb, iters = 2))
+          .orderBy(col("anchor_id"), col("rk"))
+      },
+      None,
+      "batched PQ-ADC retrieval: per-anchor (16-vector broadcast training batch) top-5 by codes-only ADC + exact re-rank of the bounded candidate set — one zero-shuffle encode pass, no corpus shuffle for the batch; rows-only, recall floor in PqSpec + RecallProbe"),
+
+    Q(
       "q123_ivfpq_topk",
       (s, d) => {
         val emb = embeddings(s, d)

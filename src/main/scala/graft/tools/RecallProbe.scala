@@ -117,6 +117,28 @@ object RecallProbe {
       .collect().map(_.getLong(0)).toSet
     check("pq_adc", (adc intersect exactIp).size / 10.0, 0.3)
 
+    // batched ADC (q157) vs exact per-anchor IP top-5 — pair-level
+    // recall; the exact baseline is ONE distributed broadcast-batch job
+    // (q152's plan with IP instead of cosine)
+    val exactIp5 = {
+      import org.apache.spark.sql.expressions.Window
+      val a16 = emb.filter(col("vec_id") < 16).limit(16)
+        .select(col("vec_id").as("anchor_id"), asDouble(col("embedding")).as("qv"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("ip").desc, col("vec_id"))
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .join(broadcast(a16), col("vec_id") =!= col("anchor_id"))
+        .withColumn("ip", dot(col("v"), col("qv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("anchor_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val gotAdcBatch = Pq.adcTopKBatch(emb, cbs)
+      .select(col("anchor_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    check("adc_batch", exactIp5.count(gotAdcBatch).toDouble / exactIp5.size, 0.5)
+
     // IVF-PQ: same 5-query mean as the ivf check (one coarse + codebook
     // fit, reused across queries — the real index/query split)
     val coarse = Clustering.fitCentroids(emb, 16, 64, iters = 2, seed = 7L)

@@ -79,6 +79,39 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ADC recall too low: $recall") // 4-bit codes + exact re-rank
   }
 
+  test("batched ADC top-k (q157): pair-level recall floor vs exact per-anchor IP top-5; ranks/precision sane") {
+    import graft.functions.VectorFunctions._
+    val got = Pq.adcTopKBatch(emb, Pq.fit(emb, iters = 2)).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    // structure: <=5 contiguous ranks per anchor, no self-retrieval
+    got.groupBy(_._1).foreach { case (aid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"ranks of $aid")
+      assert(!rs.map(_._3).contains(aid), s"anchor $aid retrieved itself")
+    }
+    // exact per-anchor inner-product top-5 (driver-side truth)
+    val embs = emb.collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    }
+    def ip(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vecOf = embs.toMap
+    val exact = embs.map(_._1).filter(_ < 16L).flatMap { aid =>
+      embs.filter(_._1 != aid)
+        .map { case (nid, nv) => (nid, ip(nv, vecOf(aid))) }
+        .sortBy(c => (-c._2, c._1)).take(5)
+        .map { case (nid, _) => (aid, nid) }
+    }.toSet
+    // re-ranked scores are EXACT inner products
+    got.foreach { case (aid, _, nid, sc) =>
+      assert(math.abs(sc - ip(vecOf(nid), vecOf(aid))) < 1e-6, s"($aid,$nid) score")
+    }
+    val gotPairs = got.map(r => (r._1, r._3)).toSet
+    val recall = exact.count(gotPairs).toDouble / exact.size
+    assert(recall >= 0.5, s"batched ADC recall $recall below floor")
+  }
+
   test("IVF-PQ: probed subset only, and residual coding clears the recall floor") {
     import graft.functions.VectorFunctions._
     // the LEARNED coarse quantizer q123 ships (2 exact Lloyd iterations),
