@@ -41,7 +41,17 @@ object Clustering {
     * ||v|| — so no per-vector normalization (and no division-parity
     * surface) is needed for assignment.
     */
-  def assign(emb: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
+  def assign(emb: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    assignOn(vecsOf(emb), cs)
+
+  /** (vec_id, v) projection every Clustering entry point shares. */
+  private def vecsOf(emb: DataFrame): DataFrame =
+    Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+
+  /** [[assign]] over a prepared (vec_id, v) frame — the checkpointed-
+    * corpus entry point of [[fitCentroids]].
+    */
+  private def assignOn(prepared: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
     val csLit = typedlit(cs)
     // struct max: max score first, then max(-c) = lowest cluster id on ties
     // (greatest() over the scored structs — same ordering as the previous
@@ -50,8 +60,7 @@ object Clustering {
       struct(dot(col("v"), element_at(csLit, c + 1)).as("s"), lit(-c).as("negc"))
     }
     val best = greatest(scored: _*)
-    Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
-      .withColumn("cluster_id", (-best.getField("negc")).cast("long"))
+    prepared.withColumn("cluster_id", (-best.getField("negc")).cast("long"))
   }
 
   /** Units of the fixed-point centroid-update sums: 2^-30. BINARY scaling,
@@ -89,22 +98,28 @@ object Clustering {
     */
   def fitCentroids(emb: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 3,
       seed: Long = 11L): Seq[Seq[Double]] = {
+    // every iteration re-reads the projected vectors; checkpoint once so
+    // a multi-iteration fit costs ONE source pass (the Pq.fitOn
+    // discipline), released as soon as the centroids — driver data —
+    // are folded
+    val p = if (iters > 1) vecsOf(emb).localCheckpoint(true) else vecsOf(emb)
     var cs = centroids(k, dim, seed)
     for (_ <- 1 to iters) {
-      val rows = updateSums(assign(emb, cs)).collect() // k·dim rows, driver-side fold
+      val rows = updateSums(assignOn(p, cs)).collect() // k·dim rows, driver-side fold
       val byCell = rows.map { r =>
         (r.getLong(0).toInt, r.getLong(1).toInt) -> (r.getLong(2), r.getLong(3))
       }.toMap
       cs = (0 until k).map { c =>
-        (0 until dim).map { p =>
-          byCell.get((c, p)) match {
+        (0 until dim).map { pos =>
+          byCell.get((c, pos)) match {
             case Some((s, n)) if n > 0 =>
               s.toDouble / FixedPointUnit.toDouble / n.toDouble
-            case _ => cs(c)(p) // empty cluster: keep previous centroid
+            case _ => cs(c)(pos) // empty cluster: keep previous centroid
           }
         }
       }
     }
+    if (iters > 1) Dedup.release(p) // centroids are folded; free the blocks
     cs
   }
 

@@ -99,9 +99,14 @@ object Pq {
     * frame in IVF-PQ fits its codebooks through this entry point.
     */
   def fitOn(prepared: DataFrame, iters: Int = 2, seed: Long = 23L): Seq[Seq[Seq[Double]]] = {
+    // each iteration re-reads `prepared`; checkpoint it once so a
+    // multi-iteration fit costs ONE source pass, not `iters` (the
+    // lshScoredPairs/nbScored discipline), and free the blocks as soon
+    // as the codebooks — driver data — are folded
+    val p = if (iters > 1) prepared.localCheckpoint(true) else prepared
     var cbs = codebooks(seed)
     for (_ <- 1 to iters) {
-      val enc = withCodes(prepared, col("v"), cbs)
+      val enc = withCodes(p, col("v"), cbs)
       val cells = enc
         .select(col("v"), explode(array((0 until M).map(m =>
           struct(lit(m).as("m"), col(s"code_$m").as("code"))): _*)).as("mc"))
@@ -127,6 +132,7 @@ object Pq {
         }
       }
     }
+    if (iters > 1) Dedup.release(p) // codebooks are folded; free the blocks
     cbs
   }
 
