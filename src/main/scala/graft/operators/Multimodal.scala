@@ -320,10 +320,16 @@ object Multimodal {
     val pooled = emb.select(col("vec_id").as("media_id"),
         poolTo(asDouble(col("embedding")), dim).as("tv"))
       .withColumn("t_norm", l2Norm(col("tv")))
+    // zero-norm guard: an all-zero feature vector (empty payload through
+    // decodeStub) or a zero-pooled caption has no defined cosine — NULL
+    // clip_cos, but a DETERMINISTIC keep=0 (a gate must never emit a NULL
+    // verdict that silently drops the pair from the decision set)
     feats.join(pooled, "media_id")
-      .withColumn("clip_cos", dot(col("iv"), col("tv")) / (col("i_norm") * col("t_norm")))
+      .withColumn("clip_cos",
+        when(col("i_norm") > 0 && col("t_norm") > 0,
+          dot(col("iv"), col("tv")) / (col("i_norm") * col("t_norm"))))
       .select(col("media_id"), round(col("clip_cos"), 6).as("clip_cos"),
-        (col("clip_cos") >= minCos).cast("long").as("keep"))
+        coalesce((col("clip_cos") >= minCos).cast("long"), lit(0L)).as("keep"))
   }
 
   /** Mime-dispatched perceptual hash: real aHash for decodable images,

@@ -52,12 +52,29 @@ object DecontamStream {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
+  /** Validated-index memo keyed by (session, indexDir, n): the meta read,
+    * the require checks, and the grams.isEmpty Spark job ran on EVERY
+    * micro-batch — avoidable latency on the ingest hot path, since the
+    * index is immutable for the life of a screen (rebuilds are a new
+    * indexDir or a new session). Keying on the session means a restarted
+    * JVM re-validates from files, so the memo can never outlive the
+    * storage it vouches for.
+    */
+  private val validatedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
   /** Load + validate the stored index: the meta row must exist, carry the
     * current format, and record the SAME n the screen is about to use;
     * the gram set must be non-empty. Every violation throws — an ingest
-    * safety guard must never degrade to a silent no-op screen.
+    * safety guard must never degrade to a silent no-op screen. Validation
+    * runs once per (session, indexDir, n); later batches reuse the
+    * validated frame ([[validatedIndexes]]).
     */
-  private def loadEvalIndex(spark: SparkSession, indexDir: String, n: Int): DataFrame = {
+  private def loadEvalIndex(spark: SparkSession, indexDir: String, n: Int): DataFrame =
+    validatedIndexes.computeIfAbsent((spark, indexDir, n), _ =>
+      loadEvalIndexUncached(spark, indexDir, n))
+
+  private def loadEvalIndexUncached(spark: SparkSession, indexDir: String, n: Int): DataFrame = {
     val meta =
       try spark.read.parquet(s"$indexDir/meta").collect()
       catch {
