@@ -35,10 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Merged-token joiner — same convention as the shingle assembler. */
-  val Joiner = "_"
+  /** Merged-token joiner: U+0001, a control char that CANNOT occur inside
+    * a whitespace token of any sane corpus — an underscore joiner made
+    * the merge output "a_b" collide with a literal corpus token "a_b"
+    * (tokens are arbitrary non-space strings), so later rounds' pair
+    * counts conflated distinct token sequences. With a reserved
+    * separator the merged string uniquely encodes its base-token
+    * sequence, which is exactly the string identity real BPE vocabs key
+    * on (two merge histories covering the same base sequence ARE the
+    * same token). The DuckDB twin joins with chr(1) to match.
+    */
+  val Joiner = "\u0001"
 
-  /** Greedy left-to-right application of ONE merge (l, r) → "l_r" over a
+  /** Greedy left-to-right application of ONE merge (l, r) → l+Joiner+r over a
     * token-array column: a sequential fold over positions carrying
     * (output-so-far, consumed-flag). The pair test compares
     * slice(t, i, 2) against [l, r] — slice past the end returns a short

@@ -123,7 +123,7 @@ object DocQueries {
          |  WHERE rn % 2 = 1),
          |cur_$r AS (
          |  SELECT doc_id, list(tok ORDER BY pos) AS t FROM (
-         |    SELECT m.doc_id, m.i AS pos, w.l || '_' || w.r AS tok
+         |    SELECT m.doc_id, m.i AS pos, w.l || chr(1) || w.r AS tok
          |    FROM mrg_$r m, top_$r w
          |    UNION ALL
          |    SELECT p.doc_id, p.i AS pos, p.t[p.i] AS tok FROM pos_$r p

@@ -10,6 +10,9 @@ import graft.SparkTestSession.{spark, sf0001}
   */
 class BpeSpec extends AnyFunSuite {
 
+  /** l+Joiner+r — the merged-token string under the reserved separator. */
+  private def J(l: String, r: String): String = l + Bpe.Joiner + r
+
   private def applied(tokens: Seq[String], l: String, r: String): Seq[String] = {
     import spark.implicits._
     Seq(tokens).toDF("t")
@@ -19,21 +22,21 @@ class BpeSpec extends AnyFunSuite {
 
   test("applyMerge: greedy left-to-right, non-overlapping, run parity") {
     // simple hit + miss
-    assert(applied(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "a_b", "y"))
+    assert(applied(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", J("a", "b"), "y"))
     assert(applied(Seq("x", "y"), "a", "b") == Seq("x", "y"))
     // overlapping run of the same token: "a a a" has candidates at 1,2 —
     // greedy merges at 1, consumes 2
-    assert(applied(Seq("a", "a", "a"), "a", "a") == Seq("a_a", "a"))
+    assert(applied(Seq("a", "a", "a"), "a", "a") == Seq(J("a", "a"), "a"))
     // even run: candidates 1,2,3 — merges at 1 and 3
-    assert(applied(Seq("a", "a", "a", "a"), "a", "a") == Seq("a_a", "a_a"))
+    assert(applied(Seq("a", "a", "a", "a"), "a", "a") == Seq(J("a", "a"), J("a", "a")))
     // pair at the very end; no out-of-bounds probe past it
-    assert(applied(Seq("x", "a", "b"), "a", "b") == Seq("x", "a_b"))
+    assert(applied(Seq("x", "a", "b"), "a", "b") == Seq("x", J("a", "b")))
     // single token and the pair-as-whole-doc edge
     assert(applied(Seq("a"), "a", "a") == Seq("a"))
-    assert(applied(Seq("a", "b"), "a", "b") == Seq("a_b"))
+    assert(applied(Seq("a", "b"), "a", "b") == Seq(J("a", "b")))
     // adjacent DIFFERENT candidates interleave: "a b a b" candidates at
     // 1,3 (not a run) — both merge
-    assert(applied(Seq("a", "b", "a", "b"), "a", "b") == Seq("a_b", "a_b"))
+    assert(applied(Seq("a", "b", "a", "b"), "a", "b") == Seq(J("a", "b"), J("a", "b")))
   }
 
   test("train: each round's winner matches a fresh recount of the evolving corpus") {
@@ -51,7 +54,7 @@ class BpeSpec extends AnyFunSuite {
       var i = 0
       while (i < t.length) {
         if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
-          out += s"${l}_$r"; i += 2
+          out += l + Bpe.Joiner + r; i += 2
         } else { out += t(i); i += 1 }
       }
       out.toSeq
@@ -77,7 +80,7 @@ class BpeSpec extends AnyFunSuite {
     val tiny = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     val merges = Bpe.train(tiny, rounds = 5).orderBy(col("round")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-    // round 1 merges (a,b) -> a_b; afterwards every doc is 1 token and
+    // round 1 merges (a,b) -> a+Joiner+b; afterwards every doc is 1 token and
     // rounds 2+ have no candidate pair
     assert(merges.toSeq == Seq((1L, "a", "b", 1L)))
   }
