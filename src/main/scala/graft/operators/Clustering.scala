@@ -35,11 +35,17 @@ object Clustering {
     }
   }
 
-  /** (vec_id, v, cluster): nearest centroid by max dot product, ties to the
-    * lowest cluster id. With a constant centroid set, argmax_c <v,c> equals
-    * argmax_c cos(v,c) for unit centroids scaled by the (c-independent)
-    * ||v|| — so no per-vector normalization (and no division-parity
-    * surface) is needed for assignment.
+  /** (vec_id, v, cluster): nearest centroid by max RAW dot product, ties
+    * to the lowest cluster id. CORRECT ONLY FOR (near-)unit-norm centroid
+    * sets — with constant ||c||, argmax_c <v,c> equals argmin_c ||v−c||²
+    * and equals argmax_c cos(v,c) scaled by the (c-independent) ||v||, so
+    * no per-vector normalization (and no division-parity surface) is
+    * needed. The SEEDED-centroid queries (q84–q88, q107) are pinned to
+    * this rule bit-for-bit by their DuckDB twins (which replay raw
+    * argmax-dot); LEARNED centroids are data-dependent means with
+    * non-unit norms — consumers of [[fitCentroids]] output must use
+    * [[assignL2]] / [[scoredL2]] instead, as the training loop itself
+    * does.
     */
   def assign(emb: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
     assignOn(vecsOf(emb), cs)
@@ -62,6 +68,38 @@ object Clustering {
     val best = greatest(scored: _*)
     prepared.withColumn("cluster_id", (-best.getField("negc")).cast("long"))
   }
+
+  /** (score, −c) structs under the exact L2 rule — argmin_c ||v−c||² ≡
+    * argmax_c (⟨v,c⟩ − ||c||²/2), the ||v||² term being c-independent —
+    * with ties to the LOWEST c via the negc field. ONE definition serves
+    * k-means training ([[fitCentroids]]'s assignment step), general
+    * learned-centroid assignment ([[assignL2]]), IVF probing/assignment
+    * (Similarity.ivfTopK, Pq.scoredLists delegates here), and residual
+    * coding — so the partition Lloyd optimizes is EXACTLY the partition
+    * every index consumer queries (the round-11 train/index metric
+    * mismatch: training assigned by raw argmax-dot while the indexes
+    * assigned by the L2 rule, so Lloyd optimized a different partition
+    * than the one probed).
+    */
+  private[operators] def scoredL2(v: org.apache.spark.sql.Column,
+      cs: Seq[Seq[Double]]): Seq[org.apache.spark.sql.Column] = {
+    val csLit = typedlit(cs)
+    cs.indices.map { c =>
+      val halfNorm = lit(cs(c).map(x => x * x).sum / 2)
+      struct((dot(v, element_at(csLit, c + 1)) - halfNorm).as("s"),
+        lit(-c).as("negc"))
+    }
+  }
+
+  /** (vec_id, v, cluster_id) under the exact L2 rule — the assignment for
+    * LEARNED (non-unit) centroids; see [[scoredL2]].
+    */
+  def assignL2(emb: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    assignL2On(vecsOf(emb), cs)
+
+  private def assignL2On(prepared: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    prepared.withColumn("cluster_id",
+      (-greatest(scoredL2(col("v"), cs): _*).getField("negc")).cast("long"))
 
   /** Units of the fixed-point centroid-update sums: 2^-30. BINARY scaling,
     * not decimal: floor(x·2^30) of a bit-identical double is bit-identical
@@ -105,7 +143,12 @@ object Clustering {
     val p = if (iters > 1) vecsOf(emb).localCheckpoint(true) else vecsOf(emb)
     var cs = centroids(k, dim, seed)
     for (_ <- 1 to iters) {
-      val rows = updateSums(assignOn(p, cs)).collect() // k·dim rows, driver-side fold
+      // L2-rule assignment (scoredL2), NOT assignOn's raw argmax-dot: the
+      // seeded start is unit-norm (rules coincide) but the means produced
+      // by iteration 1 are not, and the consumers of these centroids
+      // (ivfTopK, Pq.scoredLists) assign/probe by the L2 rule — training
+      // must optimize the SAME partition the index queries
+      val rows = updateSums(assignL2On(p, cs)).collect() // k·dim rows, driver-side fold
       val byCell = rows.map { r =>
         (r.getLong(0).toInt, r.getLong(1).toInt) -> (r.getLong(2), r.getLong(3))
       }.toMap
@@ -124,12 +167,13 @@ object Clustering {
   }
 
   /** Full Lloyd iteration loop; returns (final assignment, final centroids).
-    * Empty clusters keep their previous centroid.
+    * Empty clusters keep their previous centroid. The returned assignment
+    * uses the L2 rule — the centroids are learned means ([[assignL2]]).
     */
   def kmeans(emb: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 3,
       seed: Long = 11L): (DataFrame, Seq[Seq[Double]]) = {
     val cs = fitCentroids(emb, k, dim, iters, seed)
-    (assign(emb, cs), cs)
+    (assignL2(emb, cs), cs)
   }
 
   /** SemDeDup-style semantic near-dup pairs: exact cosine, but only WITHIN

@@ -136,20 +136,14 @@ object Pq {
     cbs
   }
 
-  /** Sorted (score, −list) structs of `v` against the `coarse` centroids,
-    * descending — element 1 is the nearest list; a head slice is the
-    * probe set. Single definition serving index-side assignment,
-    * query-side probing, and residual fitting, so the tie-break algebra
-    * cannot drift between them.
+  /** (score, −list) structs of `v` against the `coarse` centroids under
+    * the exact L2 rule — ONE definition (Clustering.scoredL2, also the
+    * k-means TRAINING rule) serving index-side assignment, query-side
+    * probing, and residual fitting, so the partition Lloyd optimizes and
+    * the tie-break algebra cannot drift from what the index queries.
     */
-  private def scoredLists(v: Column, coarse: Seq[Seq[Double]]): Seq[Column] = {
-    val coarseLit = typedlit(coarse)
-    coarse.indices.map { c =>
-      val halfNorm = lit(coarse(c).map(x => x * x).sum / 2)
-      struct((dot(v, element_at(coarseLit, c + 1)) - halfNorm).as("s"),
-        lit(-c).as("negc"))
-    }
-  }
+  private def scoredLists(v: Column, coarse: Seq[Seq[Double]]): Seq[Column] =
+    Clustering.scoredL2(v, coarse)
 
   private def listScores(v: Column, coarse: Seq[Seq[Double]]): Column =
     sort_array(array(scoredLists(v, coarse): _*), asc = false)
@@ -169,14 +163,51 @@ object Pq {
   }
 
   /** Σ_m ⟨qv_sub(m), ctr_m[code_m]⟩ — the ADC reconstruction dot product
-    * over a row carrying `qv` and `code_0..code_{M-1}`.
+    * over a row carrying `qv` and `code_0..code_{M-1}`, evaluated the
+    * NAIVE way: M dot products against codebook literals PER ROW.
+    * Superseded on every query path by the classical lookup-table
+    * formulation ([[withAdcLut]] + [[lutAdcSum]] — M array lookups per
+    * row instead of M·DSUB multiply-adds); kept as the reference
+    * formulation PqSpec pins the LUT path bit-identical against.
     */
-  private def adcSum(cbs: Seq[Seq[Seq[Double]]]): Column =
+  private[operators] def adcSum(cbs: Seq[Seq[Seq[Double]]]): Column =
     (0 until M).map { m =>
       val cbLit = typedlit(cbs(m))
       dot(slice(col("qv"), m * DSUB + 1, DSUB),
         element_at(cbLit, (col(s"code_$m") + 1).cast("int")))
     }.reduce(_ + _)
+
+  /** Append the classical per-query ADC LOOKUP TABLE to a query/anchor
+    * frame carrying `qvCol`: lut_m[c] = ⟨qv_sub(m), ctr_m[c]⟩, M arrays
+    * of KSUB doubles (8×16 = 128 entries). Computed ONCE PER QUERY ROW —
+    * a frame of one query or one training batch, never the corpus — so
+    * corpus-side ADC scoring drops from M·DSUB multiply-adds per code
+    * row ([[adcSum]]) to M array lookups ([[lutAdcSum]]). Each entry is
+    * the SAME dot-product expression adcSum evaluates, and lutAdcSum
+    * folds the M terms in the same order, so the two formulations are
+    * bit-identical (PqSpec pins it); this is Jégou et al.'s ADC table,
+    * expressed as plan columns instead of a custom expression.
+    */
+  private[operators] def withAdcLut(q: DataFrame, qvCol: Column,
+      cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    q.select(col("*") +: (0 until M).map { m =>
+      val cbLit = typedlit(cbs(m))
+      array((0 until KSUB).map(c =>
+        dot(slice(qvCol, m * DSUB + 1, DSUB), element_at(cbLit, c + 1))): _*)
+        .as(s"lut_$m")
+    }: _*)
+
+  /** Σ_m lut_m[code_m] over a row carrying lut_0..lut_{M-1} (from
+    * [[withAdcLut]]) and code_0..code_{M-1} — same left-fold order as
+    * [[adcSum]], bit-identical by construction.
+    */
+  private[operators] def lutAdcSum: Column =
+    (0 until M).map { m =>
+      element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))
+    }.reduce(_ + _)
+
+  /** lut_0..lut_{M-1} column names, for dropping from final projections. */
+  private val lutCols: Seq[String] = (0 until M).map(m => s"lut_$m")
 
   /** Approximate top-k neighbors of `queryVecId` by ADC score: for each
     * encoded vector, Σ_m ⟨query_sub(m), centroid(m, code_m)⟩ — the dot
@@ -190,8 +221,11 @@ object Pq {
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select(asDouble(col("embedding")).as("qv"))
-    val approx = enc.join(broadcast(qv))
-      .withColumn("adc_score", adcSum(cbs))
+    // per-query ADC lookup table on the 1-row query side (withAdcLut):
+    // corpus rows pay M array lookups, not M·DSUB multiply-adds
+    val approx = enc.join(broadcast(withAdcLut(qv, col("qv"), cbs)))
+      .withColumn("adc_score", lutAdcSum)
+      .drop(lutCols: _*)
     if (rerank <= 0)
       approx.orderBy(col("adc_score").desc, col("vec_id"))
         .limit(k)
@@ -234,23 +268,63 @@ object Pq {
     * + RecallProbe.
     */
   def adcTopKBatch(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]],
-      batchSize: Int = 16, k: Int = 5, rerank: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      batchSize: Int = 16, k: Int = 5, rerank: Int = 32,
+      nShards: Int = 32): DataFrame = {
     val anchors = emb.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"), asDouble(col("embedding")).as("qv"))
     val enc = encode(emb, cbs)
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
-    val byAnchorAdc = Window.partitionBy(col("anchor_id"))
+    adcCandidatesFrom(enc, anchors, cbs, batchSize, k, rerank, nShards)
+      .transform(exactRerankBatch(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), anchors, k))
+  }
+
+  /** The codes-only ADC candidate cut shared by [[adcTopKBatch]] and the
+    * stored-index path: broadcast the anchor batch WITH its per-anchor
+    * ADC lookup tables (the qv itself stays behind — the scoring join
+    * ships 128 LUT doubles per anchor, and corpus rows pay M array
+    * lookups each), then a TWO-STAGE per-anchor top-(k·rerank): a
+    * partial cut partitioned on (anchor, shard = vec_id mod nShards) —
+    * reducer fan-out batch·nShards, NOT bounded by batch size at corpus
+    * scale — then the global per-anchor cut over the ≤
+    * batch·nShards·k·rerank survivors (a constant-size frame whatever
+    * the corpus size; every global-top row survives its shard cut, so
+    * the two-stage answer is IDENTICAL to the single-window one —
+    * PqSpec pins it). Returns (anchor_id, vec_id, adc_score) with the
+    * structural `.limit` fence.
+    */
+  private def adcCandidatesFrom(enc: DataFrame, anchors: DataFrame,
+      cbs: Seq[Seq[Seq[Double]]], batchSize: Int, k: Int, rerank: Int,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val luts = withAdcLut(anchors, col("qv"), cbs).drop("qv")
+    val byAnchorShard = Window.partitionBy(col("anchor_id"), col("shard"))
       .orderBy(col("adc_score").desc, col("vec_id"))
-    val cand = enc.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
-      .withColumn("adc_score", adcSum(cbs))
-      .withColumn("rk", row_number().over(byAnchorAdc))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    enc.join(broadcast(luts), col("vec_id") =!= col("anchor_id"))
+      .withColumn("adc_score", lutAdcSum)
+      .withColumn("shard", pmod(col("vec_id"), lit(nShards)))
+      .withColumn("rk1", row_number().over(byAnchorShard))
+      .filter(col("rk1") <= k * rerank)
+      .withColumn("rk", row_number().over(byAnchor))
       .filter(col("rk") <= k * rerank)
       .select(col("anchor_id"), col("vec_id"), col("adc_score"))
       .limit(batchSize * k * rerank) // no-op: rows are already <= this
+  }
+
+  /** Exact re-rank of a bounded (anchor_id, vec_id, adc_score) candidate
+    * set (see [[adcTopK]]'s rationale) over a PREPARED (vec_id,
+    * v: array<double>) frame — the raw-embedding projection or the
+    * stored `_vecs` table: candidates and anchors broadcast, one exact
+    * dot per survivor, per-anchor top-k on true scores.
+    */
+  private def exactRerankBatch(vecs: DataFrame, anchors: DataFrame, k: Int)(
+      cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byAnchorExact = Window.partitionBy(col("anchor_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    vecs.select(col("vec_id"), col("v"))
       .join(broadcast(cand), "vec_id")
       .join(broadcast(anchors), "anchor_id")
       .withColumn("score", dot(col("v"), col("qv")))
@@ -289,12 +363,21 @@ object Pq {
     val probeLists = base.filter(col("vec_id") === queryVecId)
       .select(explode(slice(listScores(col("v"), coarse), 1, nProbe)).as("ls"))
       .select((-col("ls.negc")).cast("int").as("probe_list"))
+    // per-query LUTs on the 1-row query side: the residual-subspace
+    // tables (withAdcLut) plus a coarse table ⟨q, c_list⟩ per list, so
+    // the per-code-row work is ONE coarse lookup + M subspace lookups —
+    // each entry is the same dot expression the naive form evaluated per
+    // row, summed in the same order (bit parity, PqSpec)
+    val qvLut = withAdcLut(qv, col("qv"), cbs)
+      .withColumn("coarse_lut", array(coarse.indices.map(c =>
+        dot(col("qv"), element_at(coarseLit, c + 1))): _*))
     val score: Column =
-      dot(col("qv"), element_at(coarseLit, col("list_id") + 1)) + adcSum(cbs)
+      element_at(col("coarse_lut"), (col("list_id") + 1).cast("int")) + lutAdcSum
     val approx = index.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(probeLists), col("list_id") === col("probe_list"))
-      .join(broadcast(qv))
+      .join(broadcast(qvLut))
       .withColumn("adc_score", score)
+      .drop("coarse_lut").drop(lutCols: _*)
     if (rerank <= 0)
       approx.orderBy(col("adc_score").desc, col("vec_id"))
         .limit(k)
@@ -321,4 +404,112 @@ object Pq {
   /** Residual frame for IVF-PQ codebook fitting: (vec_id, v = residual). */
   def residuals(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame =
     coarseAssigned(emb, coarse).select(col("vec_id"), col("resid").as("v"))
+
+  // ---------------------------------------------------------------------
+  // STORED PQ index — build once / query many. [[adcTopKBatch]] re-fits
+  // the codebooks and re-encodes the corpus on EVERY invocation; the
+  // production shape fits + encodes ONCE (the expensive pass over the
+  // raw vectors) and every retrieval batch scans only the stored 8-byte
+  // code rows: `<prefix>_codes` + `<prefix>_vecs` (exact-re-rank side),
+  // bucketed+partitioned by batch_id (`sources.Bucketing`, incremental
+  // growth via streaming.AnnStream's discipline), and `<prefix>_meta`
+  // holding the FITTED CODEBOOKS — doubles round-trip bit-exactly
+  // through parquet, so the stored path's ADC scores (and therefore its
+  // results) are IDENTICAL to the recompute path's (PqSpec pins row
+  // equality + the zero-corpus-exchange probe plan).
+  // ---------------------------------------------------------------------
+
+  /** Stored-PQ-index layout marker (DecontamStream discipline). */
+  val PqIndexFormat = 1
+
+  /** One increment's index slices from a PREPARED (vec_id, v) frame,
+    * stamped with `batchId` — the ONE copy of the stored-index schema,
+    * shared by the batch build and the streaming grow.
+    */
+  private[graft] def pqIndexSlices(e: DataFrame, batchId: Long,
+      cbs: Seq[Seq[Seq[Double]]]): (DataFrame, DataFrame) = {
+    val codes = withCodes(e.select(col("vec_id"), col("v")), col("v"), cbs)
+      .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+      .withColumn("batch_id", lit(batchId))
+    (codes, e.select(col("vec_id"), col("v")).withColumn("batch_id", lit(batchId)))
+  }
+
+  /** Fit the codebooks over `emb` and store the full PQ index under
+    * `tablePrefix` / `path` (seed slice = batch_id -1). Returns the
+    * fitted codebooks (the caller usually doesn't need them — the query
+    * path reads them back from meta).
+    */
+  def buildPqIndex(emb: DataFrame, tablePrefix: String, path: String,
+      iters: Int = 2, seed: Long = 23L, nBuckets: Int = 8): Seq[Seq[Seq[Double]]] = {
+    import graft.sources.Bucketing
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cbs = fit(emb, iters, seed)
+    val (codes, vs) = pqIndexSlices(vecs(emb), -1L, cbs)
+    Bucketing.writeBucketedPartitioned(codes,
+      s"${tablePrefix}_codes", s"$path/codes", "batch_id", "vec_id", nBuckets)
+    Bucketing.writeBucketedPartitioned(vs,
+      s"${tablePrefix}_vecs", s"$path/vecs", "batch_id", "vec_id", nBuckets)
+    Seq((PqIndexFormat, M, DSUB, KSUB, cbs))
+      .toDF("format", "m", "dsub", "ksub", "codebooks")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
+    cbs
+  }
+
+  /** Re-register the stored PQ index in a fresh session catalog from its
+    * surviving files (restart story — Bucketing.reattach semantics).
+    */
+  def reattachPqIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    Bucketing.reattach(spark, s"${tablePrefix}_codes", s"$path/codes",
+      "batch_id", "vec_id", nBuckets)
+    Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      "batch_id", "vec_id", nBuckets)
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      spark.sql(s"CREATE TABLE `${tablePrefix}_meta` USING parquet LOCATION '$path/meta'")
+  }
+
+  /** Validated codebooks from the stored meta: format + geometry must
+    * match this module's constants (codes are 4-bit positions in THIS
+    * layout — a geometry drift would decode garbage silently), every
+    * violation throws.
+    */
+  private[graft] def pqIndexCodebooks(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Seq[Seq[Seq[Double]]] = {
+    val meta = spark.table(s"${tablePrefix}_meta").collect()
+    require(meta.length == 1,
+      s"PQ index meta $tablePrefix must be exactly 1 row, got ${meta.length}")
+    val r = meta(0)
+    require(r.getAs[Int]("format") == PqIndexFormat &&
+      r.getAs[Int]("m") == M && r.getAs[Int]("dsub") == DSUB &&
+      r.getAs[Int]("ksub") == KSUB,
+      s"PQ index $tablePrefix geometry/format mismatch — rebuild with buildPqIndex")
+    r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("codebooks")
+      .map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** [[adcTopKBatch]] against the STORED index: identical answers (the
+    * stored codes/codebooks are the recompute path's own, parquet
+    * round-trips doubles exactly — PqSpec pins row equality), but the
+    * per-batch cost is LUT scoring over the stored 8-byte code rows +
+    * the bounded exact re-rank — no codebook fit, no encode pass, zero
+    * corpus-side exchange (plan-pinned). `maxBatchId` prunes to
+    * batch_id < N (the streaming replay fence).
+    */
+  def adcTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, batchSize: Int = 16, k: Int = 5, rerank: Int = 32,
+      nShards: Int = 32, maxBatchId: Long = Long.MaxValue): DataFrame = {
+    val cbs = pqIndexCodebooks(spark, tablePrefix)
+    val vs = spark.table(s"${tablePrefix}_vecs")
+      .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))
+    val codes = spark.table(s"${tablePrefix}_codes")
+      .filter(col("batch_id") < maxBatchId)
+      .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    val anchors = vs.filter(col("vec_id") < batchSize).limit(batchSize)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"))
+    adcCandidatesFrom(codes, anchors, cbs, batchSize, k, rerank, nShards)
+      .transform(exactRerankBatch(vs, anchors, k))
+  }
 }

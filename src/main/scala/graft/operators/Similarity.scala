@@ -138,6 +138,17 @@ object Similarity {
     * [[hardNegativesLsh]]: banded candidates scored with exact cosine,
     * RAW score retained so callers apply their own thresholds/rounding.
     * Returns (vec_a, vec_b, cos_raw) with vec_a < vec_b.
+    *
+    * BLOCK LIFETIME: the projected corpus localCheckpoints here and the
+    * blocks must outlive this call — the returned frame is lazy and its
+    * plan reads them — so release is the CONSUMER's obligation once the
+    * result is materialized: `Dedup.release` cannot apply (the frame is
+    * internal), the idiom is the harness sweep
+    * (`sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`,
+    * run by Bench and Verify between queries), or ContextCleaner's
+    * GC-triggered sweep in a long-lived session. A fit loop that folds
+    * its result driver-side inside the call (Bpe.train, Pq.fitOn)
+    * releases eagerly instead — different contract, same blocks.
     */
   private def lshScoredPairs(emb: DataFrame, tables: Int, bits: Int,
       targetBucket: Int, maxBucket: Option[Int]): DataFrame = {
@@ -232,29 +243,28 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryVecId: Long, kResults: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
     val cs = Clustering.fitCentroids(emb, nCentroids, 64, lloydIters, seed = 7L)
-    val csLit = typedlit(cs)
-    // true nearest-centroid: argmin ||v−c||² ≡ argmax (⟨v,c⟩ − ||c||²/2)
-    // (Pq.withCodes' algebra). The half-norm term was a no-op for the old
-    // unit-norm seeded centroids but is REQUIRED for learned means, which
-    // have data-dependent norms — raw argmax-dot would bias assignment
-    // toward long centroids.
-    def scored(v: org.apache.spark.sql.Column) =
-      (0 until nCentroids).map { c =>
-        val halfNorm = lit(cs(c).map(x => x * x).sum / 2)
-        struct((dot(v, element_at(csLit, c + 1)) - halfNorm).as("s"), lit(c).as("c"))
-      }
+    // true nearest-centroid: argmin ||v−c||² ≡ argmax (⟨v,c⟩ − ||c||²/2).
+    // The half-norm term was a no-op for the old unit-norm seeded
+    // centroids but is REQUIRED for learned means, which have
+    // data-dependent norms — raw argmax-dot would bias assignment toward
+    // long centroids. Clustering.scoredL2 is the SINGLE definition of
+    // this rule — also the k-means TRAINING assignment and Pq's
+    // coarse-quantizer algebra — so index-side assignment, query-side
+    // probing, and the Lloyd loop that produced the centroids all
+    // partition identically (ties to the lowest list id).
+    def scored(v: org.apache.spark.sql.Column) = Clustering.scoredL2(v, cs)
     // greatest() ≡ desc-sort-take-1 over the same structs (O(k), no
-    // per-row array build+sort); ties keep this operator's historical
-    // max-c pick — the struct carries c, not -c
+    // per-row array build+sort)
     def nearest(v: org.apache.spark.sql.Column) =
-      greatest(scored(v): _*).getField("c")
+      -greatest(scored(v): _*).getField("negc")
     val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("list_id", nearest(col("v")))
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     // the query's nProbe nearest lists, computed once from its vector
     val probeLists = e.filter(col("vec_id") === queryVecId)
       .select(explode(slice(sort_array(array(scored(col("v")): _*), asc = false),
-        1, nProbe).getField("c")).as("probe_list"))
+        1, nProbe)).as("ls"))
+      .select((-col("ls.negc")).as("probe_list"))
     e.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(probeLists), col("list_id") === col("probe_list"))
       .crossJoin(broadcast(q))
@@ -278,10 +288,11 @@ object Similarity {
     * the per-anchor rank window partitions by anchor over candidate
     * rows. Recall is probabilistic in the LSH tables (RetrievalSpec
     * floor vs the exact batch baseline, q152); precision is exact.
+    * Block lifetime of the checkpointed projection: the consumer's
+    * obligation — see [[lshScoredPairs]].
     */
   def annTopKBatch(emb: DataFrame, batchSize: Int = 16, k: Int = 5,
-      tables: Int = 32, bits: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      tables: Int = 32, bits: Int = 6, nShards: Int = 32): DataFrame = {
     // ONE corpus scan (the lshScoredPairs discipline): the projected
     // vectors checkpoint once and feed the bucket index, the candidate
     // vector fetch, and the anchor slices — the anchor side keeps its
@@ -291,6 +302,24 @@ object Similarity {
     val anchors = e.filter(col("vec_id") < batchSize).limit(batchSize)
     val corpusBuckets = withLshBucketsOn(e, tables, bits)
       .select(col("vec_id"), col("table"), col("bucket"))
+    annTopKBatchFrom(corpusBuckets, e, anchors, k, tables, bits, nShards)
+  }
+
+  /** The batched-ANN scoring tail shared by [[annTopKBatch]] and the
+    * stored-index path: candidates from the (corpus-side) bucket
+    * postings equi-joined against the broadcast anchor-bucket index,
+    * exact cosine on survivors, TWO-STAGE per-anchor top-k — a partial
+    * cut partitioned on (anchor, shard = vec_id mod nShards), so reducer
+    * fan-out is batch·nShards rather than bounded by batch size at
+    * corpus scale, then the global per-anchor cut over the ≤
+    * batch·nShards·k survivors (constant-size; every global-top row
+    * survives its shard cut, so the answer is identical to the
+    * single-window form — RetrievalSpec pins it).
+    */
+  private def annTopKBatchFrom(corpusBuckets: DataFrame, vecs: DataFrame,
+      anchors: DataFrame, k: Int, tables: Int, bits: Int,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val anchorBuckets = withLshBucketsOn(anchors, tables, bits)
       .select(col("vec_id").as("anchor_id"), col("table"), col("bucket"))
     val cand = corpusBuckets
@@ -298,16 +327,129 @@ object Similarity {
       .filter(col("vec_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("vec_id")).distinct()
     val av = anchors.select(col("vec_id").as("anchor_id"), col("v").as("av"))
+    val byAnchorShard = Window.partitionBy(col("anchor_id"), col("shard"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
     val byAnchor = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
     cand
-      .join(e, "vec_id") // fetch vectors only for surviving candidates
+      .join(vecs, "vec_id") // fetch vectors only for surviving candidates
       .join(broadcast(av), "anchor_id")
       .withColumn("cos_raw", cosine(col("v"), col("av")))
+      .withColumn("shard", pmod(col("vec_id"), lit(nShards)))
+      .withColumn("rk1", row_number().over(byAnchorShard))
+      .filter(col("rk1") <= k)
       .withColumn("rk", row_number().over(byAnchor).cast("long"))
       .filter(col("rk") <= k)
       .select(col("anchor_id"), col("rk"), col("vec_id"),
         round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // STORED ANN index — build once / query many. [[annTopKBatch]] re-derives
+  // the corpus bucket index from raw embeddings on EVERY invocation; a
+  // training pipeline queries a standing index thousands of times (one
+  // retrieval batch per training step), so the index is the artifact:
+  // two bucketed+partitioned tables (`sources.Bucketing` discipline,
+  // partition col `batch_id` so a streaming ingest can grow the index
+  // incrementally — streaming.AnnStream — and replays prune to
+  // batch_id < N), plus a meta table pinning the LSH geometry. Per batch
+  // the probe pays: one slim postings scan (no LSH recompute, no vector
+  // projection), a broadcast anchor-bucket join (zero corpus-side
+  // exchange — RetrievalSpec pins the plan), exact cosine on candidates
+  // fetched from the stored vector table. Result equality with the
+  // recompute path is exact (same seeded planes, same IEEE cosine) —
+  // RetrievalSpec pins it row-for-row.
+  // ---------------------------------------------------------------------
+
+  /** Stored-ANN-index layout marker — bump on any layout change so a
+    * stale index fails loudly (the DecontamStream discipline).
+    */
+  val AnnIndexFormat = 1
+
+  /** One increment's index slices from a PREPARED (vec_id, v) frame:
+    * (buckets (vec_id, table, bucket), vecs (vec_id, v)), stamped with
+    * `batchId`. The ONE copy of the stored-index schema, shared by the
+    * batch build and the streaming grow (AnnStream).
+    */
+  private[graft] def annIndexSlices(e: DataFrame, batchId: Long,
+      tables: Int, bits: Int): (DataFrame, DataFrame) = {
+    val buckets = withLshBucketsOn(e.select(col("vec_id"), col("v")), tables, bits)
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .withColumn("batch_id", lit(batchId))
+    (buckets, e.select(col("vec_id"), col("v")).withColumn("batch_id", lit(batchId)))
+  }
+
+  /** Build and store the standing ANN index for `emb` under
+    * `tablePrefix` / `path` (seed slice lands as batch_id = -1):
+    * `<prefix>_buckets` bucketed by `bucket`, `<prefix>_vecs` bucketed
+    * by `vec_id`, `<prefix>_meta` (format, tables, bits). Geometry
+    * lives in meta and is READ BACK by the query path — a
+    * tables/bits mismatch between build and probe would silently match
+    * wrong buckets, so the parameters cannot be re-supplied at query
+    * time at all.
+    */
+  def buildAnnIndex(emb: DataFrame, tablePrefix: String, path: String,
+      tables: Int = 32, bits: Int = 6, nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    val (buckets, vecs) = annIndexSlices(e, -1L, tables, bits)
+    Bucketing.writeBucketedPartitioned(buckets,
+      s"${tablePrefix}_buckets", s"$path/buckets", "batch_id", "bucket", nBuckets)
+    Bucketing.writeBucketedPartitioned(vecs,
+      s"${tablePrefix}_vecs", s"$path/vecs", "batch_id", "vec_id", nBuckets)
+    Seq((AnnIndexFormat, tables, bits)).toDF("format", "tables", "bits")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Re-register the stored ANN index in a fresh session catalog from its
+    * surviving files (Bucketing.reattach semantics — restart story).
+    */
+  def reattachAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    Bucketing.reattach(spark, s"${tablePrefix}_buckets", s"$path/buckets",
+      "batch_id", "bucket", nBuckets)
+    Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      "batch_id", "vec_id", nBuckets)
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      spark.sql(s"CREATE TABLE `${tablePrefix}_meta` USING parquet LOCATION '$path/meta'")
+  }
+
+  /** Validated (tables, bits) from the stored meta — every violation
+    * throws (a silently-wrong geometry would probe wrong buckets).
+    */
+  private[graft] def annIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (Int, Int) = {
+    val meta = spark.table(s"${tablePrefix}_meta").collect()
+    require(meta.length == 1,
+      s"ANN index meta $tablePrefix must be exactly 1 row, got ${meta.length}")
+    require(meta(0).getAs[Int]("format") == AnnIndexFormat,
+      s"ANN index $tablePrefix has format ${meta(0).getAs[Int]("format")} != " +
+        s"$AnnIndexFormat — rebuild with buildAnnIndex")
+    (meta(0).getAs[Int]("tables"), meta(0).getAs[Int]("bits"))
+  }
+
+  /** [[annTopKBatch]] against the STORED index: identical answers (same
+    * seeded planes, same candidates, same IEEE cosine — RetrievalSpec
+    * pins row equality), but the per-batch cost is the probe only — no
+    * LSH recompute, no corpus projection/checkpoint, zero corpus-side
+    * exchange (plan-pinned). `maxBatchId` prunes to batch_id < N
+    * (partition pruning — the streaming replay fence).
+    */
+  def annTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, batchSize: Int = 16, k: Int = 5,
+      nShards: Int = 32, maxBatchId: Long = Long.MaxValue): DataFrame = {
+    val (tables, bits) = annIndexMeta(spark, tablePrefix)
+    val vecs = spark.table(s"${tablePrefix}_vecs")
+      .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))
+    val corpusBuckets = spark.table(s"${tablePrefix}_buckets")
+      .filter(col("batch_id") < maxBatchId)
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val anchors = vecs.filter(col("vec_id") < batchSize).limit(batchSize)
+    annTopKBatchFrom(corpusBuckets, vecs, anchors, k, tables, bits, nShards)
   }
 
   /** ANN top-k for one query vector: union of same-bucket candidates over L

@@ -14,10 +14,12 @@ class ClusteringSpec extends AnyFunSuite {
 
   /** Within-cluster sum of squared euclidean distance for an assignment
     * against a given centroid set (computed driver-side on 500 vectors —
-    * test-only measurement code, not a distributed path).
+    * test-only measurement code, not a distributed path). Measured under
+    * the L2 assignment rule — the rule the training loop itself uses;
+    * Lloyd's monotonicity guarantee is for matching assign/update rules.
     */
   private def wcss(cs: Seq[Seq[Double]], prev: Seq[Seq[Double]]): Double = {
-    val rows = Clustering.assign(emb, prev).select("v", "cluster_id").collect()
+    val rows = Clustering.assignL2(emb, prev).select("v", "cluster_id").collect()
     rows.map { r =>
       val v = r.getSeq[Double](0)
       val c = prev(r.getLong(1).toInt)
