@@ -84,6 +84,23 @@ object PqQueries {
       "batched PQ-ADC retrieval: per-anchor (16-vector broadcast training batch) top-5 by codes-only ADC + exact re-rank of the bounded candidate set — one zero-shuffle encode pass, no corpus shuffle for the batch; rows-only, recall floor in PqSpec + RecallProbe"),
 
     Q(
+      "q159_pq_adc_topk_batch_stored",
+      (s, d) =>
+        // q157 against the STORED PQ index (build once / query many):
+        // the first call per session fits the codebooks and stores the
+        // 8-byte code rows + re-rank vectors (Pq.buildPqIndex); every
+        // later call scans codes only and LUT-scores them — no codebook
+        // fit, no encode pass, zero corpus-side exchange (PqSpec pins
+        // the plan). Rows-only (data-dependent fitted codebooks), but
+        // the answer is IDENTICAL to q157's recompute path (parquet
+        // round-trips the codebook doubles exactly) — PqSpec pins
+        // row-for-row equality.
+        graft.operators.Pq.adcTopKBatchStored(s, StoredIndexes.pq(s, d))
+          .orderBy(col("anchor_id"), col("rk")),
+      None,
+      "batched PQ-ADC retrieval against the STORED index (build-once/query-many): fitted codebooks + 8-byte code rows stored, per-batch cost is LUT scoring over codes + bounded exact re-rank — zero corpus-side exchange; answers row-identical to q157 (PqSpec), rows-only"),
+
+    Q(
       "q123_ivfpq_topk",
       (s, d) => {
         val emb = embeddings(s, d)

@@ -246,6 +246,22 @@ object RetrievalQueries {
       "batched ANN top-k via the LSH bucket index (q152's scale path): per-anchor top-5 from same-bucket candidates — corpus bucketed once, broadcast anchor-bucket join, exact cosine re-score; rows-only, recall floor + exact precision in RetrievalSpec"),
 
     Q(
+      "q158_ann_topk_batch_stored",
+      (s, d) =>
+        // q153 against the STORED index (build once / query many — the
+        // r11-verdict #1 shape): the first call per session builds the
+        // bucketed index tables (Similarity.buildAnnIndex); every later
+        // call pays only the probe — no LSH recompute, no corpus
+        // projection, zero corpus-side exchange (RetrievalSpec pins the
+        // plan). Rows-only, but the answer is IDENTICAL to q153's
+        // recompute path (same seeded planes, same IEEE cosine) —
+        // RetrievalSpec pins row-for-row equality.
+        graft.operators.Similarity.annTopKBatchStored(s, StoredIndexes.ann(s, d))
+          .orderBy(col("anchor_id"), col("rk")),
+      None,
+      "batched ANN top-k against the STORED LSH index (build-once/query-many): bucketed postings + vector tables, per-batch cost is the probe only — zero corpus-side exchange; answers row-identical to q153 (RetrievalSpec), rows-only"),
+
+    Q(
       "q150_hard_negatives_lsh",
       (s, d) =>
         // q145's scale path: hard negatives for EVERY vector (whole-corpus

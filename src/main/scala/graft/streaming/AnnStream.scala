@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.functions.VectorFunctions.asDouble
+import graft.operators.{Pq, Similarity}
+
+/** Streaming embedding-index MAINTENANCE — the composition of
+  * DedupStream's append-if-absent stored-index discipline with the
+  * stored ANN/PQ indexes of `Similarity.buildAnnIndex` /
+  * `Pq.buildPqIndex`: each ingest micro-batch of embeddings computes its
+  * OWN vectors' LSH buckets (and PQ codes, against the FROZEN codebooks
+  * the index was built with — the production rule: codebooks are fitted
+  * once per index generation, deltas are encoded, never refitted) and
+  * appends them under the batch's own `batch_id` partition. Retrieval
+  * (`annTopKBatchStored` / `adcTopKBatchStored`) then stays fresh
+  * without ever re-encoding the corpus: a vector ingested in batch 2 is
+  * retrievable from batch 3 on, and the per-batch cost is O(|delta|).
+  *
+  * Exactly-once: the DedupStream contract. Appends are
+  * APPEND-IF-ABSENT probed PER TABLE (two tables = two commits — a
+  * crash between them leaves a replay that fills exactly the missing
+  * one), each probe prunes to `batch_id === batchId` (partition
+  * pruning), and the slices are deterministic functions of the batch —
+  * so an at-least-once replay converges to the same index state with
+  * each partition landing exactly once.
+  */
+object AnnStream {
+
+  /** Inbox parquet schema for embedding batches. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming scan of an embedding inbox directory (one parquet slice
+    * per batch). `maxFilesPerTrigger > 0` caps files per micro-batch —
+    * the spec's lever for forcing a multi-batch AvailableNow drain.
+    */
+  def readEmb(spark: SparkSession, inbox: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(embSchema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(inbox)
+  }
+
+  /** (vec_id, v: array<double>) of a micro-batch, malformed rows dropped
+    * (the DedupStream contract: a NULL id/vector must not become a NULL
+    * index row).
+    */
+  private def prepared(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Append-if-absent of `slices` (name -> stamped frame) for `batchId`:
+    * probe each table's own partition, append exactly the missing ones
+    * (see DedupStream.screenBatchStored for why the probe is PER TABLE).
+    */
+  private def appendAbsent(spark: SparkSession, tablePrefix: String,
+      batchId: Long, slices: Map[String, DataFrame]): Unit = {
+    import graft.sources.Bucketing
+    slices.foreach { case (t, df) =>
+      val present = spark.table(s"${tablePrefix}_$t")
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      if (!present) Bucketing.appendBucketedPartition(df, s"${tablePrefix}_$t")
+    }
+  }
+
+  /** One micro-batch of LSH-index maintenance: bucket the batch's
+    * vectors with the GEOMETRY RECORDED IN META (a drifting tables/bits
+    * would silently corrupt the index — the parameters cannot be
+    * re-supplied here at all) and append (buckets, vecs) under
+    * batch_id = `batchId`, if absent.
+    */
+  def indexBatchAnn(spark: SparkSession, batch: DataFrame, batchId: Long,
+      tablePrefix: String): Unit = {
+    val (tables, bits) = Similarity.annIndexMeta(spark, tablePrefix)
+    val (buckets, vecs) =
+      Similarity.annIndexSlices(prepared(batch), batchId, tables, bits)
+    appendAbsent(spark, tablePrefix, batchId,
+      Map("buckets" -> buckets, "vecs" -> vecs))
+  }
+
+  /** One micro-batch of PQ-index maintenance: encode the batch's vectors
+    * against the STORED codebooks (read back from meta — frozen at build
+    * time) and append (codes, vecs) under batch_id = `batchId`, if
+    * absent.
+    */
+  def indexBatchPq(spark: SparkSession, batch: DataFrame, batchId: Long,
+      tablePrefix: String): Unit = {
+    val cbs = Pq.pqIndexCodebooks(spark, tablePrefix)
+    val (codes, vecs) = Pq.pqIndexSlices(prepared(batch), batchId, cbs)
+    appendAbsent(spark, tablePrefix, batchId,
+      Map("codes" -> codes, "vecs" -> vecs))
+  }
+
+  /** The streaming LSH-index maintainer: AvailableNow over an embedding
+    * stream, idempotent batch_id-keyed appends via [[indexBatchAnn]].
+    * Seed the index first (`Similarity.buildAnnIndex` — batch_id -1);
+    * after a restart, re-attach (`Similarity.reattachAnnIndex`) before
+    * starting the stream.
+    */
+  def maintainAnn(emb: DataFrame, tablePrefix: String,
+      checkpoint: String): StreamingQuery = {
+    StreamIngest.applyStateStoreDefaults(emb.sparkSession)
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        indexBatchAnn(batch.sparkSession, batch.toDF(), batchId, tablePrefix)
+      }
+      .start()
+  }
+
+  /** The streaming PQ-index maintainer — [[maintainAnn]]'s twin over
+    * `Pq.buildPqIndex` / [[indexBatchPq]].
+    */
+  def maintainPq(emb: DataFrame, tablePrefix: String,
+      checkpoint: String): StreamingQuery = {
+    StreamIngest.applyStateStoreDefaults(emb.sparkSession)
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        indexBatchPq(batch.sparkSession, batch.toDF(), batchId, tablePrefix)
+      }
+      .start()
+  }
+}

@@ -112,6 +112,65 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"batched ADC recall $recall below floor")
   }
 
+  test("ADC LUT scoring is bit-identical to the naive per-row dot formulation") {
+    import graft.functions.VectorFunctions._
+    // fitted (non-seeded) codebooks so the parity claim covers the
+    // data-dependent values the real queries ship
+    val cbs = Pq.fit(emb, iters = 1)
+    val enc = Pq.encode(emb, cbs)
+      .select(col("vec_id") +: (0 until Pq.M).map(m => col(s"code_$m")): _*)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(asDouble(col("embedding")).as("qv"))
+    val naive = enc.join(broadcast(qv))
+      .withColumn("s", Pq.adcSum(cbs))
+      .select(col("vec_id"), col("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lut = enc.join(broadcast(Pq.withAdcLut(qv, col("qv"), cbs)))
+      .withColumn("s", Pq.lutAdcSum)
+      .select(col("vec_id"), col("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lut.keySet == naive.keySet)
+    // BIT identity (==, no tolerance): each LUT entry is the same dot
+    // expression the naive form evaluates per row, folded in the same
+    // order — any drift here would silently change candidate sets
+    lut.foreach { case (id, s) =>
+      assert(s == naive(id), s"vec $id: lut $s != naive ${naive(id)}")
+    }
+  }
+
+  test("two-stage batched top-k equals the single-window form (nShards=1)") {
+    val cbs = Pq.fit(emb, iters = 2)
+    val sharded = Pq.adcTopKBatch(emb, cbs).collect().map(_.toString).sorted.toSeq
+    val single = Pq.adcTopKBatch(emb, cbs, nShards = 1).collect()
+      .map(_.toString).sorted.toSeq
+    assert(sharded.nonEmpty && sharded == single)
+  }
+
+  test("stored PQ index: row-identical to recompute, zero corpus-side exchange, reattach survives a catalog wipe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx_spec").toString
+    val cbs = Pq.buildPqIndex(emb, "spec_pq", dir, iters = 2)
+    // codebooks round-trip parquet bit-exactly — the premise of the
+    // row-identity claim
+    assert(Pq.pqIndexCodebooks(spark, "spec_pq") == cbs)
+    val recomputed = Pq.adcTopKBatch(emb, cbs).collect().map(_.toString).sorted.toSeq
+    val stored = Pq.adcTopKBatchStored(spark, "spec_pq").collect()
+      .map(_.toString).sorted.toSeq
+    assert(recomputed.nonEmpty && stored == recomputed)
+    // the probe plan: bucketed corpus scans (codes + vecs) reach their
+    // joins with no shuffle — the build-once/query-many promise
+    graft.PlanAssert.assertZeroCorpusExchange(
+      Pq.adcTopKBatchStored(spark, "spec_pq"), minBucketedScans = 2)
+    // restart story: catalog entries die with the session, files survive
+    Seq("spec_pq_codes", "spec_pq_vecs", "spec_pq_meta")
+      .foreach(t => spark.sql(s"DROP TABLE `$t`"))
+    Pq.reattachPqIndex(spark, "spec_pq", dir)
+    val reattached = Pq.adcTopKBatchStored(spark, "spec_pq").collect()
+      .map(_.toString).sorted.toSeq
+    assert(reattached == recomputed)
+    Seq("spec_pq_codes", "spec_pq_vecs", "spec_pq_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("IVF-PQ: probed subset only, and residual coding clears the recall floor") {
     import graft.functions.VectorFunctions._
     // the LEARNED coarse quantizer q123 ships (2 exact Lloyd iterations),

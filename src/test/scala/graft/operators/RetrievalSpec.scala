@@ -72,6 +72,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("two-stage batched ANN top-k equals the single-window form (nShards=1)") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val sharded = Similarity.annTopKBatch(emb).collect().map(_.toString).sorted.toSeq
+    val single = Similarity.annTopKBatch(emb, nShards = 1).collect()
+      .map(_.toString).sorted.toSeq
+    assert(sharded.nonEmpty && sharded == single)
+  }
+
+  test("q158 stored ANN index: row-identical to q153's recompute path, zero corpus-side exchange, reattach survives a catalog wipe") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx_spec").toString
+    Similarity.buildAnnIndex(emb, "spec_ann", dir)
+    val recomputed = Similarity.annTopKBatch(emb).collect()
+      .map(_.toString).sorted.toSeq
+    val stored = Similarity.annTopKBatchStored(spark, "spec_ann").collect()
+      .map(_.toString).sorted.toSeq
+    assert(recomputed.nonEmpty && stored == recomputed)
+    // the probe plan: bucketed corpus scans (buckets + vecs) reach their
+    // joins with no shuffle — per-batch cost is the probe only
+    graft.PlanAssert.assertZeroCorpusExchange(
+      Similarity.annTopKBatchStored(spark, "spec_ann"), minBucketedScans = 2)
+    // restart story
+    Seq("spec_ann_buckets", "spec_ann_vecs", "spec_ann_meta")
+      .foreach(t => spark.sql(s"DROP TABLE `$t`"))
+    Similarity.reattachAnnIndex(spark, "spec_ann", dir)
+    val reattached = Similarity.annTopKBatchStored(spark, "spec_ann").collect()
+      .map(_.toString).sorted.toSeq
+    assert(reattached == recomputed)
+    Seq("spec_ann_buckets", "spec_ann_vecs", "spec_ann_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("q153 batched ANN: recall floor vs q152's exact per-anchor top-5; precision exact") {
     val embs = graft.Tables.embeddings(spark, sf0001).collect().map { r =>
       (r.getAs[Long]("vec_id"),
