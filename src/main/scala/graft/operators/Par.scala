@@ -17,4 +17,18 @@ object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  /** Shard count for the two-stage batched top-k cuts: explicit when
+    * `nShards` > 0, otherwise shuffle.partitions / batchSize rounded up —
+    * stage-1 reducer fan-out (batch · shards) then tracks the cluster's
+    * reducer budget (32 at local[32], thousands on a real cluster)
+    * instead of a constant that over-pays a redundant second sort at
+    * small scale and under-parallelizes at large. Results are identical
+    * for ANY shard count (spec-pinned), so conf-dependence is safe.
+    */
+  def resolveShards(spark: org.apache.spark.sql.SparkSession,
+      nShards: Int, batchSize: Int): Int =
+    if (nShards > 0) nShards
+    else math.max(1,
+      (spark.sessionState.conf.numShufflePartitions + batchSize - 1) / batchSize)
 }

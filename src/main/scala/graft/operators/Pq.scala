@@ -269,7 +269,7 @@ object Pq {
     */
   def adcTopKBatch(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]],
       batchSize: Int = 16, k: Int = 5, rerank: Int = 32,
-      nShards: Int = 32): DataFrame = {
+      nShards: Int = -1): DataFrame = {
     val anchors = emb.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"), asDouble(col("embedding")).as("qv"))
     val enc = encode(emb, cbs)
@@ -290,13 +290,22 @@ object Pq {
     * batch·nShards·k·rerank survivors (a constant-size frame whatever
     * the corpus size; every global-top row survives its shard cut, so
     * the two-stage answer is IDENTICAL to the single-window one —
-    * PqSpec pins it). Returns (anchor_id, vec_id, adc_score) with the
+    * PqSpec pins it). nShards defaults (-1) to
+    * shuffle.partitions / batchSize, rounded up: total stage-1 reducer
+    * fan-out (batch · nShards) then tracks the CLUSTER's reducer budget
+    * — 32 at local[32], thousands on a real cluster — instead of a
+    * constant that over-pays a second full sort at small scale and
+    * under-parallelizes at large. Any nShards returns identical rows,
+    * so the conf-dependence cannot surface in results (the soak's
+    * CPUS=3-vs-8 determinism sweep crosses shard counts and must stay
+    * row-identical). Returns (anchor_id, vec_id, adc_score) with the
     * structural `.limit` fence.
     */
   private def adcCandidatesFrom(enc: DataFrame, anchors: DataFrame,
       cbs: Seq[Seq[Seq[Double]]], batchSize: Int, k: Int, rerank: Int,
       nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val shards = Par.resolveShards(enc.sparkSession, nShards, batchSize)
     val luts = withAdcLut(anchors, col("qv"), cbs).drop("qv")
     val byAnchorShard = Window.partitionBy(col("anchor_id"), col("shard"))
       .orderBy(col("adc_score").desc, col("vec_id"))
@@ -304,7 +313,7 @@ object Pq {
       .orderBy(col("adc_score").desc, col("vec_id"))
     enc.join(broadcast(luts), col("vec_id") =!= col("anchor_id"))
       .withColumn("adc_score", lutAdcSum)
-      .withColumn("shard", pmod(col("vec_id"), lit(nShards)))
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)))
       .withColumn("rk1", row_number().over(byAnchorShard))
       .filter(col("rk1") <= k * rerank)
       .withColumn("rk", row_number().over(byAnchor))
@@ -500,7 +509,7 @@ object Pq {
     */
   def adcTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, batchSize: Int = 16, k: Int = 5, rerank: Int = 32,
-      nShards: Int = 32, maxBatchId: Long = Long.MaxValue): DataFrame = {
+      nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
     val cbs = pqIndexCodebooks(spark, tablePrefix)
     val vs = spark.table(s"${tablePrefix}_vecs")
       .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))

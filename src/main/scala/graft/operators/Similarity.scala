@@ -292,7 +292,7 @@ object Similarity {
     * obligation — see [[lshScoredPairs]].
     */
   def annTopKBatch(emb: DataFrame, batchSize: Int = 16, k: Int = 5,
-      tables: Int = 32, bits: Int = 6, nShards: Int = 32): DataFrame = {
+      tables: Int = 32, bits: Int = 6, nShards: Int = -1): DataFrame = {
     // ONE corpus scan (the lshScoredPairs discipline): the projected
     // vectors checkpoint once and feed the bucket index, the candidate
     // vector fetch, and the anchor slices — the anchor side keeps its
@@ -302,7 +302,7 @@ object Similarity {
     val anchors = e.filter(col("vec_id") < batchSize).limit(batchSize)
     val corpusBuckets = withLshBucketsOn(e, tables, bits)
       .select(col("vec_id"), col("table"), col("bucket"))
-    annTopKBatchFrom(corpusBuckets, e, anchors, k, tables, bits, nShards)
+    annTopKBatchFrom(corpusBuckets, e, anchors, batchSize, k, tables, bits, nShards)
   }
 
   /** The batched-ANN scoring tail shared by [[annTopKBatch]] and the
@@ -314,12 +314,15 @@ object Similarity {
     * corpus scale, then the global per-anchor cut over the ≤
     * batch·nShards·k survivors (constant-size; every global-top row
     * survives its shard cut, so the answer is identical to the
-    * single-window form — RetrievalSpec pins it).
+    * single-window form — RetrievalSpec pins it). nShards -1 = sized
+    * from shuffle.partitions / batch (Par.resolveShards — fan-out
+    * tracks the cluster's reducer budget; identical rows either way).
     */
   private def annTopKBatchFrom(corpusBuckets: DataFrame, vecs: DataFrame,
-      anchors: DataFrame, k: Int, tables: Int, bits: Int,
+      anchors: DataFrame, batchSize: Int, k: Int, tables: Int, bits: Int,
       nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val shards = Par.resolveShards(vecs.sparkSession, nShards, batchSize)
     val anchorBuckets = withLshBucketsOn(anchors, tables, bits)
       .select(col("vec_id").as("anchor_id"), col("table"), col("bucket"))
     val cand = corpusBuckets
@@ -335,7 +338,7 @@ object Similarity {
       .join(vecs, "vec_id") // fetch vectors only for surviving candidates
       .join(broadcast(av), "anchor_id")
       .withColumn("cos_raw", cosine(col("v"), col("av")))
-      .withColumn("shard", pmod(col("vec_id"), lit(nShards)))
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)))
       .withColumn("rk1", row_number().over(byAnchorShard))
       .filter(col("rk1") <= k)
       .withColumn("rk", row_number().over(byAnchor).cast("long"))
@@ -441,7 +444,7 @@ object Similarity {
     */
   def annTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, batchSize: Int = 16, k: Int = 5,
-      nShards: Int = 32, maxBatchId: Long = Long.MaxValue): DataFrame = {
+      nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
     val (tables, bits) = annIndexMeta(spark, tablePrefix)
     val vecs = spark.table(s"${tablePrefix}_vecs")
       .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))
@@ -449,7 +452,7 @@ object Similarity {
       .filter(col("batch_id") < maxBatchId)
       .select(col("vec_id"), col("table"), col("bucket"))
     val anchors = vecs.filter(col("vec_id") < batchSize).limit(batchSize)
-    annTopKBatchFrom(corpusBuckets, vecs, anchors, k, tables, bits, nShards)
+    annTopKBatchFrom(corpusBuckets, vecs, anchors, batchSize, k, tables, bits, nShards)
   }
 
   /** ANN top-k for one query vector: union of same-bucket candidates over L

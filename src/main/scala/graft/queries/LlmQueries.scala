@@ -105,6 +105,62 @@ object LlmQueries {
       |FROM comp
       |ORDER BY doc_id""".stripMargin
 
+  /** q156's DuckDB twin: replay of `Multimodal.clipScorePairs` over the
+    * text/plain corpus.
+    *
+    *  - "image tower" = the decodeStub fold, per feature slot d:
+    *    acc ← (acc·31 + byte) mod 1000003 over bytes at positions ≡ d
+    *    (mod 8), then /1000003 — intermediate values stay < 2^25, so
+    *    the double arithmetic is exact integer math in both engines;
+    *    bytes come from ascii() (the corpus is pure ASCII — octet_length
+    *    == length tri-scale — so byte = code point), the per-slot order
+    *    is pinned with list(… ORDER BY i), and list_reduce folds left
+    *    like the JVM loop.
+    *  - "text tower" = block-mean pooling: 8 explicit left-assoc 8-term
+    *    sums / 8.0, matching poolTo's aggregate fold.
+    *  - cosine rides list_inner_product ≡ VecDot (q28/q29 parity);
+    *    round(…, 6) and the 0.2 threshold are evaluated on bit-equal
+    *    doubles, so the keep decision cannot straddle a boundary
+    *    differently. Zero-norm guard mirrored with CASE (keep 0,
+    *    clip_cos NULL).
+    *
+    * The twin indexes CHARACTERS (text[i]) — valid because the corpus
+    * is ASCII; the Spark side hashes the utf-8 BYTES, so a non-ASCII
+    * corpus would need a blob-indexing rewrite, flagged loudly by the
+    * oracle mismatch rather than silently diverging.
+    */
+  private val clipScoreOracleSql: String = {
+    val pool = (0 until 8).map { b =>
+      "(" + (1 to 8).map(i => s"v[${8 * b + i}]").mkString(" + ") + ") / 8.0"
+    }.mkString(", ")
+    s"""WITH pos AS (
+      |  SELECT doc_id, i, (i-1) % 8 AS d, CAST(ascii(text[i]) AS DOUBLE) AS b
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents)),
+      |fc AS (
+      |  SELECT doc_id, d,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(b ORDER BY i)),
+      |      (acc, x) -> fmod(acc * 31.0 + x, 1000003.0)) / 1000003.0 AS f
+      |  FROM pos GROUP BY doc_id, d),
+      |ivt AS (
+      |  SELECT doc_id, list(f ORDER BY d) AS iv FROM fc GROUP BY doc_id),
+      |tvt AS (
+      |  SELECT vec_id, [$pool] AS tv
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      |sc AS (
+      |  SELECT d.doc_id AS media_id,
+      |    list_inner_product(d.iv, t.tv) AS ip,
+      |    sqrt(list_inner_product(d.iv, d.iv)) AS i_norm,
+      |    sqrt(list_inner_product(t.tv, t.tv)) AS t_norm
+      |  FROM ivt d JOIN tvt t ON d.doc_id = t.vec_id)
+      |SELECT media_id,
+      |  CASE WHEN i_norm > 0 AND t_norm > 0
+      |       THEN round(ip / (i_norm * t_norm), 6) END AS clip_cos,
+      |  CAST(CASE WHEN i_norm > 0 AND t_norm > 0 AND ip / (i_norm * t_norm) >= 0.2
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM sc
+      |ORDER BY media_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q30_docs_shingle_jaccard",
@@ -324,15 +380,20 @@ object LlmQueries {
         // (image, caption) pairs — media payloads from the documents
         // table (q39's wrapper), captions from the embeddings table,
         // aligned on media_id = vec_id. Keep decision at the minCos
-        // threshold (the LAION filter shape). Rows-only: the encoders
-        // are JVM code; MultimodalSpec recomputes every score from the
-        // same encoders driver-side and pins the keep split + floor.
+        // threshold (the LAION filter shape). ORACLE-BEARING since r12:
+        // the corpus is text/plain, so the "image tower" is the
+        // deterministic stub fold — pure integer-in-double arithmetic
+        // (acc·31 + byte mod 1000003, exactly representable) the DuckDB
+        // twin replays byte-for-byte from ascii() codes (ASCII corpus,
+        // octet==char verified tri-scale); pooling/cosine ride the
+        // proven list_inner_product ≡ VecDot parity. MultimodalSpec
+        // additionally recomputes every score from the JVM encoders.
         Multimodal.clipScorePairs(
           Multimodal.mediaFromDocuments(documents(s, d)),
           embeddings(s, d))
           .orderBy(col("media_id")),
-      None,
-      "cross-modal CLIP-score filter (stub encoders, real dataflow): cosine of image features vs block-pooled caption embedding per aligned pair + keep flag at the threshold — one media scan, one embedding scan, one equi-join; rows-only, scores re-verified in MultimodalSpec"),
+      Some(clipScoreOracleSql),
+      "cross-modal CLIP-score filter (stub encoders, real dataflow): cosine of image features vs block-pooled caption embedding per aligned pair + keep flag at the threshold — one media scan, one embedding scan, one equi-join; DuckDB twin replays the stub fold byte-for-byte"),
 
     Q(
       "q55_approx_distinct_users",
