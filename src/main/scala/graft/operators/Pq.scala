@@ -521,4 +521,124 @@ object Pq {
     adcCandidatesFrom(codes, anchors, cbs, batchSize, k, rerank, nShards)
       .transform(exactRerankBatch(vs, anchors, k))
   }
+
+  // ---------------------------------------------------------------------
+  // STORED IVF-PQ index — the full billion-vector layout as a standing
+  // table set. [[ivfPqTopK]] re-runs BOTH fits (coarse Lloyd + residual
+  // codebooks, the two expensive corpus passes) on every invocation; the
+  // stored form fits once and lays the code rows out partitioned by
+  // (batch_id, list_id) — so a probe's nProbe list filter prunes whole
+  // DIRECTORIES before any scoring, which is the actual reason IVF
+  // exists at 100 TB. Codebooks AND coarse centroids live in meta
+  // (parquet round-trips doubles bit-exactly), so the stored answer is
+  // row-identical to the recompute path's (PqSpec pins it).
+  // ---------------------------------------------------------------------
+
+  /** Fit coarse + residual codebooks over `emb` and store the IVF-PQ
+    * index under `tablePrefix` / `path` (seed slice = batch_id -1):
+    * `<prefix>_codes` (vec_id, code_0..7) partitioned by
+    * (batch_id, list_id), `<prefix>_vecs` (vec_id, v) partitioned by
+    * batch_id, `<prefix>_meta` (format, geometry, codebooks, coarse).
+    */
+  def buildIvfPqIndex(emb: DataFrame, tablePrefix: String, path: String,
+      nLists: Int = 16, coarseIters: Int = 2, pqIters: Int = 2,
+      nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = Clustering.fitCentroids(emb, nLists, 64, coarseIters, seed = 7L)
+    val cbs = fitOn(residuals(emb, coarse), pqIters)
+    val codes = withCodes(coarseAssigned(emb, coarse), col("resid"), cbs)
+      .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+      .withColumn("batch_id", lit(-1L))
+    Bucketing.writeBucketedPartitionedBy(codes,
+      s"${tablePrefix}_codes", s"$path/codes", Seq("batch_id", "list_id"),
+      "vec_id", nBuckets)
+    Bucketing.writeBucketedPartitioned(
+      vecs(emb).select(col("vec_id"), col("v")).withColumn("batch_id", lit(-1L)),
+      s"${tablePrefix}_vecs", s"$path/vecs", "batch_id", "vec_id", nBuckets)
+    Seq((PqIndexFormat, M, DSUB, KSUB, cbs, coarse))
+      .toDF("format", "m", "dsub", "ksub", "codebooks", "coarse")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Re-register the stored IVF-PQ index in a fresh session catalog
+    * (restart story).
+    */
+  def reattachIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    Bucketing.reattachBy(spark, s"${tablePrefix}_codes", s"$path/codes",
+      Seq("batch_id" -> "BIGINT", "list_id" -> "INT"), "vec_id", nBuckets)
+    Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      "batch_id", "vec_id", nBuckets)
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      spark.sql(s"CREATE TABLE `${tablePrefix}_meta` USING parquet LOCATION '$path/meta'")
+  }
+
+  /** Validated (coarse, codebooks) from the stored IVF-PQ meta. */
+  private[graft] def ivfPqIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val meta = spark.table(s"${tablePrefix}_meta").collect()
+    require(meta.length == 1,
+      s"IVF-PQ index meta $tablePrefix must be exactly 1 row, got ${meta.length}")
+    val r = meta(0)
+    require(r.getAs[Int]("format") == PqIndexFormat &&
+      r.getAs[Int]("m") == M && r.getAs[Int]("dsub") == DSUB &&
+      r.getAs[Int]("ksub") == KSUB,
+      s"IVF-PQ index $tablePrefix geometry/format mismatch — rebuild with buildIvfPqIndex")
+    val cbs = r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("codebooks")
+      .map(_.map(_.toSeq).toSeq).toSeq
+    val coarse = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("coarse")
+      .map(_.toSeq).toSeq
+    (coarse, cbs)
+  }
+
+  /** [[ivfPqTopK]] against the STORED index: identical answers (stored
+    * codes/codebooks/coarse ARE the recompute path's, bit-exact through
+    * parquet — PqSpec pins row equality), but the per-query cost is the
+    * probe only — no Lloyd fits, no encode pass, and the nProbe list
+    * filter prunes whole (batch_id, list_id) partition directories
+    * before any code row is read (the partition-pruning layout the
+    * recompute path can only simulate with a filter).
+    */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, queryVecId: Long = 0L, k: Int = 10,
+      nProbe: Int = 4, rerank: Int = 32,
+      maxBatchId: Long = Long.MaxValue): DataFrame = {
+    val (coarse, cbs) = ivfPqIndexMeta(spark, tablePrefix)
+    val coarseLit = typedlit(coarse)
+    val vs = spark.table(s"${tablePrefix}_vecs")
+      .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))
+    val codes = spark.table(s"${tablePrefix}_codes")
+      .filter(col("batch_id") < maxBatchId)
+      .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    val qv = vs.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val probeLists = vs.filter(col("vec_id") === queryVecId)
+      .select(explode(slice(listScores(col("v"), coarse), 1, nProbe)).as("ls"))
+      .select((-col("ls.negc")).cast("int").as("probe_list"))
+    val qvLut = withAdcLut(qv, col("qv"), cbs)
+      .withColumn("coarse_lut", array(coarse.indices.map(c =>
+        dot(col("qv"), element_at(coarseLit, c + 1))): _*))
+    val score: Column =
+      element_at(col("coarse_lut"), (col("list_id") + 1).cast("int")) + lutAdcSum
+    val approx = codes.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probeLists), col("list_id") === col("probe_list"))
+      .join(broadcast(qvLut))
+      .withColumn("adc_score", score)
+      .drop("coarse_lut").drop(lutCols: _*)
+    val cand = approx
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k * rerank)
+      .select(col("vec_id"), col("list_id"), col("adc_score"))
+    vs.join(broadcast(cand), "vec_id")
+      .join(broadcast(qv))
+      .withColumn("score", dot(col("v"), col("qv")))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("list_id"),
+        round(col("score"), 6).as("score"),
+        round(col("adc_score"), 6).as("adc_score"))
+  }
 }

@@ -101,6 +101,23 @@ object PqQueries {
       "batched PQ-ADC retrieval against the STORED index (build-once/query-many): fitted codebooks + 8-byte code rows stored, per-batch cost is LUT scoring over codes + bounded exact re-rank — zero corpus-side exchange; answers row-identical to q157 (PqSpec), rows-only"),
 
     Q(
+      "q160_ivfpq_topk_stored",
+      (s, d) =>
+        // q123 against the STORED IVF-PQ index: both fits (coarse Lloyd
+        // + residual codebooks — the two expensive corpus passes q123
+        // re-runs per invocation) happen once at build; the probe's
+        // nProbe list filter prunes whole (batch_id, list_id) partition
+        // DIRECTORIES before any code row is read — the layout reason
+        // IVF exists at 100 TB. Rows-only (data-dependent fits); PqSpec
+        // pins row-for-row equality with q123's recompute path, the
+        // zero-corpus-exchange plan, and catalog-wipe reattach.
+        graft.operators.Pq.ivfPqTopKStored(s, StoredIndexes.ivfPq(s, d),
+          queryVecId = 0L, k = 10, nProbe = 6)
+          .orderBy(col("score").desc, col("vec_id")),
+      None,
+      "IVF-PQ top-k against the STORED index (build-once/query-many): coarse + residual fits stored with the code rows partitioned by (batch_id, list_id) — probe prunes whole list directories, no fits, no encode pass; answers row-identical to q123 (PqSpec), rows-only"),
+
+    Q(
       "q123_ivfpq_topk",
       (s, d) => {
         val emb = embeddings(s, d)

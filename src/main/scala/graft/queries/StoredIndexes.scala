@@ -44,4 +44,16 @@ private[queries] object StoredIndexes {
       Pq.buildPqIndex(Tables.embeddings(s, dir), prefix, path, iters = 2)
       prefix
     })
+
+  /** Standing IVF-PQ index (q123's fits: 2 coarse Lloyd iterations,
+    * seed 7, + 2 residual-codebook iterations) over `embeddings` at
+    * `dir`; returns its table prefix.
+    */
+  def ivfPq(s: SparkSession, dir: String): String =
+    built.computeIfAbsent((s, dir, "ivfpq"), _ => {
+      val prefix = s"graft_ivfpq${tag(dir)}"
+      val path = Files.createTempDirectory("graft_ivfpq_idx").toString
+      Pq.buildIvfPqIndex(Tables.embeddings(s, dir), prefix, path)
+      prefix
+    })
 }

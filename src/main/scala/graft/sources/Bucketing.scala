@@ -32,11 +32,20 @@ object Bucketing {
     */
   def writeBucketedPartitioned(df: DataFrame, tableName: String, path: String,
       partCol: String, keyCol: String, nBuckets: Int = 8): Unit =
+    writeBucketedPartitionedBy(df, tableName, path, Seq(partCol), keyCol, nBuckets)
+
+  /** Multi-column partition spec variant: the IVF-PQ index partitions by
+    * (batch_id, list_id) so a probe's nProbe list filter prunes whole
+    * DIRECTORIES — the 100 TB "skip lists before any scoring" layout —
+    * while batch_id keeps the incremental-growth/replay contract.
+    */
+  def writeBucketedPartitionedBy(df: DataFrame, tableName: String, path: String,
+      partCols: Seq[String], keyCol: String, nBuckets: Int = 8): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)
-      .partitionBy(partCol)
+      .partitionBy(partCols: _*)
       .bucketBy(nBuckets, keyCol)
       .sortBy(keyCol)
       .saveAsTable(tableName)
@@ -76,15 +85,27 @@ object Bucketing {
     * (`tableExists`) keeps it idempotent.
     */
   def reattach(spark: SparkSession, tableName: String, path: String,
-      partCol: String, keyCol: String, nBuckets: Int = 8): Unit = {
+      partCol: String, keyCol: String, nBuckets: Int = 8): Unit =
+    reattachBy(spark, tableName, path, Seq(partCol -> "BIGINT"), keyCol, nBuckets)
+
+  /** Multi-column-partition [[reattach]]: `partCols` are
+    * (name, declared SQL type) pairs, in the layout's partition order —
+    * declared, not inferred, for the same reason as the single-column
+    * form (directory inference would narrow `batch_id=-1` to INT).
+    */
+  def reattachBy(spark: SparkSession, tableName: String, path: String,
+      partCols: Seq[(String, String)], keyCol: String, nBuckets: Int = 8): Unit = {
     if (spark.catalog.tableExists(tableName)) return
+    val partNames = partCols.map(_._1).toSet
     val dataCols = spark.read.parquet(path).schema.fields
-      .filterNot(_.name == partCol)
+      .filterNot(f => partNames.contains(f.name))
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partDecl = partCols.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    val partList = partCols.map { case (n, _) => s"`$n`" }.mkString(", ")
     spark.sql(
-      s"""CREATE TABLE `$tableName` ($dataCols, `$partCol` BIGINT)
+      s"""CREATE TABLE `$tableName` ($dataCols, $partDecl)
          |USING parquet
-         |PARTITIONED BY (`$partCol`)
+         |PARTITIONED BY ($partList)
          |CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) INTO $nBuckets BUCKETS
          |LOCATION '$path'""".stripMargin)
     // partition discovery: the catalog entry starts empty; recover the

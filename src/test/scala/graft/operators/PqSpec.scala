@@ -171,6 +171,40 @@ class PqSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("two-stage ADC cut partitions stage 1 on (anchor, shard): fan-out beyond batch size") {
+    val plan = Pq.adcTopKBatch(emb, seeded, nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert("""hashpartitioning\(anchor_id#\d+L?, shard#""".r.findFirstIn(plan).isDefined,
+      s"stage-1 exchange not keyed on (anchor_id, shard):\n${plan.take(3000)}")
+  }
+
+  test("stored IVF-PQ index (q160): row-identical to q123's recompute, zero corpus-side exchange, reattach") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx_spec").toString
+    Pq.buildIvfPqIndex(emb, "spec_ivfpq", dir)
+    // q123's recompute path, same fits (deterministic)
+    val coarse = Clustering.fitCentroids(emb, 16, 64, iters = 2, seed = 7L)
+    val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
+    val recomputed = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 6)
+      .collect().map(_.toString).sorted.toSeq
+    val stored = Pq.ivfPqTopKStored(spark, "spec_ivfpq", queryVecId = 0L,
+      k = 10, nProbe = 6).collect().map(_.toString).sorted.toSeq
+    assert(recomputed.nonEmpty && stored == recomputed)
+    // stored meta round-trips both fits bit-exactly
+    val (coarseBack, cbsBack) = Pq.ivfPqIndexMeta(spark, "spec_ivfpq")
+    assert(coarseBack == coarse && cbsBack == cbs)
+    graft.PlanAssert.assertZeroCorpusExchange(
+      Pq.ivfPqTopKStored(spark, "spec_ivfpq", queryVecId = 0L, k = 10, nProbe = 6),
+      minBucketedScans = 2)
+    Seq("spec_ivfpq_codes", "spec_ivfpq_vecs", "spec_ivfpq_meta")
+      .foreach(t => spark.sql(s"DROP TABLE `$t`"))
+    Pq.reattachIvfPqIndex(spark, "spec_ivfpq", dir)
+    val reattached = Pq.ivfPqTopKStored(spark, "spec_ivfpq", queryVecId = 0L,
+      k = 10, nProbe = 6).collect().map(_.toString).sorted.toSeq
+    assert(reattached == recomputed)
+    Seq("spec_ivfpq_codes", "spec_ivfpq_vecs", "spec_ivfpq_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("IVF-PQ: probed subset only, and residual coding clears the recall floor") {
     import graft.functions.VectorFunctions._
     // the LEARNED coarse quantizer q123 ships (2 exact Lloyd iterations),

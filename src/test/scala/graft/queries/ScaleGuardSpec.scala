@@ -41,6 +41,7 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q152_ann_topk_batch" -> "non-equi (self-exclusion) join against the structurally bounded <=16-row anchor batch (brute-force oracle baseline; scale path: q153)",
     "q157_pq_adc_topk_batch" -> "non-equi (self-exclusion) codes-only join against the structurally bounded <=16-row anchor batch; re-rank joins broadcast the limit-bounded candidate set",
     "q159_pq_adc_topk_batch_stored" -> "q157's stored-index twin: the same non-equi codes-vs-anchor-LUT join, corpus side now the stored code table (still zero corpus-side exchange; PqSpec plan walk)",
+    "q160_ivfpq_topk_stored" -> "q123's stored-index twin: cross-joins of the 1-row query-vector/LUT frame and <=nProbe probed list ids against the stored code table",
     "q146_rrf_hybrid" -> "cross-joins of the 1-row corpus-stats / query-vector frames (the q131/q29 legs)",
     "q148_nb_quality_classifier" -> "cross-joins of the 1-row model-totals and class-prior aggregates",
     "q151_nb_calibration" -> "q148's pipeline (same 1-row totals/prior cross-joins) plus a 4-row confusion aggregate")
