@@ -153,9 +153,16 @@ object Pq {
     * path sorts (shared [[scoredLists]]), so index-side and query-side
     * tie-break algebra cannot drift while the per-row cost stays O(k).
     */
-  private def coarseAssigned(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
+  private def coarseAssigned(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame =
+    coarseAssignedOn(vecs(emb), coarse)
+
+  /** [[coarseAssigned]] over a PREPARED (vec_id, v) frame — the entry
+    * point of the streaming-growth slices, so batch and stream encode
+    * with the SAME assignment tree.
+    */
+  private def coarseAssignedOn(e: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
     val coarseLit = typedlit(coarse)
-    vecs(emb)
+    e.select(col("vec_id"), col("v"))
       .withColumn("list_id",
         (-greatest(scoredLists(col("v"), coarse): _*).getField("negc")).cast("int"))
       .withColumn("resid",
@@ -575,6 +582,19 @@ object Pq {
       "batch_id", "vec_id", nBuckets)
     if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
       spark.sql(s"CREATE TABLE `${tablePrefix}_meta` USING parquet LOCATION '$path/meta'")
+  }
+
+  /** One increment's IVF-PQ index slices from a PREPARED (vec_id, v)
+    * frame, stamped with `batchId`: coarse-assign against the FROZEN
+    * `coarse` centroids, residual-encode against the frozen `cbs` —
+    * the streaming-growth twin of [[buildIvfPqIndex]]'s seed slice.
+    */
+  private[graft] def ivfPqIndexSlices(e: DataFrame, batchId: Long,
+      coarse: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]]): (DataFrame, DataFrame) = {
+    val codes = withCodes(coarseAssignedOn(e, coarse), col("resid"), cbs)
+      .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+      .withColumn("batch_id", lit(batchId))
+    (codes, e.select(col("vec_id"), col("v")).withColumn("batch_id", lit(batchId)))
   }
 
   /** Validated (coarse, codebooks) from the stored IVF-PQ meta. */

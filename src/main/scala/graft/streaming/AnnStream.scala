@@ -97,6 +97,21 @@ object AnnStream {
       Map("codes" -> codes, "vecs" -> vecs))
   }
 
+  /** One micro-batch of IVF-PQ-index maintenance: coarse-assign +
+    * residual-encode the batch's vectors against the FROZEN coarse
+    * centroids and codebooks from meta, and append (codes, vecs) under
+    * batch_id = `batchId`, if absent. The codes slice carries list_id,
+    * so appended rows land in the (batch_id, list_id) partition layout
+    * probes prune on.
+    */
+  def indexBatchIvfPq(spark: SparkSession, batch: DataFrame, batchId: Long,
+      tablePrefix: String): Unit = {
+    val (coarse, cbs) = Pq.ivfPqIndexMeta(spark, tablePrefix)
+    val (codes, vecs) = Pq.ivfPqIndexSlices(prepared(batch), batchId, coarse, cbs)
+    appendAbsent(spark, tablePrefix, batchId,
+      Map("codes" -> codes, "vecs" -> vecs))
+  }
+
   /** The streaming LSH-index maintainer: AvailableNow over an embedding
     * stream, idempotent batch_id-keyed appends via [[indexBatchAnn]].
     * Seed the index first (`Similarity.buildAnnIndex` — batch_id -1);
@@ -126,6 +141,23 @@ object AnnStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         indexBatchPq(batch.sparkSession, batch.toDF(), batchId, tablePrefix)
+      }
+      .start()
+  }
+
+  /** The streaming IVF-PQ-index maintainer — completes the family: all
+    * three stored index layouts (LSH buckets, flat PQ codes, IVF-PQ
+    * list-partitioned codes) grow under the same append-if-absent
+    * batch_id discipline.
+    */
+  def maintainIvfPq(emb: DataFrame, tablePrefix: String,
+      checkpoint: String): StreamingQuery = {
+    StreamIngest.applyStateStoreDefaults(emb.sparkSession)
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        indexBatchIvfPq(batch.sparkSession, batch.toDF(), batchId, tablePrefix)
       }
       .start()
   }

@@ -127,4 +127,36 @@ class AnnStreamSpec extends AnyFunSuite {
     Seq("as_pq_codes", "as_pq_vecs", "as_pq_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
+
+  test("IVF-PQ index grown by the stream answers exactly like the recompute under the FROZEN fits; appended rows land list-partitioned") {
+    val base = Files.createTempDirectory("ivfpq_stream")
+    val inbox = base.resolve("inbox")
+    // seed: coarse + residual fits FROZEN on the late half of the corpus
+    val seed = emb.filter(col("vec_id") >= 100)
+    Pq.buildIvfPqIndex(seed, "as_ivfpq", s"$base/idx")
+    val (coarse, cbs) = Pq.ivfPqIndexMeta(spark, "as_ivfpq")
+    stageSlice(emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding")), inbox, "slice0.parquet")
+    stageSlice(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding")), inbox, "slice1.parquet")
+    drain(AnnStream.maintainIvfPq(
+      AnnStream.readEmb(spark, inbox.toString, maxFilesPerTrigger = 1),
+      "as_ivfpq", s"$base/ckpt"))
+    // appended code rows carry real list ids in the partition layout
+    val listsPerBatch = spark.table("as_ivfpq_codes")
+      .groupBy(col("batch_id")).agg(countDistinct(col("list_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(listsPerBatch.keySet == Set(-1L, 0L, 1L), listsPerBatch.toString)
+    assert(listsPerBatch.values.forall(_ >= 2), s"degenerate list spread: $listsPerBatch")
+    val stored = Pq.ivfPqTopKStored(spark, "as_ivfpq", queryVecId = 0L,
+      k = 10, nProbe = 6).collect().map(_.toString).sorted.toSeq
+    // recompute over the FULL corpus with the seed-frozen fits —
+    // ivfPqTopK takes (coarse, cbs) explicitly, isolating streaming
+    // growth from the (deliberately frozen) training
+    val recomputed = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L,
+      k = 10, nProbe = 6).collect().map(_.toString).sorted.toSeq
+    assert(recomputed.nonEmpty && stored == recomputed)
+    Seq("as_ivfpq_codes", "as_ivfpq_vecs", "as_ivfpq_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 }
