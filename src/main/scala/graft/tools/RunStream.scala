@@ -49,6 +49,25 @@ object RunStream {
     val totals = spark.table("user_totals")
     println(s"stateful user totals: ${totals.select("user_id").distinct().count()} users")
     totals.orderBy(org.apache.spark.sql.functions.col("n_events").desc).show(5)
+
+    // streaming embedding-index maintenance (round 12): seed a stored ANN
+    // index on the late half of the embeddings, stream the early half in,
+    // probe the standing index — retrieval sees streamed vectors without
+    // any corpus re-encode
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    graft.operators.Similarity.buildAnnIndex(
+      emb.filter(col("vec_id") >= 100), "demo_ann", s"$base/ann_idx")
+    emb.filter(col("vec_id") < 100).select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/ann_inbox")
+    val q4 = graft.streaming.AnnStream.maintainAnn(
+      graft.streaming.AnnStream.readEmb(spark, s"$base/ann_inbox"),
+      "demo_ann", s"$base/ckpt_ann")
+    q4.awaitTermination()
+    val hits = graft.operators.Similarity.annTopKBatchStored(
+      spark, "demo_ann", batchSize = 4, k = 3)
+    println(s"stored-ANN probe rows after streaming growth: ${hits.count()}")
+    hits.orderBy(col("anchor_id"), col("rk")).show(6, truncate = false)
     spark.stop()
   }
 }
