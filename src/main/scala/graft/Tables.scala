@@ -40,6 +40,22 @@ object Tables {
     events(spark, dir).createOrReplaceTempView("events")
   }
 
+  /** A string key identifying a session WITHOUT holding the session
+    * object (advisor r12): long-lived memo maps keyed on the
+    * `SparkSession` itself pinned stopped sessions (and every frame
+    * their values referenced) for the JVM lifetime. The classic
+    * session's UUID is the stable identity; the identityHashCode
+    * fallback only exists for exotic non-classic implementations.
+    */
+  def sessionKey(s: SparkSession): String =
+    // sessionUUID is public at the bytecode level but private[sql] to
+    // Scala — reflection is the sanctioned-visibility-free read; the
+    // identity-hash fallback only exists for exotic implementations
+    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
+    catch { case _: ReflectiveOperationException =>
+      String.valueOf(System.identityHashCode(s))
+    }
+
   /** events with `ts` as TIMESTAMP_NTZ (µs, UTC wall clock).
     *
     * Handles BOTH testdata layouts the driver has shipped: the original

@@ -116,4 +116,133 @@ object Bpe {
     Dedup.release(cur)
     merges.toSeq.toDF("round", "l", "r", "cnt")
   }
+
+  // -----------------------------------------------------------------------
+  // VOCAB APPLY — the ENCODE half of the tokenizer (r12 verdict #4): q155
+  // trains merges; the thing a training pipeline actually runs nightly is
+  // applying a STORED vocabulary to the corpus, producing token-id
+  // arrays. The artifact is two small parquet tables (`$path/merges`:
+  // the ordered merge list; `$path/vocab`: (token, id) for every final
+  // token of the training corpus — base tokens and merge products alike,
+  // ids dense-ranked by token string so both engines assign identically).
+  // Encoding at 100 TB: the merge application is the same per-row linear
+  // fold as training (zero shuffles), the id mapping is a broadcast join
+  // against the vocab artifact (the corpus never shuffles for it), and
+  // the only corpus-keyed exchange is the per-doc reassembly aggregate —
+  // which [[encodeStoredFlat]] (the oracle/query shape) skips entirely.
+  // -----------------------------------------------------------------------
+
+  /** Apply a trained merge list in ROUND ORDER to a (…, t: array<string>)
+    * frame — one greedy left-to-right [[applyMerge]] PROJECTION per
+    * merge with an eager localCheckpoint between rounds, exactly the
+    * train() discipline and for the same reason: composing the merges
+    * into ONE nested expression tree multiplies evaluation cost per
+    * level (higher-order-function lambdas get no common-subexpression
+    * elimination — a naive 3-merge fold ran MINUTES over 500 docs where
+    * the staged form takes milliseconds). Intermediate checkpoints
+    * release eagerly; the FINAL frame's blocks follow the
+    * consumer-release contract (Similarity.lshScoredPairs scaladoc) —
+    * storeVocab releases them itself, encode's consumer (collect/write,
+    * or the harness sweep) owns them.
+    */
+  private def applyMergesStaged(frame: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var cur = frame.localCheckpoint(true)
+    merges.foreach { case (l, r) =>
+      val next = cur.withColumn("t", applyMerge(col("t"), l, r))
+        .localCheckpoint(true)
+      Dedup.release(cur)
+      cur = next
+    }
+    cur
+  }
+
+  /** Driver fold of a merge table: (l, r) pairs in round order — a
+    * vocab-sized artifact (the codebook-literal contract, not a data
+    * collect).
+    */
+  private def mergeList(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq
+
+  /** Store the trained tokenizer artifact under `path`: the merge table
+    * plus the (token, id) vocabulary of the training corpus AFTER all
+    * merges. Ids are dense 0-based ranks by binary token order — the
+    * deterministic total order both engines share — assigned with a
+    * global window over the VOCAB frame (vocabulary-sized, the standard
+    * small-artifact single-partition sort, never the corpus).
+    */
+  def storeVocab(docs: DataFrame, merges: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    val ms = mergeList(merges)
+    val staged = applyMergesStaged(
+      Par.fanOut(docs.select(split(col("text"), " ").as("t"))), ms)
+    val vocab = staged
+      .select(explode(col("t")).as("token")).distinct()
+      .withColumn("id",
+        (row_number().over(Window.orderBy(col("token"))) - 1).cast("long"))
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    Dedup.release(staged) // vocab is on disk — free the merge-stage blocks
+  }
+
+  /** Ordered merge list from a stored artifact. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    mergeList(spark.read.parquet(s"$path/merges"))
+
+  /** Encode `docs.text` against a stored artifact, FLAT shape:
+    * (doc_id, pos, token_id), pos 1-based over the doc's final token
+    * list, OOV tokens → −1 (impossible on the training corpus itself —
+    * the round-trip property BpeSpec pins). This is the zero-reassembly
+    * shape: merge fold + posexplode + broadcast vocab join, no per-doc
+    * aggregate at all — and the hash-friendly one q162's oracle compares.
+    */
+  def encodeStoredFlat(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, path: String): DataFrame =
+    encodeFlat(docs, loadMerges(spark, path), spark.read.parquet(s"$path/vocab"))
+
+  private def encodeFlat(docs: DataFrame, ms: Seq[(String, String)],
+      vocab: DataFrame): DataFrame =
+    applyMergesStaged(
+      Par.fanOut(docs.select(col("doc_id"), split(col("text"), " ").as("t"))), ms)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "token")))
+      // NO forced broadcast hint: a real vocab (32k-256k rows) is
+      // broadcast-SIZED and the optimizer picks that automatically; a
+      // pathological one should degrade to a shuffle join, not an OOM —
+      // the ScaleGuardSpec forced-broadcast rule
+      .join(vocab, Seq("token"), "left")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        coalesce(col("id"), lit(-1L)).as("token_id"))
+
+  /** Encode to token-id ARRAYS — (doc_id, token_ids) — the training-data
+    * payload shape: the flat encode plus one per-doc reassembly
+    * aggregate (order restored from pos inside the collected list, so
+    * the shuffle carries slim (doc_id, pos, id) rows only).
+    */
+  def encodeStored(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, path: String): DataFrame =
+    encodeStoredFlat(spark, docs, path)
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos").as("pos"), col("token_id").as("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+
+  /** Decode token-id arrays back to text: id → token via the stored
+    * vocab, merge products split on [[Joiner]] back into base tokens,
+    * space-joined — decode(encode(x)) == x on the training corpus
+    * (BpeSpec round-trip property; the joiner being a reserved control
+    * char is exactly what makes the split lossless).
+    */
+  def decodeStored(spark: org.apache.spark.sql.SparkSession,
+      encoded: DataFrame, path: String): DataFrame = {
+    val vocab = spark.read.parquet(s"$path/vocab")
+      .select(col("id").as("token_id"), col("token"))
+    encoded.select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .join(vocab, "token_id") // size-based broadcast, see encodeFlat
+      .select(col("doc_id"), col("pos"), split(col("token"), Joiner).as("base"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(flatten(transform(
+        sort_array(collect_list(struct(col("pos").as("pos"), col("base").as("base")))),
+        s => s.getField("base"))), " ").as("text"))
+  }
 }

@@ -421,6 +421,13 @@ object Pq {
   def residuals(emb: DataFrame, coarse: Seq[Seq[Double]]): DataFrame =
     coarseAssigned(emb, coarse).select(col("vec_id"), col("resid").as("v"))
 
+  /** [[residuals]] over a PREPARED (vec_id, v) frame — the streaming
+    * staleness monitor's entry point (same assignment tree as the index
+    * slices, so monitored error is exactly what the stored codes carry).
+    */
+  private[graft] def residualsOn(e: DataFrame, coarse: Seq[Seq[Double]]): DataFrame =
+    coarseAssignedOn(e, coarse).select(col("vec_id"), col("resid").as("v"))
+
   // ---------------------------------------------------------------------
   // STORED PQ index — build once / query many. [[adcTopKBatch]] re-fits
   // the codebooks and re-encodes the corpus on EVERY invocation; the
@@ -435,8 +442,58 @@ object Pq {
   // equality + the zero-corpus-exchange probe plan).
   // ---------------------------------------------------------------------
 
-  /** Stored-PQ-index layout marker (DecontamStream discipline). */
-  val PqIndexFormat = 1
+  /** Stored-PQ-index layout marker (DecontamStream discipline). Format 2
+    * (r13) adds the `_tombstones` + `_monitor` tables and the
+    * `mse_micros` / `compacted_through` meta columns — a format-1 index
+    * would silently resurrect deleted vectors and has no staleness
+    * baseline, so it must rebuild.
+    */
+  val PqIndexFormat = 2
+
+  /** Staleness alert bar: a maintenance batch whose quantization MSE
+    * exceeds this multiple of the BUILD-time MSE signals that the frozen
+    * codebooks no longer fit the incoming distribution — time for a refit
+    * generation (r12 verdict #3). Integer multiply on exact micros, so
+    * the alert row is bit-deterministic.
+    */
+  val StalenessFactor = 2L
+
+  /** Per-row PQ quantization error in exact int64 micros: for each
+    * subspace, the squared L2 distance to the CHOSEN (argmin) centroid,
+    * computed as ss − 2·s where s = ⟨sub,c⟩ − ||c||²/2 is the same scored
+    * struct [[withCodes]] argmaxes over (so the error and the code can
+    * never disagree on the winner), floored to micros PER SUBSPACE and
+    * integer-summed — order-independent, replayable bit-for-bit from
+    * codebook literals (q163's DuckDB twin).
+    */
+  private[graft] def quantErrMicros(vCol: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    (0 until M).map { m =>
+      val cbLit = typedlit(cbs(m))
+      val sub = slice(vCol, m * DSUB + 1, DSUB)
+      val scored = (0 until KSUB).map { c =>
+        val halfNorm = lit(cbs(m)(c).map(x => x * x).sum / 2)
+        struct((dot(sub, element_at(cbLit, c + 1)) - halfNorm).as("s"),
+          lit(-c).as("negc"))
+      }
+      val bestS = greatest(scored: _*).getField("s")
+      floor((dot(sub, sub) - lit(2.0) * bestS) * lit(1000000.0) + lit(0.5))
+        .cast("long")
+    }.reduce(_ + _)
+
+  /** Corpus/batch quantization MSE vs `cbs` over a PREPARED (…, v) frame:
+    * ONE row (n_vecs, mse_micros) with mse = Σ per-row err DIV n — all
+    * int64, so build-time and per-batch monitors compare exactly.
+    */
+  private[graft] def quantMseMicros(e: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    e.select(quantErrMicros(col("v"), cbs).as("fx"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("fx")).as("sum_fx"))
+      .select(col("n_vecs"),
+        when(col("n_vecs") > 0, expr("sum_fx div n_vecs")).otherwise(lit(0L))
+          .as("mse_micros"))
+
+  /** Driver-side build MSE (a 1-row scalar read, the DqChecks fold). */
+  private def buildMseMicros(e: DataFrame, cbs: Seq[Seq[Seq[Double]]]): Long =
+    quantMseMicros(e, cbs).collect()(0).getLong(1)
 
   /** One increment's index slices from a PREPARED (vec_id, v) frame,
     * stamped with `batchId` — the ONE copy of the stored-index schema,
@@ -461,20 +518,56 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val cbs = fit(emb, iters, seed)
-    val (codes, vs) = pqIndexSlices(vecs(emb), -1L, cbs)
+    val e = vecs(emb)
+    val (codes, vs) = pqIndexSlices(e, -1L, cbs)
     Bucketing.writeBucketedPartitioned(codes,
       s"${tablePrefix}_codes", s"$path/codes", "batch_id", "vec_id", nBuckets)
     Bucketing.writeBucketedPartitioned(vs,
       s"${tablePrefix}_vecs", s"$path/vecs", "batch_id", "vec_id", nBuckets)
-    Seq((PqIndexFormat, M, DSUB, KSUB, cbs))
-      .toDF("format", "m", "dsub", "ksub", "codebooks")
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones", nBuckets)
+    initMonitor(spark, tablePrefix, path)
+    // build-time quantization MSE — the staleness baseline every
+    // maintenance batch compares against (r12 verdict #3)
+    val mse = buildMseMicros(e, cbs)
+    Seq((PqIndexFormat, M, DSUB, KSUB, cbs, mse, IndexOps.NeverCompacted,
+        IndexOps.NeverCompacted))
+      .toDF("format", "m", "dsub", "ksub", "codebooks", "mse_micros",
+        "compacted_through", "ts_compacted_through")
       .coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
     cbs
   }
 
+  /** Create the (empty) per-batch staleness-monitor table. */
+  private def initMonitor(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String): Unit = {
+    import graft.sources.Bucketing
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      IndexOps.MonitorSchema)
+    Bucketing.writeBucketedPartitioned(empty, s"${tablePrefix}_monitor",
+      s"$path/monitor", "batch_id", "mse_micros", nBuckets = 1)
+  }
+
+  /** One maintenance batch's staleness-monitor row: the delta's
+    * quantization MSE against the FROZEN codebooks vs the build-time
+    * baseline, alert = mse > [[StalenessFactor]] × build (exact int64).
+    * An empty batch records (0, 0, no alert).
+    */
+  private[graft] def monitorSlice(e: DataFrame, batchId: Long,
+      cbs: Seq[Seq[Seq[Double]]], buildMse: Long): DataFrame =
+    quantMseMicros(e, cbs)
+      .select(col("n_vecs"), col("mse_micros"),
+        lit(buildMse).as("build_mse_micros"),
+        (col("n_vecs") > 0 &&
+          col("mse_micros") > lit(StalenessFactor) * lit(buildMse))
+          .cast("long").as("alert"),
+        lit(batchId).as("batch_id"))
+
   /** Re-register the stored PQ index in a fresh session catalog from its
     * surviving files (restart story — Bucketing.reattach semantics).
+    * Tombstone/monitor tables attach with DECLARED schemas (legitimately
+    * empty until the first deletion/stream batch).
     */
   def reattachPqIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
@@ -483,8 +576,31 @@ object Pq {
       "batch_id", "vec_id", nBuckets)
     Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
       "batch_id", "vec_id", nBuckets)
-    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
-      spark.sql(s"CREATE TABLE `${tablePrefix}_meta` USING parquet LOCATION '$path/meta'")
+    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
+      s"$path/tombstones", IndexOps.TombstoneSchema,
+      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
+    Bucketing.reattachBySchema(spark, s"${tablePrefix}_monitor",
+      s"$path/monitor", IndexOps.MonitorSchema,
+      Seq("batch_id" -> "BIGINT"), "mse_micros", nBuckets = 1)
+    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
+  }
+
+  /** Generation rewrite of the stored PQ index — see
+    * [[Similarity.compactAnnIndex]] / [[IndexOps]]. The monitor table is
+    * per-batch OBSERVABILITY history, not index data: it is kept as-is.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
+    IndexOps.compactTable(spark, s"${tablePrefix}_codes", s"$path/codes",
+      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
+    IndexOps.compactTable(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
+      nBuckets, overwrite = true)
+    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
   }
 
   /** Validated codebooks from the stored meta: format + geometry must
@@ -506,6 +622,15 @@ object Pq {
       .map(_.map(_.toSeq).toSeq).toSeq
   }
 
+  /** Build-time quantization MSE from the stored meta (micros) — the
+    * staleness baseline. Shared by the PQ and IVF-PQ layouts (both metas
+    * carry the column; for IVF-PQ it is the RESIDUAL quantization MSE).
+    */
+  private[graft] def indexBuildMse(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Long =
+    spark.table(s"${tablePrefix}_meta")
+      .select(col("mse_micros")).collect()(0).getLong(0)
+
   /** [[adcTopKBatch]] against the STORED index: identical answers (the
     * stored codes/codebooks are the recompute path's own, parquet
     * round-trips doubles exactly — PqSpec pins row equality), but the
@@ -518,10 +643,17 @@ object Pq {
       tablePrefix: String, batchSize: Int = 16, k: Int = 5, rerank: Int = 32,
       nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
     val cbs = pqIndexCodebooks(spark, tablePrefix)
-    val vs = spark.table(s"${tablePrefix}_vecs")
-      .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))
-    val codes = spark.table(s"${tablePrefix}_codes")
-      .filter(col("batch_id") < maxBatchId)
+    // tombstones anti-join on BOTH vec_id-bucketed tables: the codes
+    // side must filter BEFORE the per-anchor ADC cut (a tombstoned code
+    // row in the top k·rerank would displace a live candidate — not
+    // merely vanish later), and the vecs side feeds anchors + re-rank.
+    // Bucket layouts match, so no corpus-side exchange is introduced.
+    val vs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
+      maxBatchId).select(col("vec_id"), col("v"))
+    val codes = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_codes").filter(col("batch_id") < maxBatchId),
+      maxBatchId)
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     val anchors = vs.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"), col("v").as("qv"))
@@ -554,7 +686,8 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val coarse = Clustering.fitCentroids(emb, nLists, 64, coarseIters, seed = 7L)
-    val cbs = fitOn(residuals(emb, coarse), pqIters)
+    val resid = residuals(emb, coarse)
+    val cbs = fitOn(resid, pqIters)
     val codes = withCodes(coarseAssigned(emb, coarse), col("resid"), cbs)
       .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
       .withColumn("batch_id", lit(-1L))
@@ -564,8 +697,15 @@ object Pq {
     Bucketing.writeBucketedPartitioned(
       vecs(emb).select(col("vec_id"), col("v")).withColumn("batch_id", lit(-1L)),
       s"${tablePrefix}_vecs", s"$path/vecs", "batch_id", "vec_id", nBuckets)
-    Seq((PqIndexFormat, M, DSUB, KSUB, cbs, coarse))
-      .toDF("format", "m", "dsub", "ksub", "codebooks", "coarse")
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones", nBuckets)
+    initMonitor(spark, tablePrefix, path)
+    // build-time RESIDUAL quantization MSE — IVF-PQ's ADC error source
+    // is the residual quantizer, so that is what the monitor watches
+    val mse = buildMseMicros(resid, cbs)
+    Seq((PqIndexFormat, M, DSUB, KSUB, cbs, coarse, mse,
+        IndexOps.NeverCompacted, IndexOps.NeverCompacted))
+      .toDF("format", "m", "dsub", "ksub", "codebooks", "coarse",
+        "mse_micros", "compacted_through", "ts_compacted_through")
       .coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
   }
@@ -580,8 +720,32 @@ object Pq {
       Seq("batch_id" -> "BIGINT", "list_id" -> "INT"), "vec_id", nBuckets)
     Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
       "batch_id", "vec_id", nBuckets)
-    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
-      spark.sql(s"CREATE TABLE `${tablePrefix}_meta` USING parquet LOCATION '$path/meta'")
+    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
+      s"$path/tombstones", IndexOps.TombstoneSchema,
+      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
+    Bucketing.reattachBySchema(spark, s"${tablePrefix}_monitor",
+      s"$path/monitor", IndexOps.MonitorSchema,
+      Seq("batch_id" -> "BIGINT"), "mse_micros", nBuckets = 1)
+    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
+  }
+
+  /** Generation rewrite of the stored IVF-PQ index — the codes table
+    * keeps its (batch_id, list_id) directory layout (probes still prune
+    * whole list directories), folded to one batch_id generation.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
+    IndexOps.compactTable(spark, s"${tablePrefix}_codes", s"$path/codes",
+      Seq("batch_id" -> "BIGINT", "list_id" -> "INT"), "vec_id", nBuckets,
+      gen, drops)
+    IndexOps.compactTable(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
+      nBuckets, overwrite = true)
+    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
   }
 
   /** One increment's IVF-PQ index slices from a PREPARED (vec_id, v)
@@ -629,14 +793,32 @@ object Pq {
       maxBatchId: Long = Long.MaxValue): DataFrame = {
     val (coarse, cbs) = ivfPqIndexMeta(spark, tablePrefix)
     val coarseLit = typedlit(coarse)
-    val vs = spark.table(s"${tablePrefix}_vecs")
-      .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))
-    val codes = spark.table(s"${tablePrefix}_codes")
-      .filter(col("batch_id") < maxBatchId)
+    // tombstones anti-join on both vec_id-bucketed tables (the codes
+    // side BEFORE the ADC cut — see adcTopKBatchStored)
+    val vs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
+      maxBatchId).select(col("vec_id"), col("v"))
+    val codes = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_codes").filter(col("batch_id") < maxBatchId),
+      maxBatchId)
       .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
-    val qv = vs.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
-    val probeLists = vs.filter(col("vec_id") === queryVecId)
-      .select(explode(slice(listScores(col("v"), coarse), 1, nProbe)).as("ls"))
+    // the query vector is ONE bucketed point lookup collected to the
+    // driver (r12 verdict #6: the old shape derived qv AND probeLists as
+    // two separate 1-row subtrees, each scanning `_vecs` again —
+    // execScans 10 vs q158's 7); the probe-list expression tree below is
+    // UNCHANGED (same listScores columns over the same IEEE doubles —
+    // parquet → driver → literal round-trips bits), so PqSpec's
+    // row-identity with the recompute path still pins it
+    val qRows = vs.filter(col("vec_id") === queryVecId)
+      .select(col("v")).limit(1).collect()
+    require(qRows.nonEmpty,
+      s"query vec_id=$queryVecId is absent from index $tablePrefix " +
+        "(never ingested, beyond maxBatchId, or tombstoned)")
+    val qvec: Seq[Double] = qRows(0).getSeq[Double](0).toSeq
+    import spark.implicits._
+    val qv = Seq(Tuple1(qvec)).toDF("qv")
+    val probeLists = qv
+      .select(explode(slice(listScores(col("qv"), coarse), 1, nProbe)).as("ls"))
       .select((-col("ls.negc")).cast("int").as("probe_list"))
     val qvLut = withAdcLut(qv, col("qv"), cbs)
       .withColumn("coarse_lut", array(coarse.indices.map(c =>

@@ -365,9 +365,12 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   /** Stored-ANN-index layout marker — bump on any layout change so a
-    * stale index fails loudly (the DecontamStream discipline).
+    * stale index fails loudly (the DecontamStream discipline). Format 2
+    * (r13) adds the `_tombstones` table and the `compacted_through`
+    * meta column (see [[IndexOps]]) — a format-1 index read by this code
+    * would silently resurrect deleted vectors, so it must rebuild.
     */
-  val AnnIndexFormat = 1
+  val AnnIndexFormat = 2
 
   /** One increment's index slices from a PREPARED (vec_id, v) frame:
     * (buckets (vec_id, table, bucket), vecs (vec_id, v)), stamped with
@@ -402,13 +405,18 @@ object Similarity {
       s"${tablePrefix}_buckets", s"$path/buckets", "batch_id", "bucket", nBuckets)
     Bucketing.writeBucketedPartitioned(vecs,
       s"${tablePrefix}_vecs", s"$path/vecs", "batch_id", "vec_id", nBuckets)
-    Seq((AnnIndexFormat, tables, bits)).toDF("format", "tables", "bits")
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones", nBuckets)
+    Seq((AnnIndexFormat, tables, bits, IndexOps.NeverCompacted, IndexOps.NeverCompacted))
+      .toDF("format", "tables", "bits", "compacted_through", "ts_compacted_through")
       .coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
   }
 
   /** Re-register the stored ANN index in a fresh session catalog from its
-    * surviving files (Bucketing.reattach semantics — restart story).
+    * surviving files (Bucketing.reattach semantics — restart story). The
+    * tombstone table attaches with a DECLARED schema: it is legitimately
+    * empty until the first deletion, and an empty directory has nothing
+    * to infer from.
     */
   def reattachAnnIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
@@ -417,8 +425,32 @@ object Similarity {
       "batch_id", "bucket", nBuckets)
     Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
       "batch_id", "vec_id", nBuckets)
-    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
-      spark.sql(s"CREATE TABLE `${tablePrefix}_meta` USING parquet LOCATION '$path/meta'")
+    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
+      s"$path/tombstones", IndexOps.TombstoneSchema,
+      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
+    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
+  }
+
+  /** Generation rewrite of the stored ANN index (r12 verdict #2): fold
+    * every batch partition into ONE, physically purging tombstoned rows,
+    * and record the fold point in meta so pre-compaction replays cannot
+    * re-duplicate (see [[IndexOps]]). After this the probe reads
+    * O(buckets) files however many micro-batches the stream appended —
+    * IndexCompactionSpec pins both the row identity and the file-count
+    * collapse.
+    */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_buckets")
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
+    IndexOps.compactTable(spark, s"${tablePrefix}_buckets", s"$path/buckets",
+      Seq("batch_id" -> "BIGINT"), "bucket", nBuckets, gen, drops)
+    IndexOps.compactTable(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
+      nBuckets, overwrite = true)
+    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
   }
 
   /** Validated (tables, bits) from the stored meta — every violation
@@ -446,13 +478,41 @@ object Similarity {
       tablePrefix: String, batchSize: Int = 16, k: Int = 5,
       nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
     val (tables, bits) = annIndexMeta(spark, tablePrefix)
-    val vecs = spark.table(s"${tablePrefix}_vecs")
-      .filter(col("batch_id") < maxBatchId).select(col("vec_id"), col("v"))
+    // tombstones anti-join on the vec_id-bucketed vector table ONLY: a
+    // tombstoned candidate from the (bucket-keyed, unfiltered) postings
+    // drops at the inner vecs join BEFORE any ranking, and anchors come
+    // from the filtered frame — row-identical to a rebuild from the
+    // surviving corpus (StoredTombstoneSpec) with zero corpus-side
+    // exchange preserved (the postings scan is untouched, the anti-join
+    // matches the vecs bucket layout).
+    val vecs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
+      maxBatchId).select(col("vec_id"), col("v"))
     val corpusBuckets = spark.table(s"${tablePrefix}_buckets")
       .filter(col("batch_id") < maxBatchId)
       .select(col("vec_id"), col("table"), col("bucket"))
     val anchors = vecs.filter(col("vec_id") < batchSize).limit(batchSize)
     annTopKBatchFrom(corpusBuckets, vecs, anchors, batchSize, k, tables, bits, nShards)
+  }
+
+  /** Scoped checkpoint-block release (r12 verdict #7): the frames
+    * [[nearDupPairsLsh]] / [[hardNegativesLsh]] / [[annTopKBatch]] return
+    * read localCheckpoint blocks whose release is the CONSUMER's
+    * obligation (see [[lshScoredPairs]]) — Bench and Verify sweep them
+    * between queries, but a long-lived session embedding these calls
+    * depended on ContextCleaner GC. This helper ties block lifetime to
+    * the query run instead: `body` builds AND MATERIALIZES (collect /
+    * write / count) its result; on exit every persistent RDD that
+    * appeared during the scope is unpersisted. Blocks that existed
+    * before the scope are untouched, so scopes nest and coexist with a
+    * session's own caches.
+    */
+  def withScopedBlocks[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
   }
 
   /** ANN top-k for one query vector: union of same-bucket candidates over L

@@ -87,6 +87,48 @@ object DocQueries {
     "CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE))" +
       " * ln(CAST(c AS DOUBLE) / CAST(n_ch AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
 
+  /** Per-(session, dir) build-once artifact memo — the StoredIndexes
+    * discipline for NON-catalog artifacts (parquet under a deterministic
+    * tmp path, rebuilt per session, overwritten in place across
+    * sessions): q162's stored BPE vocabulary, and the shared q148/q151
+    * NB-scored frame (r12 verdict #5 — q151 used to re-run q148's whole
+    * fit; the scored frame is exact integers, so the parquet round-trip
+    * is bit-identical to recomputation and both oracles stay green).
+    * Keyed by session-UUID string (no session pinning — Tables.sessionKey)
+    * and the raw dir.
+    */
+  private val artifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  private def artifact(s: org.apache.spark.sql.SparkSession, d: String,
+      kind: String)(build: String => Unit): String =
+    artifactMemo.computeIfAbsent((graft.Tables.sessionKey(s), d, kind), _ => {
+      val h = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(d.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      val p = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_${kind}_$h").toString
+      build(p)
+      p
+    })
+
+  /** The stored BPE tokenizer artifact for q162: q155's 3 trained merges
+    * + the derived (token, id) vocabulary, built once per (session, dir).
+    */
+  private def bpeVocabPath(s: org.apache.spark.sql.SparkSession, d: String): String =
+    artifact(s, d, "bpevocab") { p =>
+      graft.operators.Bpe.storeVocab(documents(s, d),
+        graft.operators.Bpe.train(documents(s, d), rounds = 3), p)
+    }
+
+  /** The q148/q151 shared NB-scored frame (see [[artifact]]). */
+  private def nbScoredShared(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val p = artifact(s, d, "nbscored") { p =>
+      nbScored(documents(s, d)).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
   /** q155's DuckDB twin, generated for `k` unrolled merge rounds. Each
     * round reads the previous round's token lists (cur_{r-1}), counts
     * adjacent pairs, takes the (cnt DESC, l, r) winner, and rebuilds the
@@ -98,7 +140,18 @@ object DocQueries {
     * at i kills the candidate at i+1 and leaves i+2 live — run parity).
     */
   private def bpeTrainOracleSql(k: Int): String = {
-    val rounds = (1 to k).map { r =>
+    val rounds = bpeRoundCtes(k)
+    val unions = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, l, r, cnt FROM top_$r")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeRoundsWith(rounds)}
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY round""".stripMargin
+  }
+
+  private def bpeRoundCtes(k: Int): String = {
+    (1 to k).map { r =>
       val prev = s"cur_${r - 1}"
       s"""pos_$r AS (
          |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM $prev),
@@ -131,15 +184,37 @@ object DocQueries {
          |      WHERE m.doc_id = p.doc_id AND (m.i = p.i OR m.i = p.i - 1)))
          |  GROUP BY doc_id)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to k).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, l, r, cnt FROM top_$r")
-      .mkString("\n  UNION ALL ")
+  }
+
+  /** The shared WITH block (tokenized corpus + k unrolled merge rounds)
+    * both BPE oracles interpolate — one text, so q155 and q162 cannot
+    * drift.
+    */
+  private def bpeRoundsWith(rounds: String): String =
     s"""WITH cur_0 AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |$rounds
-       |SELECT * FROM (
-       |  $unions)
-       |ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
+
+  /** q162's DuckDB twin: replay the k training rounds (the q155 CTE
+    * machinery, same generated text), then derive the vocabulary (dense
+    * 0-based ids by binary token order over the final token set —
+    * exactly `Bpe.storeVocab`'s rule) and emit the encoded corpus flat
+    * as (doc_id, pos, token_id). DuckDB's parallel unnest zips the
+    * token list with its positions.
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val rounds = bpeRoundCtes(k)
+    s"""${bpeRoundsWith(rounds)},
+       |vocab AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT unnest(t) AS tok FROM cur_$k)),
+       |enc AS (
+       |  SELECT doc_id, unnest(t) AS token,
+       |    unnest(range(1, len(t) + 1)) AS pos
+       |  FROM cur_$k)
+       |SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos, v.id AS token_id
+       |FROM enc e JOIN vocab v ON v.tok = e.token
+       |ORDER BY e.doc_id, e.pos""".stripMargin
   }
 
   /** Gopher-gated docs with RAW gate signals — q75's staged pipeline
@@ -692,6 +767,25 @@ object DocQueries {
       "iterative BPE trainer: 3 merge rounds (count pairs, take total-order winner, greedy left-to-right apply, recount) — per round one pair-count aggregate + one merge projection, checkpointed between rounds; oracle replays the loop via gaps-and-islands parity"),
 
     Q(
+      "q162_bpe_encode",
+      (s, d) =>
+        // The ENCODE half of the tokenizer (r12 verdict #4) — what a
+        // training pipeline actually runs nightly: apply the STORED
+        // vocabulary (q155's merges + derived (token, id) table, built
+        // once per session into the artifact memo) to the corpus,
+        // producing token ids. Flat (doc_id, pos, token_id) shape: the
+        // merge application is the same zero-shuffle per-row fold as
+        // training, the id mapping is a broadcast join against the
+        // vocab artifact — the corpus never shuffles at all in this
+        // plan. BpeSpec pins the decode(encode(x)) == x round-trip on
+        // the array form; the oracle replays training + vocab + encode
+        // from scratch in DuckDB (gaps-and-islands parity again).
+        graft.operators.Bpe.encodeStoredFlat(s, documents(s, d), bpeVocabPath(s, d))
+          .orderBy(col("doc_id"), col("pos")),
+      Some(bpeEncodeOracleSql(3)),
+      "BPE vocab APPLY (the encode half of the tokenizer): corpus -> token ids against the stored merge+vocab artifact — zero-shuffle merge fold + broadcast vocab join; round-trip decode property in BpeSpec; oracle replays train+encode"),
+
+    Q(
       "q115_vocab_coverage",
       (s, d) => {
         // Vocabulary coverage / OOV-rate scoring: fix a top-k corpus
@@ -1128,7 +1222,10 @@ object DocQueries {
         // broadcasts. At 100 TB the model above a df floor is
         // broadcast-sized (Zipf tail is singletons), turning the scoring
         // join into a broadcast (q105's documented shape).
-        nbScored(documents(s, d))
+        // r12 verdict #5: the scored frame is built ONCE per (session,
+        // dir) and shared with q151 via the exact-integer parquet
+        // artifact memo — q151 no longer re-runs the whole fit
+        nbScoredShared(s, d)
           .select(col("doc_id"), col("n_terms"), col("score_micros"), col("nb_keep"))
           .orderBy(col("doc_id"))
       },
@@ -1147,8 +1244,10 @@ object DocQueries {
         // agreement — a (gate_keep × nb_keep) confusion table with the
         // score range per cell (the cells' score separation is what a
         // threshold-tuning pass would read). SCALE: q148's pipeline plus
-        // one 4-row aggregate; nothing new shuffles.
-        nbScored(documents(s, d))
+        // one 4-row aggregate; nothing new shuffles — and the scored
+        // frame itself is the SHARED per-session artifact (r12 verdict
+        // #5), so this query pays only the 4-row aggregate.
+        nbScoredShared(s, d)
           .groupBy(col("keep_flag").as("gate_keep"), col("nb_keep"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("score_micros")).as("min_score"),

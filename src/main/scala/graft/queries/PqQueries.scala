@@ -58,6 +58,54 @@ object PqQueries {
       "product quantization: 8 subspaces x 16 seeded centroids -> one packed 8-byte code per vector; encoding is a zero-shuffle codegen'd projection (the 100 TB index payload)"),
 
     Q(
+      "q163_pq_quantization_mse",
+      (s, d) => {
+        // The index-staleness signal (r12 verdict #3), oracle-able form:
+        // per-group quantization MSE against the SEEDED codebook
+        // literals (the q121 replay contract — a fitted-codebook run is
+        // what the stored-index monitor tables record per maintenance
+        // batch, AnnStreamSpec). Per-vector error uses the OPERATOR's
+        // own expression (Pq.quantErrMicros — the same scored structs
+        // withCodes argmaxes over, err = ss − 2·s, floored to micros PER
+        // SUBSPACE then integer-summed, so the group MSE is an
+        // order-independent exact int64 in both engines). vec_id % 4 is
+        // the deterministic stand-in for a maintenance-batch key.
+        // SCALE: one zero-shuffle scan projecting (grp, fx), one 4-row
+        // aggregate — the monitor costs one extra projection per batch.
+        import graft.functions.VectorFunctions.asDouble
+        graft.operators.Par.fanOut(
+          embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v")))
+          .select(pmod(col("vec_id"), lit(4)).as("grp"),
+            Pq.quantErrMicros(col("v"), cbs).as("fx"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("fx")).as("sum_fx"))
+          .select(col("grp"), col("n_vecs"),
+            expr("sum_fx div n_vecs").as("mse_micros"))
+          .orderBy(col("grp"))
+      },
+      Some(s"""$encodeCte,
+             |bs AS (
+             |  SELECT vec_id, m, s FROM (
+             |    SELECT vec_id, m, s,
+             |      row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, c ASC) AS rn
+             |    FROM sc)
+             |  WHERE rn = 1),
+             |ssv AS (
+             |  SELECT vec_id, mm.m AS m,
+             |    list_inner_product(list_slice(v.v, mm.m * ${Pq.DSUB} + 1, mm.m * ${Pq.DSUB} + ${Pq.DSUB}),
+             |                       list_slice(v.v, mm.m * ${Pq.DSUB} + 1, mm.m * ${Pq.DSUB} + ${Pq.DSUB})) AS ss
+             |  FROM v CROSS JOIN (SELECT DISTINCT m FROM cb) mm),
+             |fx AS (
+             |  SELECT b.vec_id,
+             |    CAST(sum(CAST(floor((ssv.ss - 2 * b.s) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS fx
+             |  FROM bs b JOIN ssv ON ssv.vec_id = b.vec_id AND ssv.m = b.m
+             |  GROUP BY b.vec_id)
+             |SELECT vec_id % 4 AS grp, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(CAST(sum(fx) AS BIGINT) // count(*) AS BIGINT) AS mse_micros
+             |FROM fx GROUP BY 1 ORDER BY 1""".stripMargin),
+      "PQ quantization MSE per batch-group in exact int64 micros — the index-staleness monitor's signal (stored per maintenance batch with an alert vs the build-time baseline in meta); per-vector error shares the argmin structs with encoding, so error and code cannot disagree"),
+
+    Q(
       "q122_pq_adc_topk",
       (s, d) => {
         val emb = embeddings(s, d)

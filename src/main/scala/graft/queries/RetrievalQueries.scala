@@ -262,6 +262,26 @@ object RetrievalQueries {
       "batched ANN top-k against the STORED LSH index (build-once/query-many): bucketed postings + vector tables, per-batch cost is the probe only — zero corpus-side exchange; answers row-identical to q153 (RetrievalSpec), rows-only"),
 
     Q(
+      "q161_ann_topk_stored_tombstoned",
+      (s, d) =>
+        // q158 with a DELETION SET applied (r12 verdict #1): the
+        // pipeline's own dedup/decontam decisions drop documents, and a
+        // grow-only index kept serving their vectors forever. Here every
+        // vec_id ≡ 0 (mod 7) is tombstoned (the deterministic stand-in
+        // for a q107/q138 keep-list complement); the probe anti-joins
+        // the tombstone table on the vec_id bucket layout BEFORE any
+        // ranking, so deleted vectors neither surface as results nor as
+        // anchors nor displace live candidates. Rows-only (LSH family);
+        // StoredTombstoneSpec pins row-identity with a full rebuild from
+        // the surviving corpus, and the streaming half (decision in
+        // batch N -> unretrievable in batch N+1) in AnnStreamSpec.
+        graft.operators.Similarity.annTopKBatchStored(
+          s, StoredIndexes.annTombstoned(s, d))
+          .orderBy(col("anchor_id"), col("rk")),
+      None,
+      "batched ANN top-k against the stored index WITH TOMBSTONES (index deletion, r12 verdict #1): dedup/decontam drop decisions propagate to retrieval via a batch_id-partitioned tombstone table anti-joined before ranking; row-identical to a rebuild from survivors (StoredTombstoneSpec), rows-only"),
+
+    Q(
       "q150_hard_negatives_lsh",
       (s, d) =>
         // q145's scale path: hard negatives for EVERY vector (whole-corpus

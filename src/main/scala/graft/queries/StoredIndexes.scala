@@ -1,59 +1,99 @@
 package graft.queries
 
-import java.nio.file.Files
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.Tables
-import graft.operators.{Pq, Similarity}
+import graft.operators.{IndexOps, Pq, Similarity}
 
 /** Build-once/query-many plumbing for the stored-index queries (q158 /
-  * q159): the first invocation per (session, sfDir) builds the standing
-  * index into a temp directory and registers its bucketed tables; every
-  * later invocation — Bench's timed reps after the untimed warmup, which
-  * is exactly the build-once/query-many cost a training pipeline sees —
-  * pays only the probe. The memo key includes the session because table
-  * registrations die with it (in-memory catalog); a fresh JVM rebuilds
-  * from the source parquet, which is also what keeps the soak's
-  * CPUS=3-vs-8 determinism sweep honest (two JVMs, two independent
-  * builds, bit-identical query output required).
+  * q159 / q160 / q161): the first invocation per (session, sfDir) builds
+  * the standing index into a deterministic temp directory and registers
+  * its bucketed tables; every later invocation — Bench's timed reps
+  * after the untimed warmup, which is exactly the build-once/query-many
+  * cost a training pipeline sees — pays only the probe. The memo key
+  * includes the session (as its UUID string — see [[Tables.sessionKey]])
+  * because table registrations die with it (in-memory catalog); a fresh
+  * JVM rebuilds from the source parquet, which is also what keeps the
+  * soak's CPUS=3-vs-8 determinism sweep honest (two JVMs, two
+  * independent builds, bit-identical query output required).
+  *
+  * Advisor-r12 fixes carried by this shape:
+  *  - the dir tag is a SHA-1 prefix of the RAW dir string (the old
+  *    `[^A-Za-z0-9]->_` sanitization collapsed distinct dirs onto one
+  *    table prefix, so the second build overwrote the first while its
+  *    memo entry still vouched for it);
+  *  - the memo keys on the session UUID, not the session object, and
+  *    its values are plain strings — a stopped session is not pinned;
+  *  - index data lands under a DETERMINISTIC per-prefix path in
+  *    java.io.tmpdir, so a rebuild (new session, same corpus) overwrites
+  *    in place instead of leaking one createTempDirectory per build.
   */
 private[queries] object StoredIndexes {
 
-  private val built = new ConcurrentHashMap[(SparkSession, String, String), String]()
+  private val built = new ConcurrentHashMap[(String, String, String), String]()
 
-  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Collision-proof dir tag: first 6 bytes of SHA-1(dir) in hex — a
+    * legal identifier fragment, injective-in-practice over raw dirs.
+    */
+  private def tag(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+
+  /** Deterministic per-prefix index location (reused across rebuilds). */
+  private def indexPath(prefix: String): String =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_idx_$prefix").toString
+
+  private def memo(s: SparkSession, dir: String, kind: String)(
+      build: (String, String) => Unit): String =
+    built.computeIfAbsent((Tables.sessionKey(s), dir, kind), _ => {
+      val prefix = s"graft_${kind}_${tag(dir)}"
+      build(prefix, indexPath(prefix))
+      prefix
+    })
 
   /** Standing LSH ANN index over `embeddings` at `dir`; returns its
     * table prefix.
     */
   def ann(s: SparkSession, dir: String): String =
-    built.computeIfAbsent((s, dir, "ann"), _ => {
-      val prefix = s"graft_ann${tag(dir)}"
-      val path = Files.createTempDirectory("graft_ann_idx").toString
+    memo(s, dir, "ann") { (prefix, path) =>
       Similarity.buildAnnIndex(Tables.embeddings(s, dir), prefix, path)
-      prefix
-    })
+    }
+
+  /** Standing LSH ANN index WITH a tombstoned deletion set (q161): the
+    * same build as [[ann]] under its own prefix, then every
+    * vec_id ≡ 0 (mod 7) tombstoned as maintenance batch 0 — the
+    * deterministic stand-in for a dedup/decontam DROP decision. Probes
+    * against this prefix must never retrieve (or anchor on) a
+    * tombstoned vector; StoredTombstoneSpec pins row-identity with a
+    * rebuild from the surviving corpus.
+    */
+  def annTombstoned(s: SparkSession, dir: String): String =
+    memo(s, dir, "annts") { (prefix, path) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildAnnIndex(emb, prefix, path)
+      IndexOps.tombstone(s, prefix,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")),
+        batchId = 0L)
+    }
 
   /** Standing PQ index (2 fitted Lloyd iterations — q157's fit) over
     * `embeddings` at `dir`; returns its table prefix.
     */
   def pq(s: SparkSession, dir: String): String =
-    built.computeIfAbsent((s, dir, "pq"), _ => {
-      val prefix = s"graft_pq${tag(dir)}"
-      val path = Files.createTempDirectory("graft_pq_idx").toString
+    memo(s, dir, "pq") { (prefix, path) =>
       Pq.buildPqIndex(Tables.embeddings(s, dir), prefix, path, iters = 2)
-      prefix
-    })
+      ()
+    }
 
   /** Standing IVF-PQ index (q123's fits: 2 coarse Lloyd iterations,
     * seed 7, + 2 residual-codebook iterations) over `embeddings` at
     * `dir`; returns its table prefix.
     */
   def ivfPq(s: SparkSession, dir: String): String =
-    built.computeIfAbsent((s, dir, "ivfpq"), _ => {
-      val prefix = s"graft_ivfpq${tag(dir)}"
-      val path = Files.createTempDirectory("graft_ivfpq_idx").toString
+    memo(s, dir, "ivfpq") { (prefix, path) =>
       Pq.buildIvfPqIndex(Tables.embeddings(s, dir), prefix, path)
-      prefix
-    })
+    }
 }

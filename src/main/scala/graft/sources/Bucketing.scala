@@ -97,21 +97,56 @@ object Bucketing {
       partCols: Seq[(String, String)], keyCol: String, nBuckets: Int = 8): Unit = {
     if (spark.catalog.tableExists(tableName)) return
     val partNames = partCols.map(_._1).toSet
-    val dataCols = spark.read.parquet(path).schema.fields
+    val dataFields = spark.read.parquet(path).schema.fields
       .filterNot(f => partNames.contains(f.name))
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    val partDecl = partCols.map { case (n, t) => s"`$n` $t" }.mkString(", ")
-    val partList = partCols.map { case (n, _) => s"`$n`" }.mkString(", ")
+    reattachBySchema(spark, tableName, path,
+      org.apache.spark.sql.types.StructType(dataFields), partCols, keyCol, nBuckets)
+  }
+
+  /** [[reattachBy]] with the data schema DECLARED instead of inferred
+    * from the files — required for tables that may legitimately be empty
+    * (a fresh tombstone/monitor table, a fully-tombstoned compaction):
+    * an empty directory has nothing to infer from. `schema` may include
+    * the partition columns (they are split out by name).
+    */
+  def reattachBySchema(spark: SparkSession, tableName: String, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[(String, String)], keyCol: String, nBuckets: Int = 8): Unit = {
+    if (spark.catalog.tableExists(tableName)) return
+    val partNames = partCols.map(_._1).toSet
+    val dataCols = schema.fields
+      .filterNot(f => partNames.contains(f.name))
+      .map(f => s"`${ident(f.name)}` ${f.dataType.sql}").mkString(", ")
+    val partDecl = partCols.map { case (n, t) => s"`${ident(n)}` $t" }.mkString(", ")
+    val partList = partCols.map { case (n, _) => s"`${ident(n)}`" }.mkString(", ")
     spark.sql(
-      s"""CREATE TABLE `$tableName` ($dataCols, $partDecl)
+      s"""CREATE TABLE `${ident(tableName)}` ($dataCols, $partDecl)
          |USING parquet
          |PARTITIONED BY ($partList)
-         |CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) INTO $nBuckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+         |CLUSTERED BY (`${ident(keyCol)}`) SORTED BY (`${ident(keyCol)}`) INTO $nBuckets BUCKETS
+         |LOCATION '${sqlStr(path)}'""".stripMargin)
     // partition discovery: the catalog entry starts empty; recover the
     // existing batch_id=N directories so reads see the standing index
-    spark.sql(s"ALTER TABLE `$tableName` RECOVER PARTITIONS")
+    spark.sql(s"ALTER TABLE `${ident(tableName)}` RECOVER PARTITIONS")
   }
+
+  /** Escape for a single-quoted SQL string literal — a path containing a
+    * quote broke (and could inject into) the interpolated CREATE TABLE
+    * statements (advisor r12).
+    */
+  private def sqlStr(s: String): String = s.replace("'", "''")
+
+  /** Escape for a backtick-quoted SQL identifier. */
+  private def ident(s: String): String = s.replace("`", "``")
+
+  /** Register a PLAIN (unbucketed, unpartitioned) parquet table at `path`
+    * if absent — the meta-table reattach every stored index uses, with
+    * the same quoting discipline as [[reattachBy]].
+    */
+  def attachPlain(spark: SparkSession, tableName: String, path: String): Unit =
+    if (!spark.catalog.tableExists(tableName))
+      spark.sql(s"CREATE TABLE `${ident(tableName)}` USING parquet " +
+        s"LOCATION '${sqlStr(path)}'")
 
   /** Join two tables bucketed on the same key with the same bucket count:
     * plans as a sort-merge join with NO exchange on either side.

@@ -58,10 +58,16 @@ object AnnStream {
   /** Append-if-absent of `slices` (name -> stamped frame) for `batchId`:
     * probe each table's own partition, append exactly the missing ones
     * (see DedupStream.screenBatchStored for why the probe is PER TABLE).
+    * Batches at or below the meta's `compacted_through` are skipped
+    * outright: a generation rewrite (IndexOps compaction) FOLDED those
+    * partitions away, so the per-partition probe would see them as
+    * absent and a pre-compaction replay would re-duplicate their rows.
     */
   private def appendAbsent(spark: SparkSession, tablePrefix: String,
       batchId: Long, slices: Map[String, DataFrame]): Unit = {
     import graft.sources.Bucketing
+    if (batchId <= graft.operators.IndexOps.compactedThrough(spark, tablePrefix))
+      return
     slices.foreach { case (t, df) =>
       val present = spark.table(s"${tablePrefix}_$t")
         .filter(col("batch_id") === batchId).limit(1).count() > 0
@@ -92,9 +98,15 @@ object AnnStream {
   def indexBatchPq(spark: SparkSession, batch: DataFrame, batchId: Long,
       tablePrefix: String): Unit = {
     val cbs = Pq.pqIndexCodebooks(spark, tablePrefix)
-    val (codes, vecs) = Pq.pqIndexSlices(prepared(batch), batchId, cbs)
+    val e = prepared(batch)
+    val (codes, vecs) = Pq.pqIndexSlices(e, batchId, cbs)
+    // staleness monitor (r12 verdict #3): the batch's quantization MSE
+    // against the FROZEN codebooks vs the build-time baseline in meta —
+    // a drifting delta distribution alerts for a refit generation while
+    // the index itself stays exactly as built (frozen-codebook rule)
+    val mon = Pq.monitorSlice(e, batchId, cbs, Pq.indexBuildMse(spark, tablePrefix))
     appendAbsent(spark, tablePrefix, batchId,
-      Map("codes" -> codes, "vecs" -> vecs))
+      Map("codes" -> codes, "vecs" -> vecs, "monitor" -> mon))
   }
 
   /** One micro-batch of IVF-PQ-index maintenance: coarse-assign +
@@ -107,9 +119,16 @@ object AnnStream {
   def indexBatchIvfPq(spark: SparkSession, batch: DataFrame, batchId: Long,
       tablePrefix: String): Unit = {
     val (coarse, cbs) = Pq.ivfPqIndexMeta(spark, tablePrefix)
-    val (codes, vecs) = Pq.ivfPqIndexSlices(prepared(batch), batchId, coarse, cbs)
+    val e = prepared(batch)
+    val (codes, vecs) = Pq.ivfPqIndexSlices(e, batchId, coarse, cbs)
+    // staleness monitor over the RESIDUAL quantizer (what IVF-PQ's ADC
+    // error actually comes from): residuals vs the frozen coarse
+    // centroids, scored against the frozen residual codebooks
+    val mon = Pq.monitorSlice(
+      Pq.residualsOn(e, coarse), batchId, cbs,
+      Pq.indexBuildMse(spark, tablePrefix))
     appendAbsent(spark, tablePrefix, batchId,
-      Map("codes" -> codes, "vecs" -> vecs))
+      Map("codes" -> codes, "vecs" -> vecs, "monitor" -> mon))
   }
 
   /** The streaming LSH-index maintainer: AvailableNow over an embedding
@@ -141,6 +160,57 @@ object AnnStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         indexBatchPq(batch.sparkSession, batch.toDF(), batchId, tablePrefix)
+      }
+      .start()
+  }
+
+  /** Inbox parquet schema for deletion-decision batches: the vec_ids a
+    * dedup/decontam stage decided to DROP (a q107/q138 keep-list
+    * complement, a decontamination purge).
+    */
+  val deleteSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType)))
+
+  /** Streaming scan of a deletion-decision inbox (one parquet slice per
+    * decision batch) — [[readEmb]]'s twin for the tombstone maintainer.
+    */
+  def readDeletes(spark: SparkSession, inbox: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(deleteSchema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(inbox)
+  }
+
+  /** One micro-batch of deletion propagation: tombstone the batch's
+    * vec_ids in EVERY listed index (one corpus usually backs several
+    * standing indexes — a dedup decision must reach all of them), under
+    * the same append-if-absent batch_id discipline as the data slices
+    * (IndexOps.tombstone probes per index, so a crash mid-list replays
+    * into exactly the indexes still missing the batch).
+    */
+  def tombstoneBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      tablePrefixes: Seq[String]): Unit = {
+    val ids = batch.select(col("vec_id")).filter(col("vec_id").isNotNull)
+    tablePrefixes.foreach(p =>
+      graft.operators.IndexOps.tombstone(spark, p, ids, batchId))
+  }
+
+  /** The streaming deletion maintainer (r12 verdict #1's streaming half):
+    * AvailableNow over a deletion-decision stream, idempotent
+    * batch_id-keyed tombstone appends into every listed index via
+    * [[tombstoneBatch]]. A vector dropped by a decision in batch N is
+    * unretrievable from every probe issued after batch N lands —
+    * StoredTombstoneSpec pins it.
+    */
+  def maintainTombstones(deletes: DataFrame, tablePrefixes: Seq[String],
+      checkpoint: String): StreamingQuery = {
+    StreamIngest.applyStateStoreDefaults(deletes.sparkSession)
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        tombstoneBatch(batch.sparkSession, batch.toDF(), batchId, tablePrefixes)
       }
       .start()
   }

@@ -60,19 +60,29 @@ object DecontamStream {
     * JVM re-validates from files, so the memo can never outlive the
     * storage it vouches for.
     */
-  private val validatedIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  private val validatedIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), java.lang.ref.SoftReference[DataFrame]]()
 
   /** Load + validate the stored index: the meta row must exist, carry the
     * current format, and record the SAME n the screen is about to use;
     * the gram set must be non-empty. Every violation throws — an ingest
     * safety guard must never degrade to a silent no-op screen. Validation
     * runs once per (session, indexDir, n); later batches reuse the
-    * validated frame ([[validatedIndexes]]).
+    * validated frame ([[validatedIndexes]]). The key is the session UUID
+    * string and the value a SoftReference (advisor r12): the old
+    * session-object key pinned stopped sessions — and their frames — for
+    * the JVM lifetime; now the only strong path to a dead session is a
+    * soft one the collector clears under pressure, and a cleared entry
+    * just re-validates (cheap: a meta read + an isEmpty probe).
     */
-  private def loadEvalIndex(spark: SparkSession, indexDir: String, n: Int): DataFrame =
-    validatedIndexes.computeIfAbsent((spark, indexDir, n), _ =>
-      loadEvalIndexUncached(spark, indexDir, n))
+  private def loadEvalIndex(spark: SparkSession, indexDir: String, n: Int): DataFrame = {
+    val key = (graft.Tables.sessionKey(spark), indexDir, n)
+    Option(validatedIndexes.get(key)).flatMap(r => Option(r.get())).getOrElse {
+      val df = loadEvalIndexUncached(spark, indexDir, n)
+      validatedIndexes.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
+  }
 
   private def loadEvalIndexUncached(spark: SparkSession, indexDir: String, n: Int): DataFrame = {
     val meta =

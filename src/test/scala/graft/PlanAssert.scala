@@ -23,7 +23,12 @@ object PlanAssert {
     val spark = SparkTestSession.spark
     // plain physical plan (AQE off) so the tree walk is direct; kill the
     // size-based broadcast pick so the walk proves the layout, not a
-    // small-input lucky plan (explicit broadcast() hints survive)
+    // small-input lucky plan (explicit broadcast() hints survive).
+    // Restore the values IN EFFECT BEFORE the call, not hard-coded
+    // defaults (advisor r12): a suite configured differently must get its
+    // own settings back.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -50,8 +55,8 @@ object PlanAssert {
           s"corpus-side exchange between ${scan.tableIdentifier} and its join:\n$plan")
       }
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     }
   }
 }

@@ -84,4 +84,41 @@ class BpeSpec extends AnyFunSuite {
     // rounds 2+ have no candidate pair
     assert(merges.toSeq == Seq((1L, "a", "b", 1L)))
   }
+
+  test("vocab apply round-trip: decode(encode(x)) == x over the training corpus; ids dense and flat/array forms consistent") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    Bpe.storeVocab(docs, Bpe.train(docs, rounds = 3), path)
+    val encoded = Bpe.encodeStored(spark, docs, path)
+    // ROUND TRIP — the encode half inverts exactly on its own training
+    // corpus (no OOV possible there; the reserved U+0001 joiner makes
+    // the merged-token split lossless)
+    val roundTrip = Bpe.decodeStored(spark, encoded, path)
+      .select(col("doc_id"), col("text").as("rt"))
+    val diff = docs.join(roundTrip, "doc_id")
+      .filter(col("text") =!= col("rt")).count()
+    assert(diff == 0)
+    assert(roundTrip.count() == docs.count())
+    // no OOV on the training corpus; ids are dense 0..|V|-1
+    val flat = Bpe.encodeStoredFlat(spark, docs, path)
+    assert(flat.filter(col("token_id") < 0).count() == 0)
+    val vocab = spark.read.parquet(s"$path/vocab")
+    val vSize = vocab.count()
+    assert(vocab.agg(min(col("id")), max(col("id"))).collect()(0)
+      .toSeq == Seq(0L, vSize - 1))
+    // the array form is the flat form reassembled in pos order
+    val fromArrays = encoded
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos0", "token_id")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token_id"))
+    assert(fromArrays.exceptAll(flat).count() == 0 &&
+      flat.exceptAll(fromArrays).count() == 0)
+    // a genuinely-OOV token maps to -1 (the documented contract for
+    // encoding a NEW corpus against a stored vocab)
+    import spark.implicits._
+    val oov = Bpe.encodeStoredFlat(spark,
+      Seq((99L, "definitely_not_in_corpus_xyzzy")).toDF("doc_id", "text"), path)
+      .collect()
+    assert(oov.length == 1 && oov(0).getAs[Long]("token_id") == -1L)
+  }
 }

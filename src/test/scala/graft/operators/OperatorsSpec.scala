@@ -421,4 +421,24 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> Option(r.get(3))).toMap
     assert(capped.forall { case (id, nd) => nd.isEmpty || nd == got(id)._3 })
   }
+
+  test("withScopedBlocks releases the scope's checkpoint blocks after the terminal action, leaving pre-existing blocks alone") {
+    val emb = graft.Tables.embeddings(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001)
+    val spark = emb.sparkSession
+    // a PRE-EXISTING block the scope must NOT touch
+    val outside = emb.select(col("vec_id")).localCheckpoint(true)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Similarity.withScopedBlocks(spark) {
+      val r = Similarity.nearDupPairsLsh(emb, minCos = 0.35).collect()
+      // the lshScoredPairs projection checkpointed INSIDE the scope
+      assert(spark.sparkContext.getPersistentRDDs.keySet.size > baseline.size)
+      r
+    }
+    assert(rows.nonEmpty)
+    // scope exit freed exactly the blocks the call parked
+    assert(spark.sparkContext.getPersistentRDDs.keySet == baseline)
+    assert(outside.count() > 0) // pre-existing block still readable
+    Dedup.release(outside)
+  }
 }

@@ -88,7 +88,7 @@ class AnnStreamSpec extends AnyFunSuite {
     // reattach and retrieve (the ghost vectors sit far from the anchors'
     // id range and don't perturb the top-5s at this scale; equality is
     // asserted against the recompute over corpus+ghosts)
-    Seq("as_ann_buckets", "as_ann_vecs", "as_ann_meta")
+    Seq("as_ann_buckets", "as_ann_vecs", "as_ann_meta", "as_ann_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE `$t`"))
     Similarity.reattachAnnIndex(spark, "as_ann", s"$base/idx")
     val afterRestart = Similarity.annTopKBatchStored(spark, "as_ann").collect()
@@ -97,7 +97,7 @@ class AnnStreamSpec extends AnyFunSuite {
       emb.select(col("vec_id"), col("embedding")).union(ghost)).collect()
       .map(_.toString).sorted.toSeq
     assert(afterRestart == recomputedWithGhosts)
-    Seq("as_ann_buckets", "as_ann_vecs", "as_ann_meta")
+    Seq("as_ann_buckets", "as_ann_vecs", "as_ann_meta", "as_ann_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
@@ -124,7 +124,93 @@ class AnnStreamSpec extends AnyFunSuite {
     val recomputed = Pq.adcTopKBatch(emb, cbs).collect()
       .map(_.toString).sorted.toSeq
     assert(recomputed.nonEmpty && stored == recomputed)
-    Seq("as_pq_codes", "as_pq_vecs", "as_pq_meta")
+    // the staleness monitor recorded BOTH in-distribution batches with
+    // no alert (same synthetic distribution as the fit corpus)
+    val mon = spark.table("as_pq_monitor")
+      .orderBy(col("batch_id")).collect()
+    assert(mon.map(_.getAs[Long]("batch_id")).toSeq == Seq(0L, 1L))
+    assert(mon.forall(_.getAs[Long]("alert") == 0L), mon.mkString(";"))
+    assert(mon.forall(r => r.getAs[Long]("mse_micros") > 0 &&
+      r.getAs[Long]("build_mse_micros") == Pq.indexBuildMse(spark, "as_pq")))
+    Seq("as_pq_codes", "as_pq_vecs", "as_pq_meta", "as_pq_tombstones",
+      "as_pq_monitor")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("staleness monitor: an out-of-distribution maintenance batch alerts for a refit generation; an in-distribution one does not") {
+    val base = Files.createTempDirectory("sm_pq")
+    val inbox = base.resolve("inbox")
+    Pq.buildPqIndex(emb.filter(col("vec_id") >= 100), "sm_pq", s"$base/idx", iters = 2)
+    // batch 0: same distribution as the fit corpus; batch 1: the same
+    // vectors SCALED 5x (a hard embedding-model/domain shift — residual
+    // energy ~25x, far past the 2x-of-build alert bar)
+    stageSlice(emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding")), inbox, "slice0.parquet")
+    stageSlice(emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(5.0f)).as("embedding")),
+      inbox, "slice1.parquet")
+    drain(AnnStream.maintainPq(
+      AnnStream.readEmb(spark, inbox.toString, maxFilesPerTrigger = 1),
+      "sm_pq", s"$base/ckpt"))
+    val mon = spark.table("sm_pq_monitor").orderBy(col("batch_id")).collect()
+    assert(mon.length == 2, mon.mkString(";"))
+    val buildMse = Pq.indexBuildMse(spark, "sm_pq")
+    assert(mon(0).getAs[Long]("alert") == 0L &&
+      mon(0).getAs[Long]("mse_micros") <= Pq.StalenessFactor * buildMse,
+      s"in-distribution batch alerted: ${mon(0)}")
+    assert(mon(1).getAs[Long]("alert") == 1L &&
+      mon(1).getAs[Long]("mse_micros") > Pq.StalenessFactor * buildMse,
+      s"shifted batch did not alert: ${mon(1)} (build $buildMse)")
+    // monitor rows ride the same append-if-absent replay discipline
+    AnnStream.indexBatchPq(spark,
+      emb.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")),
+      0L, "sm_pq")
+    assert(spark.table("sm_pq_monitor").count() == 2)
+    Seq("sm_pq_codes", "sm_pq_vecs", "sm_pq_meta", "sm_pq_tombstones",
+      "sm_pq_monitor")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("streaming deletion propagation: a drop decision in batch N is unretrievable from batch N+1 on, exactly-once under replay") {
+    val base = Files.createTempDirectory("sd_ann")
+    val inbox = base.resolve("deletes")
+    Similarity.buildAnnIndex(emb, "sd_ann", s"$base/idx")
+    import spark.implicits._
+    // the victim: a vector the standing index actually RETRIEVES now —
+    // the strongest form of "decision removes retrievability"
+    val first = Similarity.annTopKBatchStored(spark, "sd_ann")
+      .orderBy(col("anchor_id"), col("rk")).limit(1).collect()(0)
+    val victim1 = first.getAs[Long]("vec_id")
+    stageSlice(Seq(victim1).toDF("vec_id"), inbox, "dec0.parquet")
+    drain(AnnStream.maintainTombstones(
+      AnnStream.readDeletes(spark, inbox.toString, maxFilesPerTrigger = 1),
+      Seq("sd_ann"), s"$base/ckpt"))
+    val afterN = Similarity.annTopKBatchStored(spark, "sd_ann").collect()
+    assert(afterN.nonEmpty && afterN.forall(r =>
+      r.getAs[Long]("vec_id") != victim1 && r.getAs[Long]("anchor_id") != victim1))
+    // batch N+1 (same checkpoint, new decision file): a second victim
+    val second = Similarity.annTopKBatchStored(spark, "sd_ann")
+      .orderBy(col("anchor_id"), col("rk")).limit(1).collect()(0)
+    val victim2 = second.getAs[Long]("vec_id")
+    assert(victim2 != victim1)
+    stageSlice(Seq(victim2).toDF("vec_id"), inbox, "dec1.parquet")
+    drain(AnnStream.maintainTombstones(
+      AnnStream.readDeletes(spark, inbox.toString, maxFilesPerTrigger = 1),
+      Seq("sd_ann"), s"$base/ckpt"))
+    val afterN1 = Similarity.annTopKBatchStored(spark, "sd_ann").collect()
+    assert(afterN1.nonEmpty && afterN1.forall(r =>
+      !Set(victim1, victim2).contains(r.getAs[Long]("vec_id")) &&
+        !Set(victim1, victim2).contains(r.getAs[Long]("anchor_id"))))
+    // row-identity with a rebuild from the surviving corpus
+    val rebuilt = Similarity.annTopKBatch(
+      emb.filter(!col("vec_id").isin(victim1, victim2))).collect()
+      .map(_.toString).sorted.toSeq
+    assert(afterN1.map(_.toString).sorted.toSeq == rebuilt)
+    // crash replay of batch 0's decision is a no-op (append-if-absent)
+    AnnStream.tombstoneBatch(spark, Seq(victim1).toDF("vec_id"), 0L, Seq("sd_ann"))
+    assert(spark.table("sd_ann_tombstones").count() == 2)
+    Seq("sd_ann_buckets", "sd_ann_vecs", "sd_ann_meta", "sd_ann_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
@@ -156,7 +242,8 @@ class AnnStreamSpec extends AnyFunSuite {
     val recomputed = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L,
       k = 10, nProbe = 6).collect().map(_.toString).sorted.toSeq
     assert(recomputed.nonEmpty && stored == recomputed)
-    Seq("as_ivfpq_codes", "as_ivfpq_vecs", "as_ivfpq_meta")
+    Seq("as_ivfpq_codes", "as_ivfpq_vecs", "as_ivfpq_meta",
+      "as_ivfpq_tombstones", "as_ivfpq_monitor")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 }
