@@ -68,6 +68,30 @@ object RunStream {
       spark, "demo_ann", batchSize = 4, k = 3)
     println(s"stored-ANN probe rows after streaming growth: ${hits.count()}")
     hits.orderBy(col("anchor_id"), col("rk")).show(6, truncate = false)
+
+    // index lifecycle (round 13): a dedup-style DROP decision streams into
+    // the standing index as tombstones (unretrievable from the next probe
+    // on), then a generation compaction folds the batch partitions into
+    // one and physically purges the deleted rows
+    import spark.implicits._
+    val victim = hits.orderBy(col("anchor_id"), col("rk"))
+      .limit(1).collect()(0).getAs[Long]("vec_id")
+    Seq(victim).toDF("vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/delete_inbox")
+    val q5 = graft.streaming.AnnStream.maintainTombstones(
+      graft.streaming.AnnStream.readDeletes(spark, s"$base/delete_inbox"),
+      Seq("demo_ann"), s"$base/ckpt_del")
+    q5.awaitTermination()
+    val afterDelete = graft.operators.Similarity.annTopKBatchStored(
+      spark, "demo_ann", batchSize = 4, k = 3)
+    println(s"tombstoned vec_id=$victim still retrievable: " +
+      afterDelete.filter(col("vec_id") === victim).count())
+    val filesBefore = spark.table("demo_ann_buckets").inputFiles.length
+    graft.operators.Similarity.compactAnnIndex(spark, "demo_ann", s"$base/ann_idx")
+    val filesAfter = spark.table("demo_ann_buckets").inputFiles.length
+    println(s"compaction: postings files $filesBefore -> $filesAfter, " +
+      s"tombstones left: ${spark.table("demo_ann_tombstones").count()}, " +
+      s"probe rows: ${graft.operators.Similarity.annTopKBatchStored(spark, "demo_ann", batchSize = 4, k = 3).count()}")
     spark.stop()
   }
 }
