@@ -114,11 +114,19 @@ object IndexOps {
     * set outgrows a broadcast.
     */
   def survivors(spark: SparkSession, tablePrefix: String, df: DataFrame,
-      maxBatchId: Long = Long.MaxValue): DataFrame =
-    df.join(
-      spark.table(s"${tablePrefix}_tombstones")
-        .filter(col("batch_id") < maxBatchId).select(col("vec_id")),
+      maxBatchId: Long = Long.MaxValue): DataFrame = {
+    val ts = spark.table(s"${tablePrefix}_tombstones")
+    // fast path: with no tombstones at all (the common state — most
+    // indexes never see a deletion between compactions) the anti-join is
+    // the identity, so skip it and the probe keeps its deletion-free
+    // plan (2-3 fewer scans per probe; the emptiness probe itself is a
+    // metadata-cheap limit-1 read of a tiny bucketed table). Correctness
+    // is unaffected either way — an empty anti-join IS the identity.
+    if (ts.limit(1).isEmpty) df
+    else df.join(
+      ts.filter(col("batch_id") < maxBatchId).select(col("vec_id")),
       Seq("vec_id"), "left_anti")
+  }
 
   /** The meta-recorded compaction fold point — [[NeverCompacted]] until
     * the first generation rewrite (every format-2 build writes the

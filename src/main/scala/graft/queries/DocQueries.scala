@@ -204,14 +204,19 @@ object DocQueries {
     */
   private def bpeEncodeOracleSql(k: Int): String = {
     val rounds = bpeRoundCtes(k)
+    // fin is MATERIALIZED because BOTH vocab and enc read the final
+    // token lists: DuckDB inlines plain CTEs, so referencing cur_k
+    // twice evaluated the whole k-round replay twice — which blew the
+    // local harness's memory at sf0.1 (round-13 soak catch)
     s"""${bpeRoundsWith(rounds)},
+       |fin AS MATERIALIZED (SELECT doc_id, t FROM cur_$k),
        |vocab AS (
        |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS id
-       |  FROM (SELECT DISTINCT unnest(t) AS tok FROM cur_$k)),
+       |  FROM (SELECT DISTINCT unnest(t) AS tok FROM fin)),
        |enc AS (
        |  SELECT doc_id, unnest(t) AS token,
        |    unnest(range(1, len(t) + 1)) AS pos
-       |  FROM cur_$k)
+       |  FROM fin)
        |SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos, v.id AS token_id
        |FROM enc e JOIN vocab v ON v.tok = e.token
        |ORDER BY e.doc_id, e.pos""".stripMargin
