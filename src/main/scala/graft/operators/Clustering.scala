@@ -135,12 +135,20 @@ object Clustering {
     * fold — the DqChecks report-row pattern, not a data collect.
     */
   def fitCentroids(emb: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 3,
-      seed: Long = 11L): Seq[Seq[Double]] = {
+      seed: Long = 11L): Seq[Seq[Double]] =
+    fitCentroidsOn(vecsOf(emb), k, dim, iters, seed)
+
+  /** [[fitCentroids]] over a PREPARED (vec_id, v: array<double>) frame —
+    * the index-refit entry point (Pq.refitIvfPqIndex fits the coarse
+    * quantizer from the stored `_vecs` table, which already carries v).
+    */
+  private[operators] def fitCentroidsOn(prepared: DataFrame, k: Int = 16,
+      dim: Int = 64, iters: Int = 3, seed: Long = 11L): Seq[Seq[Double]] = {
     // every iteration re-reads the projected vectors; checkpoint once so
     // a multi-iteration fit costs ONE source pass (the Pq.fitOn
     // discipline), released as soon as the centroids — driver data —
     // are folded
-    val p = if (iters > 1) vecsOf(emb).localCheckpoint(true) else vecsOf(emb)
+    val p = if (iters > 1) prepared.localCheckpoint(true) else prepared
     var cs = centroids(k, dim, seed)
     for (_ <- 1 to iters) {
       // L2-rule assignment (scoredL2), NOT assignOn's raw argmax-dot: the

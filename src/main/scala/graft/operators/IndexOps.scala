@@ -163,26 +163,37 @@ object IndexOps {
     val src = spark.table(tableName)
     val surviving = dropIds.fold(src)(ids =>
       src.join(ids.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"))
-    // repartition ALIGNED WITH THE BUCKET HASH (HashPartitioning over
-    // the bucket column with nBuckets partitions is exactly the bucket-id
-    // expression), so each task holds one bucket and the rewrite lands
-    // ONE file per bucket per partition directory — without it the
-    // bucketed write emits a file per (source task × bucket) and the
-    // "compacted" table had MORE files than before
-    val restamped = surviving.withColumn("batch_id", lit(gen))
-      .repartition(nBuckets, col(keyCol))
-    val schema = restamped.schema
+    swapIn(spark, tableName, path,
+      surviving.withColumn("batch_id", lit(gen)), partCols, keyCol, nBuckets)
+  }
+
+  /** Materialize `df` as `tableName`'s NEW content (the generation-
+    * rewrite core shared by compaction and codebook refits): write to a
+    * sibling tmp dir FIRST — a failure leaves the live table untouched;
+    * `df` may even read the table being replaced, since the write
+    * materializes it fully before the swap — then move-then-rename into
+    * place and re-register. The write repartitions ALIGNED WITH THE
+    * BUCKET HASH (HashPartitioning over the bucket column with nBuckets
+    * partitions is exactly the bucket-id expression), so each task holds
+    * one bucket and the rewrite lands ONE file per bucket per partition
+    * directory — without it the bucketed write emits a file per
+    * (source task × bucket) and a "compacted" table had MORE files than
+    * before.
+    */
+  def swapIn(spark: SparkSession, tableName: String, path: String,
+      df: DataFrame, partCols: Seq[(String, String)], keyCol: String,
+      nBuckets: Int): Unit = {
+    val laidOut = df.repartition(nBuckets, col(keyCol))
+    val schema = laidOut.schema
     val tmpTable = s"${tableName}__compact"
     val tmpPath = s"${path}__compact"
     spark.sql(s"DROP TABLE IF EXISTS `${tmpTable.replace("`", "``")}`")
     deleteRecursively(tmpPath)
-    // the write MATERIALIZES the rewrite before anything is dropped —
-    // a failure here leaves the live table untouched
-    Bucketing.writeBucketedPartitionedBy(restamped, tmpTable, tmpPath,
+    Bucketing.writeBucketedPartitionedBy(laidOut, tmpTable, tmpPath,
       partCols.map(_._1), keyCol, nBuckets)
     // swap: external tables — DROP removes catalog entries, never files
     spark.sql(s"DROP TABLE `${tmpTable.replace("`", "``")}`")
-    spark.sql(s"DROP TABLE `${tableName.replace("`", "``")}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName.replace("`", "``")}`")
     deleteRecursively(path)
     java.nio.file.Files.move(
       java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(path))

@@ -585,6 +585,81 @@ object Pq {
     Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
   }
 
+  /** REFIT GENERATION — the staleness monitor's consumer (r12 verdict
+    * #3 closed end-to-end): when monitor rows alert that the frozen
+    * codebooks no longer fit the incoming distribution, refit them on
+    * the CURRENT surviving corpus and re-encode — a compaction whose
+    * codebooks are fresh instead of carried over. The surviving vectors
+    * are materialized (localCheckpoint) BEFORE any table is replaced,
+    * codebooks are fitted from those blocks, and the codes/vecs tables
+    * swap in as one new generation with a fresh build-MSE baseline in
+    * meta (so the next monitor batches compare against the refit
+    * quality, not the stale one). Tombstones are consumed, fences
+    * advance exactly as in [[compactPqIndex]]. AnnStreamSpec pins: a
+    * drifted stream alerts → refit → the same drifted data no longer
+    * alerts, and stored answers are row-identical to the recompute over
+    * the surviving corpus under the refit codebooks.
+    */
+  def refitPqIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, iters: Int = 2, seed: Long = 23L,
+      nBuckets: Int = 8): Seq[Seq[Seq[Double]]] = {
+    import spark.implicits._
+    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    val vs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs"))
+      .select(col("vec_id"), col("v")).localCheckpoint(true)
+    val cbs = fitOn(vs, iters, seed)
+    val mse = buildMseMicros(vs, cbs)
+    val (codes, vsSlice) = pqIndexSlices(vs, gen, cbs)
+    IndexOps.swapIn(spark, s"${tablePrefix}_codes", s"$path/codes",
+      codes, Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
+    IndexOps.swapIn(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      vsSlice, Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
+      nBuckets, overwrite = true)
+    Seq((PqIndexFormat, M, DSUB, KSUB, cbs, mse, gen, tsGen))
+      .toDF("format", "m", "dsub", "ksub", "codebooks", "mse_micros",
+        "compacted_through", "ts_compacted_through")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
+    Dedup.release(vs)
+    cbs
+  }
+
+  /** [[refitPqIndex]] for the IVF-PQ layout: BOTH fits refreshed (coarse
+    * Lloyd over the surviving corpus, then residual codebooks), codes
+    * re-laid-out under the new lists in the (batch_id, list_id)
+    * directory scheme, fresh residual-MSE baseline in meta.
+    */
+  def refitIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nLists: Int = 16,
+      coarseIters: Int = 2, pqIters: Int = 2, nBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    val vs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs"))
+      .select(col("vec_id"), col("v")).localCheckpoint(true)
+    val coarse = Clustering.fitCentroidsOn(vs, nLists, 64, coarseIters, seed = 7L)
+    val resid = residualsOn(vs, coarse)
+    val cbs = fitOn(resid, pqIters)
+    val mse = buildMseMicros(resid, cbs)
+    val (codes, vsSlice) = ivfPqIndexSlices(vs, gen, coarse, cbs)
+    IndexOps.swapIn(spark, s"${tablePrefix}_codes", s"$path/codes",
+      codes, Seq("batch_id" -> "BIGINT", "list_id" -> "INT"), "vec_id", nBuckets)
+    IndexOps.swapIn(spark, s"${tablePrefix}_vecs", s"$path/vecs",
+      vsSlice, Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
+      nBuckets, overwrite = true)
+    Seq((PqIndexFormat, M, DSUB, KSUB, cbs, coarse, mse, gen, tsGen))
+      .toDF("format", "m", "dsub", "ksub", "codebooks", "coarse",
+        "mse_micros", "compacted_through", "ts_compacted_through")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
+    Dedup.release(vs)
+  }
+
   /** Generation rewrite of the stored PQ index — see
     * [[Similarity.compactAnnIndex]] / [[IndexOps]]. The monitor table is
     * per-batch OBSERVABILITY history, not index data: it is kept as-is.

@@ -107,4 +107,28 @@ class IndexCompactionSpec extends AnyFunSuite {
     assert(spark.table("ca_ivfpq_tombstones").count() == 0)
     dropAll("ca_ivfpq")
   }
+
+  test("IVF-PQ refit generation: both fits refreshed on the surviving corpus, stored answers row-identical to the recompute under the new fits") {
+    val base = Files.createTempDirectory("rf_ivfpq")
+    Pq.buildIvfPqIndex(emb.filter(col("vec_id") >= 100), "rf_ivfpq", s"$base/idx")
+    val (oldCoarse, _) = Pq.ivfPqIndexMeta(spark, "rf_ivfpq")
+    AnnStream.indexBatchIvfPq(spark, emb.filter(col("vec_id") < 100), 0L, "rf_ivfpq")
+    val drops = emb.filter(pmod(col("vec_id"), lit(9)) === 3).select(col("vec_id"))
+    IndexOps.tombstone(spark, "rf_ivfpq", drops, batchId = 0L)
+
+    Pq.refitIvfPqIndex(spark, "rf_ivfpq", s"$base/idx")
+
+    // both fits are NEW (fitted on seed + streamed + minus drops, not the
+    // seed alone) and tombstones are consumed by the rewrite
+    val (newCoarse, newCbs) = Pq.ivfPqIndexMeta(spark, "rf_ivfpq")
+    assert(newCoarse != oldCoarse, "coarse centroids did not refit")
+    assert(spark.table("rf_ivfpq_tombstones").count() == 0)
+    val survivors = emb.join(drops, Seq("vec_id"), "left_anti")
+    val stored = sortedRows(Pq.ivfPqTopKStored(spark, "rf_ivfpq",
+      queryVecId = 1L, k = 10, nProbe = 6))
+    val recomputed = sortedRows(Pq.ivfPqTopK(survivors, newCoarse, newCbs,
+      queryVecId = 1L, k = 10, nProbe = 6))
+    assert(recomputed.nonEmpty && stored == recomputed)
+    dropAll("rf_ivfpq")
+  }
 }

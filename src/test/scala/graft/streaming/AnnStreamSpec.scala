@@ -142,13 +142,15 @@ class AnnStreamSpec extends AnyFunSuite {
     val inbox = base.resolve("inbox")
     Pq.buildPqIndex(emb.filter(col("vec_id") >= 100), "sm_pq", s"$base/idx", iters = 2)
     // batch 0: same distribution as the fit corpus; batch 1: the same
-    // vectors SCALED 5x (a hard embedding-model/domain shift — residual
-    // energy ~25x, far past the 2x-of-build alert bar)
+    // vectors TRANSLATED by +2 per dimension (an embedding-model/domain
+    // MEAN shift — far from every seed-fit centroid, so quantization
+    // error explodes past the 2x-of-build bar; unlike a variance blowup,
+    // a mean shift is exactly what a refit generation can absorb)
     stageSlice(emb.filter(col("vec_id") < 50)
       .select(col("vec_id"), col("embedding")), inbox, "slice0.parquet")
     stageSlice(emb.filter(col("vec_id") < 50)
       .select((col("vec_id") + 50000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(5.0f)).as("embedding")),
+        transform(col("embedding"), x => x + lit(2.0f)).as("embedding")),
       inbox, "slice1.parquet")
     drain(AnnStream.maintainPq(
       AnnStream.readEmb(spark, inbox.toString, maxFilesPerTrigger = 1),
@@ -167,6 +169,43 @@ class AnnStreamSpec extends AnyFunSuite {
       emb.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")),
       0L, "sm_pq")
     assert(spark.table("sm_pq_monitor").count() == 2)
+
+    // REFIT GENERATION — the alert's consumer: refit codebooks on the
+    // current corpus (which now CONTAINS the shifted vectors), re-encode,
+    // fresh build-MSE baseline
+    val preShiftMse = mon(1).getAs[Long]("mse_micros")
+    Pq.refitPqIndex(spark, "sm_pq", s"$base/idx", iters = 2)
+    val newBuild = Pq.indexBuildMse(spark, "sm_pq")
+    assert(newBuild != buildMse && newBuild > 0)
+    // stored answers are row-identical to the recompute over the same
+    // corpus under the refit codebooks (read back from meta)
+    val refitCbs = Pq.pqIndexCodebooks(spark, "sm_pq")
+    val corpus = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")))
+      .union(emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 50000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding")))
+    val stored = Pq.adcTopKBatchStored(spark, "sm_pq").collect()
+      .map(_.toString).sorted.toSeq
+    val recomputed = Pq.adcTopKBatch(corpus, refitCbs).collect()
+      .map(_.toString).sorted.toSeq
+    assert(recomputed.nonEmpty && stored == recomputed)
+    // the SAME drifted distribution no longer alerts: the refit corpus
+    // contains the shifted mode, so its subspace codebooks allocate
+    // centroids there and a fresh shifted batch (new ids) quantizes
+    // about as well as in-distribution data
+    AnnStream.indexBatchPq(spark,
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 60000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding")),
+      2L, "sm_pq")
+    val post = spark.table("sm_pq_monitor")
+      .filter(col("batch_id") === 2L).collect()(0)
+    assert(post.getAs[Long]("mse_micros") < preShiftMse,
+      s"refit did not improve drifted-batch quantization: $post vs $preShiftMse")
+    assert(post.getAs[Long]("alert") == 0L,
+      s"drifted batch still alerts after refit: $post (build $newBuild)")
     Seq("sm_pq_codes", "sm_pq_vecs", "sm_pq_meta", "sm_pq_tombstones",
       "sm_pq_monitor")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
