@@ -171,14 +171,17 @@ object IndexOps {
     * rewrite core shared by compaction and codebook refits): write to a
     * sibling tmp dir FIRST — a failure leaves the live table untouched;
     * `df` may even read the table being replaced, since the write
-    * materializes it fully before the swap — then move-then-rename into
-    * place and re-register. The write repartitions ALIGNED WITH THE
-    * BUCKET HASH (HashPartitioning over the bucket column with nBuckets
-    * partitions is exactly the bucket-id expression), so each task holds
-    * one bucket and the rewrite lands ONE file per bucket per partition
-    * directory — without it the bucketed write emits a file per
-    * (source task × bucket) and a "compacted" table had MORE files than
-    * before.
+    * materializes it fully before the swap — then a backup-rename swap
+    * (live → `__old`, tmp → live, delete `__old`) and re-register. The
+    * old generation is never DELETED until the new one is live: the
+    * unsafe window is two directory renames, and a crash inside it
+    * leaves the full previous generation at `__old` (recovery = rename
+    * it back). The write repartitions ALIGNED WITH THE BUCKET HASH
+    * (HashPartitioning over the bucket column with nBuckets partitions
+    * is exactly the bucket-id expression), so each task holds one bucket
+    * and the rewrite lands ONE file per bucket per partition directory —
+    * without it the bucketed write emits a file per (source task ×
+    * bucket) and a "compacted" table had MORE files than before.
     */
   def swapIn(spark: SparkSession, tableName: String, path: String,
       df: DataFrame, partCols: Seq[(String, String)], keyCol: String,
@@ -187,6 +190,7 @@ object IndexOps {
     val schema = laidOut.schema
     val tmpTable = s"${tableName}__compact"
     val tmpPath = s"${path}__compact"
+    val oldPath = s"${path}__old"
     spark.sql(s"DROP TABLE IF EXISTS `${tmpTable.replace("`", "``")}`")
     deleteRecursively(tmpPath)
     Bucketing.writeBucketedPartitionedBy(laidOut, tmpTable, tmpPath,
@@ -194,11 +198,14 @@ object IndexOps {
     // swap: external tables — DROP removes catalog entries, never files
     spark.sql(s"DROP TABLE `${tmpTable.replace("`", "``")}`")
     spark.sql(s"DROP TABLE IF EXISTS `${tableName.replace("`", "``")}`")
-    deleteRecursively(path)
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(path))
+    deleteRecursively(oldPath)
+    val live = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(live))
+      java.nio.file.Files.move(live, java.nio.file.Paths.get(oldPath))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpPath), live)
     Bucketing.reattachBySchema(spark, tableName, path, schema,
       partCols, keyCol, nBuckets)
+    deleteRecursively(oldPath)
   }
 
   /** Highest DELETE-stream batch_id in the (about-to-be-consumed)

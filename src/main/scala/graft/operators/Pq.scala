@@ -599,6 +599,15 @@ object Pq {
     * drifted stream alerts → refit → the same drifted data no longer
     * alerts, and stored answers are row-identical to the recompute over
     * the surviving corpus under the refit codebooks.
+    *
+    * Crash-consistency contract: the multi-table swap (codes → vecs →
+    * tombstones → meta) is not atomic ACROSS tables — each step is
+    * individually safe (IndexOps.swapIn keeps the previous generation at
+    * `__old` until the new one is live), but a crash between steps
+    * leaves tables from two generations; meta (written LAST) still
+    * describes the old codebooks, so a probe decodes wrongly until the
+    * refit is re-run. Re-running the refit is the recovery — it is
+    * idempotent over the surviving corpus.
     */
   def refitPqIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, iters: Int = 2, seed: Long = 23L,

@@ -480,5 +480,142 @@ object AssemblyQueries {
           .orderBy(col("doc_id"))
       },
       None,
-      "winnowing scale path for q127: native rolling-hash + deque-minima fingerprints (O(len)/doc), ~1/16 the shuffled postings; shared runs >= 63 tokens (W+V-1) still guarantee a shared fingerprint — subset/guarantee/reduction pinned in AssemblySpec"))
+      "winnowing scale path for q127: native rolling-hash + deque-minima fingerprints (O(len)/doc), ~1/16 the shuffled postings; shared runs >= 63 tokens (W+V-1) still guarantee a shared fingerprint — subset/guarantee/reduction pinned in AssemblySpec"),
+
+    Q(
+      "q165_balanced_shards",
+      (s, d) => {
+        // Token-balanced SHARD ASSIGNMENT: place every source (domain) on
+        // one of S output shards so shard token-totals stay close — the
+        // step before writing training shards, where plain
+        // hash-partitioning is wrecked by the heavy tail (one giant
+        // domain lands wherever its hash says). Design: classify sources
+        // into power-of-two SIZE CLASSES (the q113 ladder — bounded
+        // count, no float log2), then round-robin each class across
+        // shards in a deterministic hash order. Within a class sizes
+        // vary < 2x, so round-robin bounds the per-class shard spread by
+        // one max-class-member; summed over the bounded ladder that is a
+        // constant — unlike hash placement, whose spread grows with the
+        // largest member.
+        //
+        // SCALE: the per-source totals are one agg on a high-cardinality
+        // key. The within-class rank NEVER sorts a whole class in one
+        // task (millions of small sources share a class at 100 TB): rank
+        // = per-(class, sub) window + sub-bucket offsets, the
+        // tokenBudgetCut two-level decomposition, with sub = first md5
+        // nibble (16-way, engine-portable). The offsets window runs over
+        // the <= 16-row-per-class (class, sub) count aggregate. The
+        // DuckDB twin is the naive single window per class — ordered by
+        // (sub, ord, source), which the two-level form reproduces
+        // exactly (exactness proof, hash-checked).
+        val S = 8L
+        val srcTok = documents(s, d)
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok"))
+        val sizeClass = when(col("n_tok") <= 1000, 1000L)
+          .when(col("n_tok") <= 2000, 2000L)
+          .when(col("n_tok") <= 4000, 4000L)
+          .when(col("n_tok") <= 8000, 8000L)
+          .otherwise(16000L)
+        val base = srcTok
+          .withColumn("size_class", sizeClass)
+          .withColumn("ord", md5(col("source")))
+          .withColumn("sub", substring(col("ord"), 1, 1))
+        val wSub = Window.partitionBy(col("size_class"), col("sub"))
+          .orderBy(col("ord"), col("source"))
+        val ranked = base.withColumn("rn", row_number().over(wSub).cast("long"))
+        // per-(class, sub) counts -> exclusive running offset within class
+        val wOff = Window.partitionBy(col("size_class")).orderBy(col("sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = base.groupBy(col("size_class"), col("sub"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+          .select(col("size_class"), col("sub"), col("off"))
+        ranked.join(offsets, Seq("size_class", "sub"))
+          .withColumn("shard", pmod(col("off") + col("rn") - 1, lit(S)))
+          .select(col("source"), col("n_tok"), col("size_class"), col("shard"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+             |  FROM documents GROUP BY source),
+             |c AS (
+             |  SELECT source, n_tok,
+             |    CASE WHEN n_tok <= 1000 THEN 1000
+             |         WHEN n_tok <= 2000 THEN 2000
+             |         WHEN n_tok <= 4000 THEN 4000
+             |         WHEN n_tok <= 8000 THEN 8000
+             |         ELSE 16000 END AS size_class,
+             |    md5(source) AS ord
+             |  FROM t),
+             |r AS (
+             |  SELECT source, n_tok, size_class,
+             |    row_number() OVER (PARTITION BY size_class
+             |      ORDER BY substr(ord, 1, 1), ord, source) AS rn
+             |  FROM c)
+             |SELECT source, n_tok, CAST(size_class AS BIGINT) AS size_class,
+             |  (rn - 1) % 8 AS shard
+             |FROM r
+             |ORDER BY source""".stripMargin),
+      "token-balanced shard assignment: size-class ladder + deterministic hash round-robin within class via two-level rank (per-(class,nibble) windows + bounded offset frame) — per-class shard spread bounded by one member, vs unbounded for hash placement; oracle is the naive single-window form"),
+
+    Q(
+      "q166_snapshot_diff",
+      (s, d) => {
+        // SNAPSHOT DIFF: the change report between a corpus generation
+        // and its pipeline-processed successor — what a nightly run
+        // publishes so downstream consumers (index maintenance, training
+        // mixes) know exactly which documents to reprocess. Successor
+        // here = this pipeline's own shape: a quality gate (n_chars >=
+        // 100 — the DQ drop) plus a token normalization pass
+        // ('spark' -> 'flink' vocabulary remap, the terminology-
+        // normalization op), so the diff classes arise from REAL
+        // operators, not synthetic mutations. Content addressing is
+        // md5-of-text (the q98 chunk discipline), change classes:
+        // 'removed' (gate-dropped) and 'modified' (hash moved);
+        // unchanged rows are suppressed — a diff at 100 TB must be
+        // O(changes), not O(corpus), on output. 'added' is structurally
+        // empty for a filter+map successor and the op reports it when
+        // the successor gains rows (full-outer shape, not left).
+        //
+        // SCALE: one scan each side, full outer join on the doc_id key —
+        // co-partitioned shuffle join, no skew (keys unique per side).
+        val a = documents(s, d).select(col("doc_id"), md5(col("text")).as("old_md5"))
+        val b = documents(s, d)
+          .filter(col("n_chars") >= 100)
+          .select(col("doc_id"),
+            md5(array_join(
+              transform(split(col("text"), " "),
+                t => when(t === "spark", "flink").otherwise(t)),
+              " ")).as("new_md5"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .withColumn("change_type",
+            when(col("new_md5").isNull, "removed")
+              .when(col("old_md5").isNull, "added")
+              .when(col("old_md5") =!= col("new_md5"), "modified"))
+          .filter(col("change_type").isNotNull)
+          .select(col("doc_id"), col("change_type"), col("old_md5"), col("new_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, md5(text) AS old_md5 FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(
+             |      list_transform(string_split(text, ' '),
+             |        t -> CASE WHEN t = 'spark' THEN 'flink' ELSE t END),
+             |      ' ')) AS new_md5
+             |  FROM documents WHERE n_chars >= 100)
+             |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             |  CASE WHEN b.new_md5 IS NULL THEN 'removed'
+             |       WHEN a.old_md5 IS NULL THEN 'added'
+             |       WHEN a.old_md5 != b.new_md5 THEN 'modified' END AS change_type,
+             |  a.old_md5 AS old_md5, b.new_md5 AS new_md5
+             |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+             |WHERE CASE WHEN b.new_md5 IS NULL THEN 'removed'
+             |           WHEN a.old_md5 IS NULL THEN 'added'
+             |           WHEN a.old_md5 != b.new_md5 THEN 'modified' END IS NOT NULL
+             |ORDER BY doc_id""".stripMargin),
+      "snapshot diff between a corpus generation and its processed successor (DQ gate + vocab remap): full-outer key join, change rows only (removed/modified/added), md5 content addressing — the nightly change report that scopes downstream reprocessing"))
 }

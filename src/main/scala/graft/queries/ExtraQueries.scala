@@ -731,5 +731,102 @@ object ExtraQueries {
              |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin),
-      "NOT IN subquery with three-valued NULL semantics: plans as Spark's null-aware anti join (broadcast-only by construction; the documented scale rewrite is IS NOT NULL + left_anti)"))
+      "NOT IN subquery with three-valued NULL semantics: plans as Spark's null-aware anti join (broadcast-only by construction; the documented scale rewrite is IS NOT NULL + left_anti)"),
+
+    Q(
+      "q164_kmv_distinct",
+      (s, d) => {
+        // MERGEABLE distinct-count sketch via K-minimum-values: the
+        // cardinality profiler a 100 TB pipeline runs per partition/day
+        // and MERGES, where exact count-distinct would re-shuffle raw
+        // keys per reporting grain. KMV is the deterministic alternative
+        // to HLL (whose register layout is engine-private — no oracle):
+        // hash each key with the q136 multiplicative-mod-prime map
+        // (injective for custkey < p, so "distinct hashes" IS "distinct
+        // customers" here; beyond int64 products ~4e9 the xxhash64
+        // bit-mixing variant applies — the q73/q136 bound family), keep
+        // the K smallest per group; estimate = (K-1)*M DIV kth — pure
+        // int64, exact on any engine. Merge is EXACT: the K global
+        // minima each lie inside their group's K minima, so re-ranking
+        // the union of per-month sketches gives the same sketch a direct
+        // global pass builds — the 'ALL' row is computed ONLY from the
+        // 12 monthly sketches, and the oracle builds it from the raw
+        // table (the mergeability proof, hash-checked).
+        //
+        // SCALE: one distinct on (month, h), then K-minima selection via
+        // a SALTED two-level rank (the tokenBudgetCut decomposition): the
+        // per-(month, salt) window sorts 1/16 of a month's hashes, the
+        // month-level merge window ranks <= 16*K pre-bounded rows. The
+        // exact n_exact column is the accuracy reference a profiler
+        // prints beside the estimate (itself a plain distinct-agg).
+        val K = 64
+        val M = 2147483629L
+        val o = orders(s, d)
+        val mk = (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("month_key")
+        val hashes = o.select(mk,
+            pmod(col("o_custkey") * lit(2654435761L), lit(M)).as("h"))
+          .distinct()
+        val salted = hashes.withColumn("salt", pmod(col("h"), lit(16L)))
+        val w1 = Window.partitionBy(col("month_key"), col("salt")).orderBy(col("h"))
+        val w2 = Window.partitionBy(col("month_key")).orderBy(col("h"))
+        val monthSketch = salted
+          .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= K)
+          .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= K)
+          .select(col("month_key"), col("h"))
+        val est = when(col("n_sketch") < K, col("n_sketch"))
+          .otherwise(expr(s"(${K - 1} * ${M}L) DIV kth_hash"))
+        val perMonth = monthSketch.groupBy(col("month_key"))
+          .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+          .join(o.groupBy(mk).agg(countDistinct(col("o_custkey")).as("n_exact")),
+            Seq("month_key"))
+        // merged 'ALL' sketch: built purely from the monthly sketches
+        // (<= 16*K rows in); month_key 0 sorts ahead of real yyyymm keys
+        val allSketch = monthSketch.groupBy()
+          .agg(slice(sort_array(collect_set(col("h"))), 1, K).as("hs"))
+          .select(lit(0L).as("month_key"),
+            least(size(col("hs")), lit(K)).cast("long").as("n_sketch"),
+            element_at(col("hs"), least(size(col("hs")), lit(K))).as("kth_hash"))
+          .crossJoin(o.agg(countDistinct(col("o_custkey")).as("n_exact")))
+        perMonth.unionByName(allSketch.select(perMonth.columns.map(col).toSeq: _*))
+          .withColumn("est_distinct", est)
+          .select(col("month_key"), col("n_exact"), col("n_sketch"),
+            col("kth_hash"), col("est_distinct"))
+          .orderBy(col("month_key"))
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT
+             |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             |      AS month_key,
+             |    (o_custkey * 2654435761) % 2147483629 AS h
+             |  FROM orders),
+             |sk AS (
+             |  SELECT month_key, h,
+             |    row_number() OVER (PARTITION BY month_key ORDER BY h) AS rn
+             |  FROM h),
+             |m AS (
+             |  SELECT month_key,
+             |    count(*) AS n_sketch, max(h) AS kth_hash
+             |  FROM sk WHERE rn <= 64 GROUP BY month_key),
+             |ex AS (
+             |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             |      AS month_key,
+             |    count(DISTINCT o_custkey) AS n_exact
+             |  FROM orders GROUP BY 1),
+             |ga AS (
+             |  SELECT count(*) AS n_sketch, max(h) AS kth_hash FROM (
+             |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+             |    FROM (SELECT DISTINCT h FROM h)) WHERE rn <= 64),
+             |gx AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+             |SELECT m.month_key, ex.n_exact, m.n_sketch, m.kth_hash,
+             |  CASE WHEN m.n_sketch < 64 THEN m.n_sketch
+             |       ELSE (CAST(63 AS BIGINT) * 2147483629) // m.kth_hash END AS est_distinct
+             |FROM m JOIN ex ON m.month_key = ex.month_key
+             |UNION ALL
+             |SELECT 0 AS month_key, gx.n_exact, ga.n_sketch, ga.kth_hash,
+             |  CASE WHEN ga.n_sketch < 64 THEN ga.n_sketch
+             |       ELSE (CAST(63 AS BIGINT) * 2147483629) // ga.kth_hash END AS est_distinct
+             |FROM ga, gx
+             |ORDER BY month_key""".stripMargin),
+      "mergeable K-minimum-values distinct sketch (K=64): per-month customer-cardinality estimates via salted two-level rank, plus the 'ALL' row merged FROM the monthly sketches while the oracle builds it from raw rows — exact-merge property hash-checked; the deterministic, oracle-able stand-in for HLL"))
 }

@@ -39,6 +39,54 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("q165 balanced shards: every source placed once, per-class shard counts differ by <= 1") {
+    val rows = run("q165_balanced_shards").collect()
+    val nSources = Tables.documents(spark, sf0001)
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources, "each source assigned exactly once")
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 8
+    })
+    // round-robin balance: within a size class, shard populations differ
+    // by at most one (the property hash placement lacks)
+    rows.groupBy(_.getAs[Long]("size_class")).foreach { case (cls, rs) =>
+      val counts = (0L until 8L).map(sh => rs.count(_.getAs[Long]("shard") == sh))
+      assert(counts.max - counts.min <= 1,
+        s"class $cls shard spread ${counts.mkString(",")}")
+    }
+    // classes honor the ladder: every member's tokens fit its class cap,
+    // and exceed the previous cap (so the <2x spread argument holds)
+    val caps = Seq(1000L, 2000L, 4000L, 8000L, 16000L)
+    rows.foreach { r =>
+      val (tok, cls) = (r.getAs[Long]("n_tok"), r.getAs[Long]("size_class"))
+      assert(tok <= cls || cls == 16000L)
+      val prev = caps.takeWhile(_ < cls).lastOption.getOrElse(0L)
+      assert(tok > prev, s"source ${r.get(0)}: $tok not in ($prev, $cls]")
+    }
+  }
+
+  test("q166 snapshot diff: classes match the gate and remap predicates, changes only") {
+    val diff = run("q166_snapshot_diff").collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"),
+        array_contains(split(col("text"), " "), "spark").as("has_spark"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val byType = diff.groupBy(_.getAs[String]("change_type"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("doc_id")).toSet }
+    assert(!byType.contains("added"), "filter+map successor cannot add docs")
+    assert(byType.getOrElse("removed", Set.empty) ==
+      docs.collect { case (id, (n, _)) if n < 100 => id }.toSet)
+    assert(byType.getOrElse("modified", Set.empty) ==
+      docs.collect { case (id, (n, sp)) if n >= 100 && sp => id }.toSet)
+    // O(changes) output: unchanged docs are suppressed
+    assert(diff.length ==
+      byType.values.map(_.size).sum, "only change rows emitted")
+    diff.filter(_.getAs[String]("change_type") == "modified").foreach { r =>
+      assert(r.getAs[String]("old_md5") != r.getAs[String]("new_md5"))
+    }
+  }
+
   test("q99 packing: token conservation and monotone sequence spans per shard") {
     val rows = run("q99_docs_seq_packing").collect()
     val totalTok = rows.map(_.getAs[Long]("n_tok")).sum

@@ -1013,4 +1013,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.values.map(_._1).sum == nb.size.toLong, "cells partition the corpus")
   }
+
+  test("q164 KMV: sub-K groups exact, merged ALL row equals a direct global sketch, estimates within KMV error") {
+    val K = 64
+    val M = 2147483629L
+    val rows = Registry.byName("q164_kmv_distinct").fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("month_key") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_sketch"),
+          r.getAs[Long]("kth_hash"), r.getAs[Long]("est_distinct"))))
+      .toMap
+    assert(rows.contains(0L), "merged ALL row present")
+    rows.foreach { case (mk, (exact, nSk, _, est)) =>
+      // injectivity of the multiplicative-mod-prime hash for custkey < p:
+      // a sub-K sketch saw every distinct key, so the estimate is EXACT
+      if (nSk < K) assert(est == exact, s"month $mk: sub-K sketch not exact")
+      // at K=64 the KMV relative standard error is ~1/sqrt(K-2) ~ 12.7%;
+      // 4 sigma is a deterministic-data-safe acceptance band
+      else assert(math.abs(est - exact).toDouble / exact < 0.51,
+        s"month $mk: est $est vs exact $exact")
+    }
+    // merge correctness: the ALL row (built ONLY from the monthly
+    // sketches) must equal the sketch a direct global pass computes
+    val globalHashes = graft.Tables.orders(spark, sf0001)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("o_custkey") *
+          org.apache.spark.sql.functions.lit(2654435761L),
+        org.apache.spark.sql.functions.lit(M)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val direct = globalHashes.take(K)
+    val (_, nSkAll, kthAll, _) = rows(0L)
+    assert(nSkAll == math.min(K, globalHashes.length).toLong)
+    assert(kthAll == direct.last, "merged kth != direct global kth")
+  }
 }
