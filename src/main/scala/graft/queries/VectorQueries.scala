@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -79,5 +79,81 @@ object VectorQueries {
              |FROM scored
              |ORDER BY cos_raw DESC, vec_id
              |LIMIT 10""".stripMargin),
-      "brute-force cosine top-k vs query vector (broadcast of the 1-row query side)"))
+      "brute-force cosine top-k vs query vector (broadcast of the 1-row query side)"),
+
+    Q(
+      "q167_sq8_topk",
+      (s, d) => {
+        // INT8 SCALAR QUANTIZATION (SQ8) similarity — the OTHER standard
+        // embedding compression beside PQ (q121/q122): per-dimension
+        // affine codes, 4x smaller than float32, scored by an exact
+        // int64 dot product. Unlike PQ (float codebooks → rows-only
+        // check), every step here is exact-replayable — min/max fit
+        // (no summation), IEEE-deterministic affine map with the
+        // floor(x*s + 0.5) idiom, integer clamp, integer dot — so SQ8
+        // gets a FULL-PARITY oracle, the only quantized-scoring family
+        // in the suite that does.
+        //
+        // SCALE: the fit is one posexplode + 64-row dim agg (the q100
+        // shape, bounded `dim` key); encode is per-row zip_with map
+        // work, no shuffle; the corpus sweep here is the fenced
+        // brute-force baseline (q29's standing) — at 100 TB the same
+        // int8 scoring runs over ANN candidates (q37/q153) instead of
+        // the corpus, with 1/4 the scan bandwidth of float and the
+        // integer ALU beating FMA on memory-bound scans.
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val stats = emb.select(posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+            .as("st"))
+          .select(transform(col("st"), t => t.getField("mn")).as("mins"),
+            transform(col("st"), t => t.getField("mx")).as("maxs"))
+        def codes(e: Column): Column =
+          zip_with(
+            zip_with(e, col("mins"), (x, mn) => x - mn),
+            zip_with(col("maxs"), col("mins"), (mx, mn) => mx - mn),
+            (dx, rg) => when(rg === 0d, lit(0L))
+              .otherwise(greatest(lit(0L),
+                least(lit(255L), floor(dx / rg * 255 + 0.5)))))
+        val coded = emb.crossJoin(broadcast(stats))
+          .select(col("vec_id"), codes(col("e")).as("c"))
+        val qc = coded.filter(col("vec_id") === 0).select(col("c").as("qc"))
+        coded.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qc))
+          .withColumn("sq8_score",
+            aggregate(zip_with(col("c"), col("qc"), (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v))
+          .orderBy(col("sq8_score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("sq8_score"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+             |    i -> struct_pack(dim := i, x := v[i]))) AS s
+             |  FROM v),
+             |f AS (
+             |  SELECT vec_id, struct_extract(s, 'dim') AS dim,
+             |         struct_extract(s, 'x') AS x
+             |  FROM e),
+             |d AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM f GROUP BY dim),
+             |c AS (
+             |  SELECT f.vec_id, f.dim,
+             |    CASE WHEN d.mx = d.mn THEN 0
+             |         ELSE greatest(0, least(255,
+             |           CAST(floor((f.x - d.mn) / (d.mx - d.mn) * 255 + 0.5)
+             |             AS BIGINT)))
+             |    END AS code
+             |  FROM f JOIN d ON f.dim = d.dim),
+             |q AS (SELECT dim, code AS qcode FROM c WHERE vec_id = 0)
+             |SELECT c.vec_id, CAST(sum(c.code * q.qcode) AS BIGINT) AS sq8_score
+             |FROM c JOIN q ON c.dim = q.dim
+             |WHERE c.vec_id <> 0
+             |GROUP BY c.vec_id
+             |ORDER BY sq8_score DESC, vec_id
+             |LIMIT 10""".stripMargin),
+      "int8 scalar quantization (SQ8): per-dim affine codes + exact int64 dot-product top-k — 4x scan-bandwidth reduction vs float32; the only quantized-scoring family with a FULL-PARITY oracle (min/max fit and floor-affine encode are bit-replayable, PQ's float codebooks are not)"))
 }

@@ -1045,4 +1045,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(nSkAll == math.min(K, globalHashes.length).toLong)
     assert(kthAll == direct.last, "merged kth != direct global kth")
   }
+
+  test("q167 SQ8: quantized top-10 overlaps the exact min-shifted-dot top-10 at >= 8/10") {
+    // SQ8 codes share one affine map, so ranking by the integer code dot
+    // approximates ranking by the dot of MIN-SHIFTED vectors (x - mn_d) —
+    // that is the reference ranking the 8-bit grid is asked to preserve.
+    // Deterministic data + deterministic quantization → a fixed overlap
+    // (9/10 observed); the floor leaves one slot of quantization slack.
+    import org.apache.spark.sql.functions.{col => c}
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select(c("vec_id"), c("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val dims = vecs.values.head.length
+    val mn = (0 until dims).map(d => vecs.values.map(_(d)).min).toArray
+    val q = vecs(0L)
+    val exactTop = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> (0 until dims).map(d => (v(d) - mn(d)) * (q(d) - mn(d))).sum
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val sq8Top = Registry.byName("q167_sq8_topk").fn(spark, sf0001).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(sq8Top.size == 10)
+    assert((sq8Top & exactTop).size >= 8,
+      s"overlap ${(sq8Top & exactTop).size}/10")
+  }
 }
