@@ -92,6 +92,19 @@ object RunStream {
     println(s"compaction: postings files $filesBefore -> $filesAfter, " +
       s"tombstones left: ${spark.table("demo_ann_tombstones").count()}, " +
       s"probe rows: ${graft.operators.Similarity.annTopKBatchStored(spark, "demo_ann", batchSize = 4, k = 3).count()}")
+
+    // streaming cardinality monitor (round 13): the inbox's user stream
+    // grows a K-minimum-values sketch in O(K) state; the cumulative
+    // estimate per batch is the dedup-health curve
+    val q6 = graft.streaming.KmvStream.monitor(
+      src.select(col("user_id").cast("long").as("k")), "k",
+      s"$base/kmv_state", s"$base/kmv_mon", s"$base/ckpt_kmv")
+    q6.awaitTermination()
+    val mon = spark.read.parquet(s"$base/kmv_mon")
+      .orderBy(col("batch_id"))
+    println(s"KMV cardinality monitor rows: ${mon.count()}; exact distinct " +
+      s"users: ${graft.Tables.events(spark, sfDir).select("user_id").distinct().count()}")
+    mon.show(6, truncate = false)
     spark.stop()
   }
 }
