@@ -166,6 +166,58 @@ object PqQueries {
       "IVF-PQ top-k against the STORED index (build-once/query-many): coarse + residual fits stored with the code rows partitioned by (batch_id, list_id) — probe prunes whole list directories, no fits, no encode pass; answers row-identical to q123 (PqSpec), rows-only"),
 
     Q(
+      "q168_sq8_topk_batch_stored",
+      (s, d) =>
+        // Batched top-5 against the STORED SQ8 index — the fourth index
+        // family (per-dim affine int8 codes, q167's encoding as a
+        // standing bucketed table set with the full lifecycle:
+        // stream growth against frozen stats, tombstones, compaction,
+        // staleness monitor, refit). Because the fit is a deterministic
+        // min/max — no iterative float clustering — the ORACLE can
+        // replay the whole stored pipeline (fit → encode → probe) from
+        // raw rows: the suite's only stored-index probe with a
+        // full-parity DuckDB twin, so the build+probe path itself is
+        // hash-checked, not merely row-identical to a Spark recompute.
+        graft.operators.Sq8.sq8TopKBatchStored(s, StoredIndexes.sq8(s, d))
+          .orderBy(col("anchor_id"), col("rk")),
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+             |    i -> struct_pack(dim := i, x := v[i]))) AS s
+             |  FROM v),
+             |f AS (
+             |  SELECT vec_id, struct_extract(s, 'dim') AS dim,
+             |         struct_extract(s, 'x') AS x
+             |  FROM e),
+             |d AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM f GROUP BY dim),
+             |c AS (
+             |  SELECT f.vec_id, f.dim,
+             |    CASE WHEN d.mx = d.mn THEN 0
+             |         ELSE greatest(0, least(255,
+             |           CAST(floor((f.x - d.mn) / (d.mx - d.mn) * 255 + 0.5)
+             |             AS BIGINT)))
+             |    END AS code
+             |  FROM f JOIN d ON f.dim = d.dim),
+             |q AS (
+             |  SELECT vec_id AS anchor_id, dim, code AS qcode
+             |  FROM c WHERE vec_id < 16),
+             |sc AS (
+             |  SELECT q.anchor_id, c.vec_id,
+             |    CAST(sum(c.code * q.qcode) AS BIGINT) AS sq8_score
+             |  FROM c JOIN q ON c.dim = q.dim AND c.vec_id <> q.anchor_id
+             |  GROUP BY q.anchor_id, c.vec_id),
+             |r AS (
+             |  SELECT anchor_id, vec_id, sq8_score,
+             |    row_number() OVER (PARTITION BY anchor_id
+             |      ORDER BY sq8_score DESC, vec_id) AS rk
+             |  FROM sc)
+             |SELECT anchor_id, rk, vec_id, sq8_score
+             |FROM r WHERE rk <= 5
+             |ORDER BY anchor_id, rk""".stripMargin),
+      "batched top-5 against the STORED SQ8 index (fourth index family: int8 affine codes, frozen-stats stream growth, tombstones/compaction/staleness/refit lifecycle) — the only stored-index probe with a FULL-PARITY oracle: the deterministic min/max fit lets DuckDB replay build+encode+probe from raw rows"),
+
+    Q(
       "q123_ivfpq_topk",
       (s, d) => {
         val emb = embeddings(s, d)

@@ -96,4 +96,13 @@ private[queries] object StoredIndexes {
     memo(s, dir, "ivfpq") { (prefix, path) =>
       Pq.buildIvfPqIndex(Tables.embeddings(s, dir), prefix, path)
     }
+
+  /** Standing SQ8 index (per-dim min/max fit — deterministic, which is
+    * what lets q168 carry a full oracle) over `embeddings` at `dir`;
+    * returns its table prefix.
+    */
+  def sq8(s: SparkSession, dir: String): String =
+    memo(s, dir, "sq8") { (prefix, path) =>
+      graft.operators.Sq8.buildSq8Index(Tables.embeddings(s, dir), prefix, path)
+    }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions.asDouble
-import graft.operators.{Pq, Similarity}
+import graft.operators.{Pq, Similarity, Sq8}
 
 /** Streaming embedding-index MAINTENANCE — the composition of
   * DedupStream's append-if-absent stored-index discipline with the
@@ -160,6 +160,39 @@ object AnnStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         indexBatchPq(batch.sparkSession, batch.toDF(), batchId, tablePrefix)
+      }
+      .start()
+  }
+
+  /** One micro-batch of SQ8-index maintenance: affine-encode the
+    * batch's vectors against the FROZEN per-dim stats from meta and
+    * append (codes, vecs) under batch_id = `batchId`, if absent — plus
+    * the staleness-monitor row (the batch's clamp rate against the
+    * frozen range — the affine quantizer's drift signal, see
+    * `Sq8.ClampAlertPpm`), completing the fourth index family under
+    * the one discipline.
+    */
+  def indexBatchSq8(spark: SparkSession, batch: DataFrame, batchId: Long,
+      tablePrefix: String): Unit = {
+    val (mins, maxs) = Sq8.sq8IndexStats(spark, tablePrefix)
+    val e = prepared(batch)
+    val (codes, vecs) = Sq8.sq8IndexSlices(e, batchId, mins, maxs)
+    val mon = Sq8.monitorSlice(e, batchId, mins, maxs)
+    appendAbsent(spark, tablePrefix, batchId,
+      Map("codes" -> codes, "vecs" -> vecs, "monitor" -> mon))
+  }
+
+  /** The streaming SQ8-index maintainer — [[maintainAnn]]'s twin over
+    * `Sq8.buildSq8Index` / [[indexBatchSq8]].
+    */
+  def maintainSq8(emb: DataFrame, tablePrefix: String,
+      checkpoint: String): StreamingQuery = {
+    StreamIngest.applyStateStoreDefaults(emb.sparkSession)
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        indexBatchSq8(batch.sparkSession, batch.toDF(), batchId, tablePrefix)
       }
       .start()
   }
