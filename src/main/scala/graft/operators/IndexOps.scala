@@ -151,6 +151,33 @@ object IndexOps {
   def maxBatchId(spark: SparkSession, tableName: String): Long =
     spark.table(tableName).agg(max(col("batch_id"))).collect()(0).getLong(0)
 
+  /** Refuse to run a generation rewrite over a HALF-LANDED maintenance
+    * batch: a crash between a family's per-table appends leaves (say)
+    * codes for batch N with its vecs missing — recoverable, the stream
+    * replay fills exactly the missing slice — but a compaction/refit
+    * that runs FIRST would fold the partial batch into the new
+    * generation and advance `compacted_through` past N, after which the
+    * healing replay is fenced off and the rows are lost with no
+    * recovery path. The guard costs one distinct-partition-ids read per
+    * table (partition-pruned metadata scans) and turns that silent loss
+    * into a loud "drain the maintenance stream first".
+    */
+  def requireAlignedBatches(spark: SparkSession, tablePrefix: String,
+      tables: Seq[String]): Unit = {
+    val sets = tables.map { t =>
+      t -> spark.table(s"${tablePrefix}_$t").select(col("batch_id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    }
+    val all = sets.map(_._2).reduce(_ union _)
+    val missing = sets.flatMap { case (t, s) =>
+      (all diff s).toSeq.sorted.map(b => s"$t missing batch $b")
+    }
+    require(missing.isEmpty,
+      s"$tablePrefix has a half-landed maintenance batch (" +
+        missing.mkString("; ") +
+        ") — replay/drain the maintenance stream before compaction or refit")
+  }
+
   /** Rewrite one index table's batch partitions into a single generation
     * partition `gen`: surviving rows only (when `dropIds` is given),
     * batch_id re-stamped, bucket spec preserved, move-then-rename swap.

@@ -613,6 +613,7 @@ object Pq {
       tablePrefix: String, path: String, iters: Int = 2, seed: Long = 23L,
       nBuckets: Int = 8): Seq[Seq[Seq[Double]]] = {
     import spark.implicits._
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val vs = IndexOps.survivors(spark, tablePrefix,
@@ -645,6 +646,7 @@ object Pq {
       tablePrefix: String, path: String, nLists: Int = 16,
       coarseIters: Int = 2, pqIters: Int = 2, nBuckets: Int = 8): Unit = {
     import spark.implicits._
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val vs = IndexOps.survivors(spark, tablePrefix,
@@ -675,6 +677,7 @@ object Pq {
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
@@ -819,6 +822,7 @@ object Pq {
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val drops = Some(spark.table(s"${tablePrefix}_tombstones"))

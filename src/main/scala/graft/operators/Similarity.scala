@@ -441,6 +441,7 @@ object Similarity {
     */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("buckets", "vecs"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_buckets")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val drops = Some(spark.table(s"${tablePrefix}_tombstones"))

@@ -264,10 +264,21 @@ object Sq8 {
     val anchors = vs.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"),
         encodeExpr(col("v"), mins, maxs).as("qc"))
+    topKFrom(codes, anchors, k)
+  }
+
+  /** The ONE probe core shared by the stored path and its recompute
+    * twin (the identity Sq8IndexSpec pins): self-exclusion join of code
+    * rows against the broadcast quantized anchors, int64 code-dot
+    * score, per-anchor rank, top k — a tie-break or k-filter change
+    * cannot diverge between the two paths.
+    */
+  private def topKFrom(coded: DataFrame, anchors: DataFrame,
+      k: Int): DataFrame = {
     val byAnchor = org.apache.spark.sql.expressions.Window
       .partitionBy(col("anchor_id"))
       .orderBy(col("sq8_score").desc, col("vec_id"))
-    codes.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+    coded.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
       .withColumn("sq8_score", codeDot(col("codes"), col("qc")))
       .withColumn("rk", row_number().over(byAnchor).cast("long"))
       .filter(col("rk") <= k)
@@ -297,15 +308,7 @@ object Sq8 {
       encodeExpr(col("v"), mins, maxs).as("codes"))
     val anchors = coded.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"), col("codes").as("qc"))
-    val byAnchor = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("anchor_id"))
-      .orderBy(col("sq8_score").desc, col("vec_id"))
-    coded.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
-      .withColumn("sq8_score", codeDot(col("codes"), col("qc")))
-      .withColumn("rk", row_number().over(byAnchor).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("anchor_id"), col("rk"), col("vec_id"), col("sq8_score"))
-      .orderBy(col("anchor_id"), col("rk"))
+    topKFrom(coded, anchors, k)
   }
 
   /** Generation compaction — [[IndexOps.compactTable]] over both tables,
@@ -313,6 +316,7 @@ object Sq8 {
     */
   def compactSq8Index(spark: SparkSession, tablePrefix: String,
       path: String, nBuckets: Int = 8): Unit = {
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
@@ -334,6 +338,7 @@ object Sq8 {
     */
   def refitSq8Index(spark: SparkSession, tablePrefix: String,
       path: String, nBuckets: Int = 8): Unit = {
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val vs = IndexOps.survivors(spark, tablePrefix,

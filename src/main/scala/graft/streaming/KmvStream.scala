@@ -70,14 +70,23 @@ object KmvStream {
   def sketchBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       keyCol: String, stateDir: String, monitorDir: String): Unit = {
     val prev = stateBefore(spark, stateDir, batchId)
-    val batchMins = batch.select(keyHash(col(keyCol)).as("h"))
-      .distinct().orderBy(col("h")).limit(K)
+    // NULL keys carry no identity and must not enter the sketch: a null
+    // hash sorts NULLS FIRST, would take a sketch slot ahead of every
+    // real minimum and survive every merge forever (count sees it, max
+    // ignores it — the estimate skews permanently). n_rows counts the
+    // KEYED rows for the same reason: it is the denominator of the
+    // cardinality curve, not a DQ volume gauge (DqChecks owns nulls).
+    // One materialization serves both the count and the K-minima pass.
+    val keyed = batch.select(keyHash(col(keyCol)).as("h"))
+      .filter(col("h").isNotNull).localCheckpoint(true)
+    val batchMins = keyed.distinct().orderBy(col("h")).limit(K)
     val merged = prev.unionByName(batchMins).distinct()
       .orderBy(col("h")).limit(K)
       .localCheckpoint(true) // sever from prev's files before overwriting
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/batch_id=$batchId")
-    val nRows = batch.count()
+    val nRows = keyed.count()
+    keyed.unpersist(blocking = false)
     val agg = merged.agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
       .collect()(0)
     val nSk = agg.getLong(0)

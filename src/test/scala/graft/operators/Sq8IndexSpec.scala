@@ -81,6 +81,14 @@ class Sq8IndexSpec extends AnyFunSuite {
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val (cSlice, _) = Sq8.sq8IndexSlices(gPrepared, 2L, mins, maxs)
     graft.sources.Bucketing.appendBucketedPartition(cSlice, "sq8s_codes")
+    // a generation rewrite over the half-landed batch must REFUSE: a
+    // compaction here would fold the partial batch, advance the fence
+    // past it, and turn the healing replay into a fenced no-op — silent
+    // data loss. The guard makes it loud instead.
+    val refusal = intercept[IllegalArgumentException] {
+      Sq8.compactSq8Index(spark, "sq8s", s"$base/idx")
+    }
+    assert(refusal.getMessage.contains("half-landed"), refusal.getMessage)
     AnnStream.indexBatchSq8(spark, ghost, 2L, "sq8s")
     assert(spark.table("sq8s_codes").filter(col("batch_id") === 2L).count() == 3L)
     assert(spark.table("sq8s_vecs").filter(col("batch_id") === 2L).count() == 3L)
