@@ -443,12 +443,15 @@ object Pq {
   // ---------------------------------------------------------------------
 
   /** Stored-PQ-index layout marker (DecontamStream discipline). Format 2
-    * (r13) adds the `_tombstones` + `_monitor` tables and the
-    * `mse_micros` / `compacted_through` meta columns — a format-1 index
-    * would silently resurrect deleted vectors and has no staleness
-    * baseline, so it must rebuild.
+    * (r13) added the `_tombstones` + `_monitor` tables and the
+    * `mse_micros` / `compacted_through` meta columns; format 3 (r14)
+    * extends the monitor schema with the tail-coverage statistic
+    * (`tail_ppm` / `tail_bar_ppm` / `tail_alert` — see
+    * [[graft.operators.IndexOps.MonitorSchema]]). A stale-format index
+    * would silently resurrect deleted vectors / fail monitor appends, so
+    * it must rebuild.
     */
-  val PqIndexFormat = 2
+  val PqIndexFormat = 3
 
   /** Staleness alert bar: a maintenance batch whose quantization MSE
     * exceeds this multiple of the BUILD-time MSE signals that the frozen
@@ -457,6 +460,21 @@ object Pq {
     * the alert row is bit-deterministic.
     */
   val StalenessFactor = 2L
+
+  /** Tail-coverage statistic (r13 verdict #4 — the per-family second
+    * alarm): a vector counts as a TAIL member when its per-vector
+    * quantization error exceeds [[TailFactor]]× the build MSE. The batch
+    * alerts when more than [[TailAlertPpm]] (ppm) of its vectors are
+    * tail members — a sub-population the frozen codebooks cannot encode
+    * (new language, new modality slice) that the batch MEAN hides when
+    * the rest of the batch is ordinary. The complement holds too: a
+    * uniform mean shift trips the MSE alarm with the tail quiet. Both
+    * thresholds are exact-integer comparisons on int64 micros, so the
+    * alert rows are bit-deterministic; SQ8's clamp-ppm plays the same
+    * coverage role for the affine family (`Sq8.ClampAlertPpm`).
+    */
+  val TailFactor = 4L
+  val TailAlertPpm = 100000L
 
   /** Per-row PQ quantization error in exact int64 micros: for each
     * subspace, the squared L2 distance to the CHOSEN (argmin) centroid,
@@ -551,17 +569,32 @@ object Pq {
 
   /** One maintenance batch's staleness-monitor row: the delta's
     * quantization MSE against the FROZEN codebooks vs the build-time
-    * baseline, alert = mse > [[StalenessFactor]] × build (exact int64).
-    * An empty batch records (0, 0, no alert).
+    * baseline (alert = mse > [[StalenessFactor]] × build) PLUS the
+    * tail-coverage statistic (tail_ppm = ppm of vectors whose per-vector
+    * error exceeds [[TailFactor]] × build, tail_alert above
+    * [[TailAlertPpm]]) — both exact int64, one aggregation pass. An
+    * empty batch records (0, 0, …, no alerts).
     */
   private[graft] def monitorSlice(e: DataFrame, batchId: Long,
       cbs: Seq[Seq[Seq[Double]]], buildMse: Long): DataFrame =
-    quantMseMicros(e, cbs)
+    e.select(quantErrMicros(col("v"), cbs).as("fx"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("fx")).as("sum_fx"),
+        sum(when(col("fx") > lit(TailFactor * buildMse), 1L).otherwise(0L))
+          .as("n_tail"))
+      .select(col("n_vecs"),
+        when(col("n_vecs") > 0, expr("sum_fx div n_vecs")).otherwise(lit(0L))
+          .as("mse_micros"),
+        when(col("n_vecs") > 0, expr("(n_tail * 1000000) div n_vecs"))
+          .otherwise(lit(0L)).as("tail_ppm"))
       .select(col("n_vecs"), col("mse_micros"),
         lit(buildMse).as("build_mse_micros"),
         (col("n_vecs") > 0 &&
           col("mse_micros") > lit(StalenessFactor) * lit(buildMse))
           .cast("long").as("alert"),
+        col("tail_ppm"),
+        lit(TailAlertPpm).as("tail_bar_ppm"),
+        (col("n_vecs") > 0 && col("tail_ppm") > TailAlertPpm)
+          .cast("long").as("tail_alert"),
         lit(batchId).as("batch_id"))
 
   /** Re-register the stored PQ index in a fresh session catalog from its
@@ -613,7 +646,8 @@ object Pq {
       tablePrefix: String, path: String, iters: Int = 2, seed: Long = 23L,
       nBuckets: Int = 8): Seq[Seq[Seq[Double]]] = {
     import spark.implicits._
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
+      historyTables = Seq("monitor"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val vs = IndexOps.survivors(spark, tablePrefix,
@@ -646,7 +680,8 @@ object Pq {
       tablePrefix: String, path: String, nLists: Int = 16,
       coarseIters: Int = 2, pqIters: Int = 2, nBuckets: Int = 8): Unit = {
     import spark.implicits._
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
+      historyTables = Seq("monitor"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val vs = IndexOps.survivors(spark, tablePrefix,
@@ -677,7 +712,8 @@ object Pq {
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
+      historyTables = Seq("monitor"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
@@ -822,7 +858,8 @@ object Pq {
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
+      historyTables = Seq("monitor"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val drops = Some(spark.table(s"${tablePrefix}_tombstones"))

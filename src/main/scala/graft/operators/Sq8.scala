@@ -316,7 +316,8 @@ object Sq8 {
     */
   def compactSq8Index(spark: SparkSession, tablePrefix: String,
       path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
+      historyTables = Seq("monitor"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
@@ -338,7 +339,8 @@ object Sq8 {
     */
   def refitSq8Index(spark: SparkSession, tablePrefix: String,
       path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"))
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
+      historyTables = Seq("monitor"))
     val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     val vs = IndexOps.survivors(spark, tablePrefix,

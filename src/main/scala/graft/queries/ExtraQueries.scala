@@ -786,7 +786,13 @@ object ExtraQueries {
           .agg(slice(sort_array(collect_set(col("h"))), 1, K).as("hs"))
           .select(lit(0L).as("month_key"),
             least(size(col("hs")), lit(K)).cast("long").as("n_sketch"),
-            element_at(col("hs"), least(size(col("hs")), lit(K))).as("kth_hash"))
+            // guard the empty-input case: element_at(_, 0) THROWS (SQL
+            // array indices start at 1), so an empty orders table must
+            // short-circuit to the KmvStream empty-sketch sentinel (−1)
+            // instead of failing the report row (advisor r13)
+            when(size(col("hs")) > 0,
+              element_at(col("hs"), least(size(col("hs")), lit(K))))
+              .otherwise(lit(-1L)).as("kth_hash"))
           .crossJoin(o.agg(countDistinct(col("o_custkey")).as("n_exact")))
         perMonth.unionByName(allSketch.select(perMonth.columns.map(col).toSeq: _*))
           .withColumn("est_distinct", est)

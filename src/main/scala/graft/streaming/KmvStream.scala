@@ -45,20 +45,52 @@ object KmvStream {
   def keyHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(key * lit(2654435761L), lit(M))
 
+  /** State-generation directory ids under `stateDir`, listed through
+    * the Hadoop FileSystem API (the writers are Spark's Hadoop-FS
+    * writers, so the listing must resolve the same filesystem — a
+    * java.io.File listing pinned the monitor to the local FS, advisor
+    * r13).
+    */
+  private def stateGens(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+  }
+
   /** The sketch as of the highest recorded batch BELOW `batchId`
     * (empty frame before the first batch) — the replay-safe read point:
     * a re-delivered batch N never sees its own prior output.
     */
   def stateBefore(spark: SparkSession, stateDir: String,
       batchId: Long): DataFrame = {
-    val dirs = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .map(_.getName.stripPrefix("batch_id=").toLong)
-      .filter(_ < batchId)
+    val dirs = stateGens(spark, stateDir).filter(_ < batchId)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stateSchema)
     else spark.read.schema(stateSchema)
       .parquet(s"$stateDir/batch_id=${dirs.max}")
+  }
+
+  /** Drop state generations older than `batchId - 1` once batch
+    * `batchId` has fully landed — without this the state dir accumulated
+    * one ≤K-row generation per micro-batch FOREVER (advisor r13).
+    * Generation N−1 is deliberately KEPT alongside N: foreachBatch is
+    * at-least-once, and a replay of batch N (its checkpoint commit
+    * lost) re-reads `stateBefore(N)` = generation N−1 — pruning it on
+    * OUR write (rather than the checkpoint's commit, which we cannot
+    * see) would make the replay recompute from empty state. A replay of
+    * batch N−1 itself cannot happen once N has started: starting N
+    * proves N−1's checkpoint commit was durable.
+    */
+  private def pruneStateBefore(spark: SparkSession, stateDir: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    stateGens(spark, stateDir).filter(_ < batchId - 1).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/batch_id=$g"), true)
+    }
   }
 
   /** One micro-batch: merge the batch's K minima into the running
@@ -100,6 +132,7 @@ object KmvStream {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$monitorDir/batch_id=$batchId")
     merged.unpersist(blocking = false)
+    pruneStateBefore(spark, stateDir, batchId)
   }
 
   /** Start the monitor over a streaming frame: AvailableNow draining,

@@ -108,6 +108,33 @@ class IndexCompactionSpec extends AnyFunSuite {
     dropAll("ca_ivfpq")
   }
 
+  test("swap-crash recovery is mechanical: a missing live dir with a surviving __old sibling restores the previous generation (advisor r13)") {
+    val base = Files.createTempDirectory("rs_ann")
+    Similarity.buildAnnIndex(emb.filter(col("vec_id") >= 100), "rs_ann", s"$base/idx")
+    AnnStream.indexBatchAnn(spark, emb.filter(col("vec_id") < 50), 0L, "rs_ann")
+    val before = sortedRows(Similarity.annTopKBatchStored(spark, "rs_ann"))
+    // simulate the crash INSIDE swapIn's two-rename window on the vecs
+    // table: live moved to __old, tmp (__compact) written, JVM died
+    // before tmp -> live; catalog entry gone with the "restart"
+    val live = s"$base/idx/vecs"
+    IndexOps.moveDir(spark, live, s"${live}__old")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${live}__compact"))
+    spark.sql("DROP TABLE rs_ann_vecs")
+    assert(IndexOps.recoverSwap(spark, "rs_ann_vecs", live))
+    assert(IndexOps.dirExists(spark, live) &&
+      !IndexOps.dirExists(spark, s"${live}__old") &&
+      !IndexOps.dirExists(spark, s"${live}__compact"))
+    // reattach sees the restored generation; probes answer as before
+    Similarity.reattachAnnIndex(spark, "rs_ann", s"$base/idx")
+    assert(sortedRows(Similarity.annTopKBatchStored(spark, "rs_ann")) == before)
+    // idempotent: with a healthy live dir the helper is a no-op
+    assert(!IndexOps.recoverSwap(spark, "rs_ann_vecs", live))
+    // ...and the next compaction runs clean over the recovered state
+    Similarity.compactAnnIndex(spark, "rs_ann", s"$base/idx")
+    assert(sortedRows(Similarity.annTopKBatchStored(spark, "rs_ann")) == before)
+    dropAll("rs_ann")
+  }
+
   test("IVF-PQ refit generation: both fits refreshed on the surviving corpus, stored answers row-identical to the recompute under the new fits") {
     val base = Files.createTempDirectory("rf_ivfpq")
     Pq.buildIvfPqIndex(emb.filter(col("vec_id") >= 100), "rf_ivfpq", s"$base/idx")

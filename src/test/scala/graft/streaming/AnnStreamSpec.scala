@@ -211,6 +211,124 @@ class AnnStreamSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("tail-coverage statistic: a tail sub-population alerts tail_alert with the batch MEAN quiet; a uniform mean shift trips both alarms (r13 verdict #4)") {
+    val base = Files.createTempDirectory("tc_pq")
+    Pq.buildPqIndex(emb.filter(col("vec_id") >= 100), "tc_pq",
+      s"$base/idx", iters = 2)
+    val build = Pq.indexBuildMse(spark, "tc_pq")
+    val cbs = Pq.pqIndexCodebooks(spark, "tc_pq")
+    // per-vector quantization error of the early-corpus slice translated
+    // by `shift` — the knob that manufactures a tail sub-population
+    def errsAt(shift: Float): Map[Long, Long] =
+      emb.filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (x + lit(shift)).cast("double")).as("v"))
+        .select(col("vec_id"), Pq.quantErrMicros(col("v"), cbs).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ladder up the shift until >= 7 vectors land in the
+    // (TailFactor×build, 8×build) band: individually tail members, yet
+    // bounded enough that a ~12% minority cannot move the batch mean
+    // past the StalenessFactor bar
+    val lo = Pq.TailFactor * build
+    val hi = 8L * build
+    val ladder = Seq(0.05f, 0.1f, 0.15f, 0.2f, 0.3f, 0.45f, 0.7f, 1.0f, 1.5f)
+    val shift = ladder.find(s =>
+      errsAt(s).values.count(e => e > lo + build / 5 && e < hi) >= 7)
+      .getOrElse(fail(s"no ladder shift produced a (4x,8x)-of-build tail band (build=$build)"))
+    val tailIds = errsAt(shift)
+      .filter { case (_, e) => e > lo + build / 5 && e < hi }
+      .keys.toSeq.sorted.take(7)
+    val fillerErrs = errsAt(0f)
+    val tailErrs = errsAt(shift).view.filterKeys(tailIds.contains).toMap
+    // PRECONDITIONS the corpus must grant (deterministic, so they hold
+    // forever once they hold once): the batch mean stays under the MSE
+    // bar while >10% of its vectors individually exceed the tail bar
+    val n = 50 + tailIds.size
+    val mean = (fillerErrs.values.sum + tailErrs.values.sum) / n
+    assert(mean <= Pq.StalenessFactor * build,
+      s"crafted batch mean $mean would trip the MSE alarm (build $build)")
+    val expTail = (fillerErrs.values ++ tailErrs.values).count(_ > lo)
+    val expPpm = expTail.toLong * 1000000L / n
+    assert(expPpm > Pq.TailAlertPpm,
+      s"crafted tail fraction $expPpm ppm under the bar")
+    val batch = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 70000L).as("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id").isin(tailIds: _*))
+        .select((col("vec_id") + 80000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(shift)).as("embedding")))
+    AnnStream.indexBatchPq(spark, batch, 0L, "tc_pq")
+    val row = spark.table("tc_pq_monitor")
+      .filter(col("batch_id") === 0L).collect()(0)
+    // the tail-only signature: MSE quiet, coverage loud — the pair of
+    // columns that distinguishes "a sub-population the codebooks cannot
+    // encode" from "the whole distribution moved"
+    assert(row.getAs[Long]("alert") == 0L, s"mean alarm tripped: $row")
+    assert(row.getAs[Long]("tail_alert") == 1L, s"tail alarm quiet: $row")
+    assert(row.getAs[Long]("tail_ppm") == expPpm,
+      s"tail_ppm ${row.getAs[Long]("tail_ppm")} != expected $expPpm")
+    // uniform mean shift (+2 per dim): every vector is a tail member AND
+    // the mean explodes — both alarms fire, completing the truth table
+    AnnStream.indexBatchPq(spark,
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 90000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding")),
+      1L, "tc_pq")
+    val row1 = spark.table("tc_pq_monitor")
+      .filter(col("batch_id") === 1L).collect()(0)
+    assert(row1.getAs[Long]("alert") == 1L && row1.getAs[Long]("tail_alert") == 1L,
+      s"uniform shift should trip both alarms: $row1")
+    // the IVF-PQ family carries the same pair of statistics over its
+    // RESIDUAL quantizer: the uniform shift trips both there too
+    Pq.buildIvfPqIndex(emb.filter(col("vec_id") >= 100), "tc_ivfpq", s"$base/ivfpq")
+    AnnStream.indexBatchIvfPq(spark,
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 90000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding")),
+      0L, "tc_ivfpq")
+    val ivfRow = spark.table("tc_ivfpq_monitor")
+      .filter(col("batch_id") === 0L).collect()(0)
+    assert(ivfRow.getAs[Long]("alert") == 1L &&
+      ivfRow.getAs[Long]("tail_alert") == 1L,
+      s"IVF-PQ uniform shift should trip both alarms: $ivfRow")
+    Seq("tc_pq_codes", "tc_pq_vecs", "tc_pq_meta", "tc_pq_tombstones",
+      "tc_pq_monitor", "tc_ivfpq_codes", "tc_ivfpq_vecs", "tc_ivfpq_meta",
+      "tc_ivfpq_tombstones", "tc_ivfpq_monitor")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("half-landed MONITOR row blocks compaction: a crash after vecs but before the monitor append must not be folded past (advisor r13)") {
+    val base = Files.createTempDirectory("hm_pq")
+    Pq.buildPqIndex(emb.filter(col("vec_id") >= 100), "hm_pq",
+      s"$base/idx", iters = 2)
+    val cbs = Pq.pqIndexCodebooks(spark, "hm_pq")
+    // stage batch 0 with codes+vecs landed but the monitor row MISSING —
+    // the exact crash window the advisor flagged: compaction folding
+    // past it would fence off the replay that writes the (potentially
+    // alerting) monitor row
+    val delta = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 7000L).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val (codes, vs) = Pq.pqIndexSlices(delta, 0L, cbs)
+    graft.sources.Bucketing.appendBucketedPartition(codes, "hm_pq_codes")
+    graft.sources.Bucketing.appendBucketedPartition(vs, "hm_pq_vecs")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.compactPqIndex(spark, "hm_pq", s"$base/idx")
+    }
+    assert(ex.getMessage.contains("monitor missing batch 0"), ex.getMessage)
+    // the healing replay fills exactly the missing monitor row, after
+    // which compaction proceeds
+    AnnStream.indexBatchPq(spark,
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 7000L).as("vec_id"), col("embedding")),
+      0L, "hm_pq")
+    assert(spark.table("hm_pq_monitor").count() == 1)
+    Pq.compactPqIndex(spark, "hm_pq", s"$base/idx")
+    assert(graft.operators.IndexOps.compactedThrough(spark, "hm_pq") == 0L)
+    Seq("hm_pq_codes", "hm_pq_vecs", "hm_pq_meta", "hm_pq_tombstones",
+      "hm_pq_monitor")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("streaming deletion propagation: a drop decision in batch N is unretrievable from batch N+1 on, exactly-once under replay") {
     val base = Files.createTempDirectory("sd_ann")
     val inbox = base.resolve("deletes")

@@ -91,5 +91,13 @@ class KmvStreamSpec extends AnyFunSuite {
     assert(stateAt(3) == stateAt(2), "empty batch moved the sketch")
     val m3 = monitor().find(_._1 == 3L).get
     assert(m3._2 == 0L && m3._5 == rows.last._5)
+
+    // state-generation pruning (advisor r13): only the latest generation
+    // and its replay-safety predecessor survive — the dir no longer
+    // accumulates one generation per micro-batch forever
+    val gens = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted.toSeq
+    assert(gens == Seq(2L, 3L), s"unpruned state generations: $gens")
   }
 }
