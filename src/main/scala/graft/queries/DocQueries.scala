@@ -32,7 +32,7 @@ object DocQueries {
     * "retrieve for ONE query"; a query BATCH would broadcast a terms table
     * instead, same plan shape).
     */
-  private[queries] val bm25Terms = Seq("spark", "merge", "window")
+  private[graft] val bm25Terms = Seq("spark", "merge", "window")
 
   /** Per-(doc, term) BM25 contribution in integer micros — ONE string,
     * parsed by Spark's `expr` and interpolated verbatim into the DuckDB
@@ -41,13 +41,43 @@ object DocQueries {
     * (the decimal-literal routing hazard in [[Q]]'s scaladoc); ln of the
     * Lucene idf form is engine-portable under micros flooring (q61
     * precedent). Expects columns tf, df, dl, n_docs, tot_dl in scope.
+    * `private[graft]`: also the scoring tree of the STORED lexical
+    * index's probe (`operators.Lexical` — r13 verdict #1), which is what
+    * lets the stored path carry q131's full-parity oracle.
     */
-  private[queries] val bm25Micros: String =
+  private[graft] val bm25Micros: String =
     "CAST(floor(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
       " / (CAST(df AS DOUBLE) + 0.5)) * CAST(tf AS DOUBLE) * 2.2" +
       " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)" +
       " / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))" +
       " * 1000000 + 0.5) AS BIGINT)"
+
+  /** q131's full oracle SQL, parameterized over the document source
+    * relation — ONE copy serving the recompute path (q131), the stored
+    * probe (q169, identical corpus → identical SQL) and the TOMBSTONED
+    * stored probe (q171, `src` = the surviving-docs subquery: df, N and
+    * total length all shrink exactly, so even deletion carries full
+    * DuckDB parity).
+    */
+  private[queries] def bm25OracleSql(src: String = "documents"): String =
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM $src),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $src)
+       |  WHERE token IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, token),
+       |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (
+       |  SELECT tf.doc_id, $bm25Micros AS c_micros
+       |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |  CAST(sum(c_micros) AS BIGINT) AS score_micros
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_micros DESC, doc_id
+       |LIMIT 20""".stripMargin
 
   /** q133's per-bigram-instance log-prob contribution in integer micros —
     * the [[bm25Micros]] shared-string discipline. COALESCE(…, 0) folds the
@@ -954,24 +984,7 @@ object DocQueries {
           .limit(20)
           .select(col("doc_id"), col("n_hit"), col("score_micros"))
       },
-      Some(s"""WITH dl AS (
-             |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-             |st AS (
-             |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
-             |tf AS (
-             |  SELECT doc_id, token, count(*) AS tf FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-             |  WHERE token IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
-             |  GROUP BY doc_id, token),
-             |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-             |sc AS (
-             |  SELECT tf.doc_id, $bm25Micros AS c_micros
-             |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
-             |  CAST(sum(c_micros) AS BIGINT) AS score_micros
-             |FROM sc GROUP BY doc_id
-             |ORDER BY score_micros DESC, doc_id
-             |LIMIT 20""".stripMargin),
+      Some(bm25OracleSql()),
       "BM25 top-20 lexical retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed query-term set — term-filtered postings agg, broadcast corpus stats, integer-micros scores summed order-independently; the keyword complement of the ANN operators"),
 
     Q(

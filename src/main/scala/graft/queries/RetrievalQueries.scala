@@ -26,6 +26,86 @@ object RetrievalQueries {
   private val RrfK = 60
   private val FuseDepth = 100
 
+  /** The dense RRF leg (q29's cosine, vec_id 0 as the query embedding,
+    * doc_id = vec_id corpus alignment): (doc_id, rank_dense) over the
+    * top FuseDepth — ONE copy shared by q146 (recompute lexical leg)
+    * and q170 (stored lexical leg), so the fused answers cannot drift.
+    */
+  private def denseRanks(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos_raw", cosine(col("v"), col("qv")))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(FuseDepth)
+      .withColumn("rank_dense",
+        row_number().over(Window.orderBy(col("cos_raw").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+  }
+
+  /** The RRF fusion tail (exact integer micros, full-outer over the two
+    * ≤FuseDepth legs) — shared by q146 and q170.
+    */
+  private def rrfFuse(lex: org.apache.spark.sql.DataFrame,
+      dense: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+        (coalesce(expr(s"1000000 DIV ($RrfK + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_dense)"), lit(0L)))
+          .as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(20)
+
+  /** q146's full oracle SQL — verbatim for q170 too: the stored lexical
+    * leg is bit-identical to the recompute (exact stored integers + the
+    * one shared bm25Micros tree), so fusing it cannot change a row.
+    */
+  private val rrfOracleSql: String =
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token IN (${DocQueries.bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, token),
+       |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |bm AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(${DocQueries.bm25Micros}) AS BIGINT) AS score_micros
+       |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY tf.doc_id),
+       |lex AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rank_lex
+       |  FROM bm ORDER BY score_micros DESC, doc_id LIMIT $FuseDepth),
+       |q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |dn AS (
+       |  SELECT vec_id,
+       |    list_inner_product(CAST(embedding AS DOUBLE[]), qv)
+       |      / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                 CAST(embedding AS DOUBLE[])))
+       |         * sqrt(list_inner_product(qv, qv))) AS cos_raw
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |dense AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank_dense
+       |  FROM dn ORDER BY cos_raw DESC, vec_id LIMIT $FuseDepth)
+       |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+       |  rank_lex, rank_dense,
+       |  COALESCE(1000000 // ($RrfK + rank_lex), 0)
+       |    + COALESCE(1000000 // ($RrfK + rank_dense), 0) AS rrf_micros
+       |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+       |ORDER BY rrf_micros DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q145_hard_negatives",
@@ -122,66 +202,9 @@ object RetrievalQueries {
             row_number().over(Window.orderBy(col("score_micros").desc, col("doc_id")))
               .cast("long"))
           .select(col("doc_id"), col("rank_lex"))
-        val emb = embeddings(s, d)
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
-        val dense = emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .withColumn("cos_raw", cosine(col("v"), col("qv")))
-          .orderBy(col("cos_raw").desc, col("vec_id"))
-          .limit(FuseDepth)
-          .withColumn("rank_dense",
-            row_number().over(Window.orderBy(col("cos_raw").desc, col("vec_id")))
-              .cast("long"))
-          .select(col("vec_id").as("doc_id"), col("rank_dense"))
-        lex.join(dense, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
-            (coalesce(expr(s"1000000 DIV ($RrfK + rank_lex)"), lit(0L)) +
-              coalesce(expr(s"1000000 DIV ($RrfK + rank_dense)"), lit(0L)))
-              .as("rrf_micros"))
-          .orderBy(col("rrf_micros").desc, col("doc_id"))
-          .limit(20)
+        rrfFuse(lex, denseRanks(s, d))
       },
-      Some(s"""WITH dl AS (
-             |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-             |st AS (
-             |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
-             |tf AS (
-             |  SELECT doc_id, token, count(*) AS tf FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-             |  WHERE token IN (${DocQueries.bm25Terms.map("'" + _ + "'").mkString(", ")})
-             |  GROUP BY doc_id, token),
-             |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-             |bm AS (
-             |  SELECT tf.doc_id,
-             |    CAST(sum(${DocQueries.bm25Micros}) AS BIGINT) AS score_micros
-             |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st
-             |  GROUP BY tf.doc_id),
-             |lex AS (
-             |  SELECT doc_id,
-             |    row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rank_lex
-             |  FROM bm ORDER BY score_micros DESC, doc_id LIMIT $FuseDepth),
-             |q AS (
-             |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-             |  WHERE vec_id = 0),
-             |dn AS (
-             |  SELECT vec_id,
-             |    list_inner_product(CAST(embedding AS DOUBLE[]), qv)
-             |      / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-             |                                 CAST(embedding AS DOUBLE[])))
-             |         * sqrt(list_inner_product(qv, qv))) AS cos_raw
-             |  FROM embeddings, q WHERE vec_id <> 0),
-             |dense AS (
-             |  SELECT vec_id AS doc_id,
-             |    row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank_dense
-             |  FROM dn ORDER BY cos_raw DESC, vec_id LIMIT $FuseDepth)
-             |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
-             |  rank_lex, rank_dense,
-             |  COALESCE(1000000 // ($RrfK + rank_lex), 0)
-             |    + COALESCE(1000000 // ($RrfK + rank_dense), 0) AS rrf_micros
-             |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
-             |ORDER BY rrf_micros DESC, doc_id
-             |LIMIT 20""".stripMargin),
+      Some(rrfOracleSql),
       "hybrid retrieval: reciprocal-rank fusion (k=60, integer micros — 1000000 DIV (60+rank), no float) of the BM25 lexical top-100 and the dense cosine top-100 — per-leg TakeOrdered cuts, constant-size ranking and fusion join at any corpus size"),
 
     Q(
@@ -297,5 +320,59 @@ object RetrievalQueries {
           embeddings(s, d), k = 3)
           .orderBy(col("anchor_id"), col("rk")),
       None,
-      "corpus-wide hard-negative mining via banded LSH candidates (q145's scale path): per-vector top-3 different-label neighbors in the hard band — linear candidate growth, exact label/band re-check; rows-only, recall floor + exact precision pinned in RetrievalSpec"))
+      "corpus-wide hard-negative mining via banded LSH candidates (q145's scale path): per-vector top-3 different-label neighbors in the hard band — linear candidate growth, exact label/band re-check; rows-only, recall floor + exact precision pinned in RetrievalSpec"),
+
+    Q(
+      "q169_bm25_topk_stored",
+      (s, d) =>
+        // q131 against the STORED inverted index (r13 verdict #1 — the
+        // lexical leg joins build-once/query-many): the first call per
+        // session builds <prefix>_postings/doclen/stats
+        // (Lexical.buildLexIndex); every later call pays only the probe —
+        // a term-filtered postings scan (|terms| index slices at any
+        // corpus size), a |terms|-row df re-count, an O(batches)-row
+        // stats sum, no corpus re-tokenization. FULL ORACLE (the q168
+        // precedent): every stored column is an exact integer and the
+        // score is the one shared bm25Micros IEEE tree, so the probe is
+        // bit-identical to q131's recompute — the SQL twin IS q131's.
+        graft.operators.Lexical.bm25TopKStored(
+          s, StoredIndexes.lex(s, d), DocQueries.bm25Terms),
+      Some(DocQueries.bm25OracleSql()),
+      "BM25 top-20 against the STORED inverted index (build-once/query-many): token-bucketed postings + doclen + per-batch stats tables under the IndexOps lifecycle; probe cost = the query's own index slices — bit-identical to q131, FULL DuckDB oracle"),
+
+    Q(
+      "q170_rrf_hybrid_stored",
+      (s, d) =>
+        // q146 with its lexical leg served by the stored index: the
+        // stored BM25 ranks are bit-identical to the recompute
+        // (q169's parity), the dense leg is the SAME shared code as
+        // q146 (denseRanks), so the fusion carries q146's full oracle
+        // verbatim — the hybrid-retrieval shape a production pipeline
+        // runs per query batch, now with neither leg re-deriving
+        // corpus-wide state.
+        rrfFuse(
+          graft.operators.Lexical.bm25RanksStored(
+            s, StoredIndexes.lex(s, d), DocQueries.bm25Terms, FuseDepth),
+          denseRanks(s, d)),
+      Some(rrfOracleSql),
+      "reciprocal-rank fusion with the lexical leg from the STORED BM25 index (build-once/query-many) fused against the dense cosine leg — row-identical to q146, FULL DuckDB oracle; per-query cost is the probe, not a corpus re-tokenization"),
+
+    Q(
+      "q171_bm25_stored_tombstoned",
+      (s, d) =>
+        // q169 with a DELETION SET applied (the q161 shape for the
+        // lexical family): every doc_id ≡ 0 (mod 7) is tombstoned as
+        // deletion batch 0. Unlike the LSH family — where deletion
+        // correctness is pinned by rebuild-identity tests — the lexical
+        // probe's deletion adjustment is EXACT integer arithmetic
+        // (surviving postings shrink df; the stats increments minus the
+        // tombstoned docs' doclen rows shrink N and total length), so
+        // this is the suite's first stored+tombstoned probe with a FULL
+        // DuckDB oracle: the twin simply recomputes BM25 over the
+        // surviving documents.
+        graft.operators.Lexical.bm25TopKStored(
+          s, StoredIndexes.lexTombstoned(s, d), DocQueries.bm25Terms),
+      Some(DocQueries.bm25OracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 0)")),
+      "stored BM25 probe WITH TOMBSTONES: drop decisions anti-joined before scoring, df/N/total-length all shrink exactly — bit-identical to a recompute over the surviving corpus, FULL DuckDB oracle (a first for a tombstoned stored probe)"))
 }

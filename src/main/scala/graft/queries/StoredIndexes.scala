@@ -105,4 +105,30 @@ private[queries] object StoredIndexes {
     memo(s, dir, "sq8") { (prefix, path) =>
       graft.operators.Sq8.buildSq8Index(Tables.embeddings(s, dir), prefix, path)
     }
+
+  /** Standing BM25 lexical index (stored inverted postings — exact
+    * integers, so q169/q170 carry q131/q146's full oracles) over
+    * `documents` at `dir`; returns its table prefix.
+    */
+  def lex(s: SparkSession, dir: String): String =
+    memo(s, dir, "lex") { (prefix, path) =>
+      graft.operators.Lexical.buildLexIndex(Tables.documents(s, dir), prefix, path)
+    }
+
+  /** Standing lexical index WITH a tombstoned deletion set (q171): the
+    * same build as [[lex]] under its own prefix, then every
+    * doc_id ≡ 0 (mod 7) tombstoned as deletion batch 0 (the q161
+    * stand-in for a dedup/decontam DROP decision). Unlike the LSH
+    * family, the deletion-adjusted probe stays EXACTLY SQL-replayable
+    * (df/N/total-length shrink by integer arithmetic), so q171 is the
+    * first stored+tombstoned probe with a full DuckDB oracle.
+    */
+  def lexTombstoned(s: SparkSession, dir: String): String =
+    memo(s, dir, "lexts") { (prefix, path) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.Lexical.buildLexIndex(docs, prefix, path)
+      graft.operators.Lexical.tombstoneDocs(s, prefix,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")),
+        batchId = 0L)
+    }
 }

@@ -63,7 +63,7 @@ object AnnStream {
     * partitions away, so the per-partition probe would see them as
     * absent and a pre-compaction replay would re-duplicate their rows.
     */
-  private def appendAbsent(spark: SparkSession, tablePrefix: String,
+  private[streaming] def appendAbsent(spark: SparkSession, tablePrefix: String,
       batchId: Long, slices: Map[String, DataFrame]): Unit = {
     import graft.sources.Bucketing
     if (batchId <= graft.operators.IndexOps.compactedThrough(spark, tablePrefix))

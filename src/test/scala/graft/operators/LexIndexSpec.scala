@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import graft.streaming.LexStream
+import java.nio.file.{Files, Path}
+
+/** The stored BM25 inverted index (r13 verdict #1): probes must be
+  * bit-identical to the q131 recompute over the same corpus, streaming
+  * growth must keep that identity batch by batch under the
+  * append-if-absent replay discipline, deletions must shrink df/N/total
+  * length exactly (rebuild identity), and compaction must fold the
+  * batch partitions while keeping every probe row-identical. The
+  * sf0.01 DuckDB oracles for q169/q170/q171 pin the same contract
+  * against an independent engine; this spec covers the lifecycle arms
+  * no SQL twin can express (streams, crashes, rewrites).
+  */
+class LexIndexSpec extends AnyFunSuite {
+
+  private lazy val docs = graft.Tables.documents(spark, sf0001)
+    .select(col("doc_id"), col("text"))
+  private val terms = graft.queries.DocQueries.bm25Terms
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def dropAll(prefix: String): Unit =
+    Seq("postings", "doclen", "stats", "tombstones", "meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+
+  /** Reference answer: a fresh throwaway index built directly over
+    * `corpus` — rebuild identity is the deletion/compaction contract.
+    */
+  private def rebuilt(corpus: DataFrame, tag: String): Seq[String] = {
+    val base = Files.createTempDirectory(s"lex_ref_$tag")
+    Lexical.buildLexIndex(corpus, s"lexref_$tag", s"$base/idx")
+    val out = sortedRows(Lexical.bm25TopKStored(spark, s"lexref_$tag", terms))
+    dropAll(s"lexref_$tag")
+    out
+  }
+
+  private def stageSlice(df: DataFrame, inbox: Path, name: String): Unit = {
+    val tmp = Files.createTempDirectory("lex_slice").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.createDirectories(inbox)
+    Files.move(part.toPath, inbox.resolve(name))
+  }
+
+  test("stored probe equals a full-corpus build; stream growth keeps identity; crash replay fills exactly the missing slices") {
+    val base = Files.createTempDirectory("lex_stream")
+    val inbox = base.resolve("inbox")
+    // seed with the LATE ids only — the query terms' hits arrive through
+    // the STREAM across two micro-batches, so a correct top-20 proves
+    // cross-batch freshness of postings, doclen AND the stats increments
+    Lexical.buildLexIndex(docs.filter(col("doc_id") >= 100), "lx", s"$base/idx")
+    stageSlice(docs.filter(col("doc_id") < 50), inbox, "slice0.parquet")
+    stageSlice(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+      inbox, "slice1.parquet")
+    LexStream.maintainLex(
+      spark.readStream.schema(graft.streaming.DedupStream.docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(inbox.toString),
+      "lx", s"$base/ckpt").awaitTermination()
+    val batchIds = IndexOps.batchIdsOf(spark, "lx_postings")
+    assert(batchIds == Set(-1L, 0L, 1L), s"partitions: $batchIds")
+    val grown = sortedRows(Lexical.bm25TopKStored(spark, "lx", terms))
+    assert(grown.nonEmpty && grown == rebuilt(docs, "full"))
+
+    // CRASH REPLAY: batch 2 landed postings+doclen, died before stats —
+    // the replay must fill EXACTLY the stats slice, never duplicate
+    val ghost = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text"))
+    val (p2, d2, _) = Lexical.lexIndexSlices(ghost, 2L)
+    graft.sources.Bucketing.appendBucketedPartition(p2, "lx_postings")
+    graft.sources.Bucketing.appendBucketedPartition(d2, "lx_doclen")
+    // the half-landed batch blocks compaction loudly...
+    val ex = intercept[IllegalArgumentException] {
+      Lexical.compactLexIndex(spark, "lx", s"$base/idx")
+    }
+    assert(ex.getMessage.contains("stats missing batch 2"), ex.getMessage)
+    // ...and the healing replay fills exactly the missing slice
+    LexStream.indexBatchLex(spark, ghost, 2L, "lx")
+    assert(spark.table("lx_stats").filter(col("batch_id") === 2L).count() == 1)
+    val pCount = spark.table("lx_postings").filter(col("batch_id") === 2L).count()
+    LexStream.indexBatchLex(spark, ghost, 2L, "lx") // full replay = no-op
+    assert(spark.table("lx_postings").filter(col("batch_id") === 2L).count() == pCount)
+    assert(spark.table("lx_stats").filter(col("batch_id") === 2L).count() == 1)
+
+    // RESTART: catalog dies, files survive, reattach restores the probe
+    dropAll("lx")
+    Lexical.reattachLexIndex(spark, "lx", s"$base/idx")
+    val afterRestart = sortedRows(Lexical.bm25TopKStored(spark, "lx", terms))
+    assert(afterRestart == rebuilt(docs.union(ghost), "ghosted"))
+    dropAll("lx")
+  }
+
+  test("tombstoned deletion shrinks df/N/total-length exactly (rebuild identity); compaction folds partitions, keeps answers, fences replays") {
+    val base = Files.createTempDirectory("lex_ts")
+    Lexical.buildLexIndex(docs.filter(col("doc_id") >= 100), "lxt", s"$base/idx")
+    val batch0 = docs.filter(col("doc_id") < 50)
+    val batch1 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+    LexStream.indexBatchLex(spark, batch0, 0L, "lxt")
+    LexStream.indexBatchLex(spark, batch1, 1L, "lxt")
+    val drops = docs.filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id"))
+    Lexical.tombstoneDocs(spark, "lxt", drops, batchId = 0L)
+    val survivors = docs.join(drops, Seq("doc_id"), "left_anti")
+    val expected = rebuilt(survivors, "surv")
+    val tombstoned = sortedRows(Lexical.bm25TopKStored(spark, "lxt", terms))
+    assert(tombstoned.nonEmpty && tombstoned == expected,
+      "tombstoned probe != rebuild from survivors")
+
+    val filesBefore = spark.table("lxt_postings").inputFiles.length
+    Lexical.compactLexIndex(spark, "lxt", s"$base/idx")
+    // row identity, physically purged, stats re-derived, fences advanced
+    assert(sortedRows(Lexical.bm25TopKStored(spark, "lxt", terms)) == expected)
+    assert(spark.table("lxt_tombstones").count() == 0)
+    assert(IndexOps.batchIdsOf(spark, "lxt_postings") == Set(1L))
+    val st = spark.table("lxt_stats").collect()
+    assert(st.length == 1 &&
+      st(0).getAs[Long]("n_docs") == survivors.count(),
+      s"stats after compaction: ${st.mkString(";")}")
+    val filesAfter = spark.table("lxt_postings").inputFiles.length
+    assert(filesAfter <= 8 && filesAfter < filesBefore,
+      s"postings files $filesBefore -> $filesAfter (nBuckets = 8)")
+    // pre-compaction replay is fenced (batch 1 was folded away)...
+    val rowsNow = spark.table("lxt_doclen").count()
+    LexStream.indexBatchLex(spark, batch1, 1L, "lxt")
+    assert(spark.table("lxt_doclen").count() == rowsNow)
+    // ...while genuinely new batches land and are retrievable
+    val fresh = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    LexStream.indexBatchLex(spark, fresh, 2L, "lxt")
+    assert(sortedRows(Lexical.bm25TopKStored(spark, "lxt", terms)) ==
+      rebuilt(survivors.union(fresh), "survfresh"))
+    dropAll("lxt")
+  }
+}

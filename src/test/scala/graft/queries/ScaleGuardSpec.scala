@@ -47,7 +47,10 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q151_nb_calibration" -> "q148's pipeline (same 1-row totals/prior cross-joins) plus a 4-row confusion aggregate",
     "q164_kmv_distinct" -> "cross-join of the 1-row merged-sketch aggregate with the 1-row global exact-distinct aggregate (the 'ALL' report row)",
     "q167_sq8_topk" -> "cross-joins of the 1-row per-dim stats frame and the single-vector quantized query (brute-force scoring baseline, q29's standing; scale path scores ANN candidates q37/q153)",
-    "q168_sq8_topk_batch_stored" -> "non-equi (self-exclusion) codes-vs-anchor join against the structurally bounded <=16-row quantized anchor batch (the q159 stored-probe shape; corpus side is the stored code table)")
+    "q168_sq8_topk_batch_stored" -> "non-equi (self-exclusion) codes-vs-anchor join against the structurally bounded <=16-row quantized anchor batch (the q159 stored-probe shape; corpus side is the stored code table)",
+    "q169_bm25_topk_stored" -> "cross-join of the 1-row effective corpus-stats frame (q131's shape over the stored per-batch stat increments)",
+    "q170_rrf_hybrid_stored" -> "cross-joins of the 1-row effective-stats / query-vector frames (q146's shape with the stored lexical leg)",
+    "q171_bm25_stored_tombstoned" -> "cross-join of the 1-row effective-stats frame (stored increments minus the tombstoned docs' O(|deletions|) doclen aggregate)")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
