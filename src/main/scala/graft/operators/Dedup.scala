@@ -236,11 +236,106 @@ object Dedup {
       threshold: Double, n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
     val spark = incoming.sparkSession
     val incIdx = shingleIndex(incoming, n).distinct()
-    val postings = spark.table(s"${tablePrefix}_postings")
-    val corpIdx = dfCap.fold(postings)(cap => postings.filter(col("df") <= cap))
+    val (corpPostings, corpSizes, _) = storedCorpusFrames(spark, tablePrefix)
+    val corpIdx = dfCap.fold(corpPostings)(cap =>
+      corpPostings.filter(col("df") <= cap))
       .select(col("doc_id"), col("sh"))
-    val corpSizes = spark.table(s"${tablePrefix}_sizes")
-    crossMatchesFrom(incIdx, corpIdx, corpSizes, threshold)
+    crossMatchesFrom(incIdx, corpIdx, corpSizes.select(col("doc_id"), col("n_sh")),
+      threshold)
+  }
+
+  /** The three stored corpus-index tables with the deletion set applied
+    * (r13 verdict #2 — the dedup index now has the same tombstone
+    * lifecycle as the embedding/lexical families): postings and sizes
+    * anti-join the tombstoned doc_ids; the exact-dup arm drops rows
+    * whose WINNER (`corp_id`) was deleted, so a dropped doc stops
+    * suppressing new duplicates of itself — exactly the grow-only
+    * staleness the verdict called out. The emptiness fast path is
+    * probed ONCE for all three tables; an index without a tombstone
+    * table at all (the batch-built layout, rebuilt wholesale instead of
+    * tombstoned) is the identity. `maxBatchId` is the streaming replay
+    * fence (Long.MaxValue = read everything, the batch-layout case
+    * where no batch_id column exists).
+    */
+  private[graft] def storedCorpusFrames(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      maxBatchId: Long = Long.MaxValue): (DataFrame, DataFrame, DataFrame) = {
+    def sliced(t: String): DataFrame = {
+      val df = spark.table(s"${tablePrefix}_$t")
+      if (maxBatchId == Long.MaxValue) df
+      else df.filter(col("batch_id") < maxBatchId)
+    }
+    val tsTable = s"${tablePrefix}_tombstones"
+    val deleted = spark.catalog.tableExists(tsTable) && {
+      val ts = if (maxBatchId == Long.MaxValue) spark.table(tsTable)
+        else spark.table(tsTable).filter(col("batch_id") < maxBatchId)
+      !ts.limit(1).isEmpty
+    }
+    def surv(df: DataFrame, c: String): DataFrame =
+      if (!deleted) df
+      else {
+        val ts = if (maxBatchId == Long.MaxValue) spark.table(tsTable)
+          else spark.table(tsTable).filter(col("batch_id") < maxBatchId)
+        df.join(ts.select(col("doc_id").as(c)), Seq(c), "left_anti")
+      }
+    (surv(sliced("postings"), "doc_id"),
+      surv(sliced("sizes"), "doc_id"),
+      surv(sliced("exact"), "corp_id"))
+  }
+
+  /** Propagate a drop decision (a q107/q138 keep-list complement, a
+    * decontam purge — any frame with a `doc_id` column) into the stored
+    * corpus index under `batchId` — [[IndexOps.tombstone]] with the
+    * dedup key column. Requires the streamed (format-2) layout
+    * (`DedupStream.seedCorpusIndex`); the batch-built layout is rebuilt
+    * wholesale instead.
+    */
+  def tombstoneCorpusDocs(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, ids: DataFrame, batchId: Long): Unit =
+    IndexOps.tombstone(spark, tablePrefix, ids, batchId, keyCol = "doc_id")
+
+  /** Generation rewrite of the stored corpus index (r13 verdict #2):
+    * fold every batch partition into ONE, physically purging tombstoned
+    * docs from postings/sizes and deleted WINNERS from the exact-dup
+    * key table, consume the tombstones and advance both fences — the
+    * [[IndexOps.compactTable]] discipline, after which a probe reads
+    * O(buckets) files however many micro-batches the stream appended
+    * and a pre-compaction replay is fenced. The denormalized `df`
+    * column keeps its recorded per-slice value through the fold (the
+    * documented within-slice semantics — global df stays a
+    * batch-rebuild feature).
+    */
+  def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
+    // alignment: postings/sizes must agree exactly (both derive from the
+    // shingle index), while `exact` is checked as a SUPERSET — a batch of
+    // only sub-shingle-width docs legitimately lands an exact slice with
+    // no postings/sizes. The superset direction still catches every
+    // crash: screenBatchStored appends postings -> sizes -> exact, so a
+    // half-landed batch always has exact MISSING a data batch, never the
+    // reverse.
+    IndexOps.requireAlignedBatches(spark, tablePrefix,
+      Seq("postings", "sizes"), historyTables = Seq("exact"))
+    // the fold point covers BOTH tables' histories: with a trailing
+    // sub-shingle-width batch (exact-only), folding to postings' max
+    // would leave that batch's id above the fence and its replay would
+    // re-append the folded exact rows
+    val gen = math.max(IndexOps.maxBatchId(spark, s"${tablePrefix}_postings"),
+      IndexOps.maxBatchId(spark, s"${tablePrefix}_exact"))
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
+    IndexOps.compactTable(spark, s"${tablePrefix}_postings", s"$path/postings",
+      Seq("batch_id" -> "BIGINT"), "sh", nBuckets, gen, drops,
+      dropOn = "doc_id")
+    IndexOps.compactTable(spark, s"${tablePrefix}_sizes", s"$path/sizes",
+      Seq("batch_id" -> "BIGINT"), "doc_id", nBuckets, gen, drops,
+      dropOn = "doc_id")
+    IndexOps.compactTable(spark, s"${tablePrefix}_exact", s"$path/exact",
+      Seq("batch_id" -> "BIGINT"), "h", nBuckets, gen,
+      drops.map(_.select(col("doc_id").as("corp_id"))), dropOn = "corp_id")
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
+      nBuckets, overwrite = true, keyCol = "doc_id")
+    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
   }
 
   /** Incremental dedup DECISIONS for a delta batch against an existing
@@ -280,13 +375,12 @@ object Dedup {
   def incrementalDedupStored(incoming: DataFrame, tablePrefix: String,
       threshold: Double = 0.8, n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
     val spark = incoming.sparkSession
-    val postings = spark.table(s"${tablePrefix}_postings")
+    val (postings, sizes, exact) = storedCorpusFrames(spark, tablePrefix)
     incrementalDedupFrom(incoming,
-      spark.table(s"${tablePrefix}_exact")
-        .select(col("h"), col("len"), col("corp_id")),
+      exact.select(col("h"), col("len"), col("corp_id")),
       dfCap.fold(postings)(cap => postings.filter(col("df") <= cap))
         .select(col("doc_id"), col("sh")),
-      spark.table(s"${tablePrefix}_sizes").select(col("doc_id"), col("n_sh")),
+      sizes.select(col("doc_id"), col("n_sh")),
       threshold, n)
   }
 

@@ -85,14 +85,27 @@ object DedupStream {
   // dfCap is a batch-rebuild-time feature, not a streaming one.
   // ---------------------------------------------------------------------
 
+  /** Streamed-corpus-index layout version: format 2 (r14) adds the
+    * `_tombstones` table and the `_meta` fences — the full IndexOps
+    * deletion/compaction lifecycle the r13 verdict ranked #2 (the index
+    * was grow-only: probe cost grew with batch count and dropped docs
+    * kept suppressing new near-dups of themselves forever).
+    */
+  val CorpusIndexFormat = 2
+
   /** Seed the stored-index screening state from an initial corpus:
     * postings/sizes/exact tables under `tablePrefix` at `path`, the
-    * seed landing as `batch_id = -1`. The streaming counterpart of
+    * seed landing as `batch_id = -1`, plus the lifecycle tables
+    * (tombstones keyed by doc_id; meta with the shingle width and both
+    * compaction fences). The streaming counterpart of
     * `Dedup.buildCorpusIndex`.
     */
   def seedCorpusIndex(docs: DataFrame, tablePrefix: String, path: String,
       n: Int = 3, nBuckets: Int = 8): Unit = {
+    import graft.operators.IndexOps
     import graft.sources.Bucketing
+    val spark = docs.sparkSession
+    import spark.implicits._
     val (postings, sizes, exact) = indexSlices(docs, -1L, n)
     Bucketing.writeBucketedPartitioned(postings,
       s"${tablePrefix}_postings", s"$path/postings", "batch_id", "sh", nBuckets)
@@ -100,6 +113,12 @@ object DedupStream {
       s"${tablePrefix}_sizes", s"$path/sizes", "batch_id", "doc_id", nBuckets)
     Bucketing.writeBucketedPartitioned(exact,
       s"${tablePrefix}_exact", s"$path/exact", "batch_id", "h", nBuckets)
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
+      nBuckets, keyCol = "doc_id")
+    Seq((CorpusIndexFormat, n, IndexOps.NeverCompacted, IndexOps.NeverCompacted))
+      .toDF("format", "n", "compacted_through", "ts_compacted_through")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
   }
 
   /** Re-attach the three stored-index tables after a JVM restart on the
@@ -114,13 +133,24 @@ object DedupStream {
     */
   def reattachCorpusIndex(spark: SparkSession, tablePrefix: String,
       path: String, nBuckets: Int = 8): Unit = {
+    import graft.operators.IndexOps
     import graft.sources.Bucketing
+    Seq("postings", "sizes", "exact").foreach(t =>
+      IndexOps.recoverSwap(spark, s"${tablePrefix}_$t", s"$path/$t"))
     Bucketing.reattach(spark, s"${tablePrefix}_postings", s"$path/postings",
       "batch_id", "sh", nBuckets)
     Bucketing.reattach(spark, s"${tablePrefix}_sizes", s"$path/sizes",
       "batch_id", "doc_id", nBuckets)
     Bucketing.reattach(spark, s"${tablePrefix}_exact", s"$path/exact",
       "batch_id", "h", nBuckets)
+    // lifecycle tables of the format-2 layout (a format-1 seed predating
+    // them reattaches data-only and keeps its grow-only semantics)
+    if (IndexOps.dirExists(spark, s"$path/tombstones"))
+      Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
+        s"$path/tombstones", IndexOps.tombstoneSchema("doc_id"),
+        Seq("batch_id" -> "BIGINT"), "doc_id", nBuckets)
+    if (IndexOps.dirExists(spark, s"$path/meta"))
+      Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
   }
 
   /** One batch's index slices = [[graft.operators.Dedup.corpusIndexSlices]]
@@ -143,21 +173,35 @@ object DedupStream {
     * a crash between them must leave a replay that fills exactly the
     * missing ones), so a crash at any point converges to the same
     * state — decisions are rewritten idempotently, each index table's
-    * partition lands exactly once.
+    * partition lands exactly once. DELETION CAVEAT: tombstones arrive on
+    * an independently-numbered stream, so a deletion landing inside
+    * another batch's crash-replay window can change that replay's
+    * decisions after its index slice was already appended — run
+    * deletions (like compactions) between replay windows, the same
+    * operational cadence rule [[graft.operators.IndexOps]] documents for
+    * generation rewrites.
     */
   def screenBatchStored(spark: SparkSession, batch: DataFrame, batchId: Long,
       tablePrefix: String, decisionsDir: String,
       threshold: Double = 0.8, n: Int = 3): Unit = {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, IndexOps}
     import graft.sources.Bucketing
+    // COMPACTION FENCE: a replay of a batch the generation rewrite
+    // already folded away must not recompute decisions from a corpus
+    // state that no longer exists (its batch_id < N prune now selects
+    // the post-fold generation) nor re-append folded rows
+    if (batchId <= IndexOps.compactedThrough(spark, tablePrefix)) return
     val b = batch.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull)
-    def sliced(table: String) =
-      spark.table(s"${tablePrefix}_$table").filter(col("batch_id") < batchId)
+    // corpus side under the replay fence AND the deletion set: a
+    // tombstoned doc neither matches exactly nor contributes postings —
+    // dropped docs stop suppressing new duplicates of themselves
+    val (postings, sizes, exact) =
+      Dedup.storedCorpusFrames(spark, tablePrefix, maxBatchId = batchId)
     val decisions = Dedup.incrementalDedupFrom(b,
-      sliced("exact").select(col("h"), col("len"), col("corp_id")),
-      sliced("postings").select(col("doc_id"), col("sh")),
-      sliced("sizes").select(col("doc_id"), col("n_sh")),
+      exact.select(col("h"), col("len"), col("corp_id")),
+      postings.select(col("doc_id"), col("sh")),
+      sizes.select(col("doc_id"), col("n_sh")),
       threshold, n)
     decisions.write.mode("overwrite")
       .parquet(s"$decisionsDir/batch_id=$batchId")
