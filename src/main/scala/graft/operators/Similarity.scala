@@ -516,17 +516,64 @@ object Similarity {
       .values.foreach(_.unpersist(blocking = false))
   }
 
+  /** MULTI-PROBE query buckets (Lv et al., VLDB 2007): for each table,
+    * the query's own bucket PLUS `probes` neighbor buckets obtained by
+    * flipping the lowest-|margin| sign bits — the bits whose hyperplane
+    * the query sits closest to, i.e. exactly the bits most likely to
+    * have split the query from its true neighbors. Recall rises without
+    * touching the CORPUS side of the index at all (the classic
+    * alternative — more tables — grows the stored index L-fold; probing
+    * costs only (1+probes)·tables query rows and a ~(1+probes)×
+    * candidate set). Margins ride the same broadcast-joined plane frame
+    * as the buckets; the flip masks are struct literals, so the probe
+    * set is bit-deterministic. `probes = 0` is exactly the single-probe
+    * bucket set.
+    */
+  private def withLshProbeBucketsOn(e: DataFrame, tables: Int, bits: Int,
+      probes: Int, dim: Int = 64): DataFrame = {
+    if (probes <= 0)
+      return withLshBucketsOn(e, tables, bits, dim)
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pl = planes(tables, bits, dim).zipWithIndex
+      .map { case (ps, t) => (t, ps) }.toDF("table", "planes")
+    val bucket = (0 until bits).map { j =>
+      when(dot(col("v"), element_at(col("planes"), j + 1)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    // (|margin|, flip-mask) per bit; ascending struct sort = closest
+    // hyperplanes first, mask as the deterministic tie-break
+    val margins = array((0 until bits).map { j =>
+      struct(abs(dot(col("v"), element_at(col("planes"), j + 1))).as("m"),
+        lit(1 << j).as("mask"))
+    }: _*)
+    e.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(tables - 1))).as("table"))
+      .join(broadcast(pl), "table")
+      .withColumn("__b", bucket)
+      .withColumn("__flips", slice(sort_array(margins), 1, probes))
+      .select(col("vec_id"), col("table"),
+        explode(concat(array(col("__b")),
+          transform(col("__flips"),
+            f => col("__b").bitwiseXOR(f.getField("mask"))))).as("bucket"))
+  }
+
   /** ANN top-k for one query vector: union of same-bucket candidates over L
-    * tables, then exact cosine on candidates only.
+    * tables — multi-probed on the QUERY side ([[withLshProbeBucketsOn]];
+    * `probes` neighbor buckets per table, r13 verdict #3 — measured
+    * recall at sf0.1 rose from 0.60 single-probe past the 0.70 floor) —
+    * then exact cosine on candidates only.
     */
   def annTopK(emb: DataFrame, queryVecId: Long, k: Int = 10,
-      tables: Int = 32, bits: Int = 6): DataFrame = {
+      tables: Int = 32, bits: Int = 6, probes: Int = 2): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bucketed = withLshBuckets(emb, tables, bits)
       .select(col("vec_id"), col("table"), col("bucket")) // slim: no vectors through the shuffle
     // query buckets from a 1-row filtered input — deriving them from
     // `bucketed` would run the whole corpus LSH computation a second time
-    val queryBuckets = withLshBuckets(emb.filter(col("vec_id") === queryVecId), tables, bits)
+    val queryBuckets = withLshProbeBucketsOn(
+      emb.filter(col("vec_id") === queryVecId)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      tables, bits, probes)
       .select(col("table").as("q_table"), col("bucket").as("q_bucket"))
     val queryVec = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     val candidates = bucketed.filter(col("vec_id") =!= queryVecId)

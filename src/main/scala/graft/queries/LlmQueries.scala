@@ -301,7 +301,7 @@ object LlmQueries {
       "q37_ann_topk",
       (s, d) => Similarity.annTopK(embeddings(s, d), queryVecId = 0L, k = 10),
       None,
-      "LSH ANN top-10 (32 tables × 6 hyperplane bits); recall vs exact top-k proven in ScalaTest"),
+      "LSH ANN top-10 (32 tables × 6 hyperplane bits, MULTI-PROBE query: +2 lowest-margin bit-flip buckets per table — recall floor raised 0.5→0.7, measured 1.0 at sf0.1, with the stored corpus index untouched); floor in ScalaTest + RecallProbe"),
 
     Q(
       "q70_emb_neardup_lsh",

@@ -54,8 +54,10 @@ object RecallProbe {
         .limit(10).collect().map(_.getLong(0)).toSet
     }
 
+    // floor raised 0.50 -> 0.70 with r14's multi-probe query buckets
+    // (measured 1.000 at sf0.1, was 0.600 single-probe)
     val ann = Similarity.annTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
-    check("ann_lsh", (ann intersect exact).size / 10.0, 0.5)
+    check("ann_lsh", (ann intersect exact).size / 10.0, 0.7)
 
     // batched ANN (q153) vs the exact batch baseline (q152) — pair-level
     // recall over the whole 16-anchor batch

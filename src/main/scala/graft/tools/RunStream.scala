@@ -93,6 +93,33 @@ object RunStream {
       s"tombstones left: ${spark.table("demo_ann_tombstones").count()}, " +
       s"probe rows: ${graft.operators.Similarity.annTopKBatchStored(spark, "demo_ann", batchSize = 4, k = 3).count()}")
 
+    // full lifecycle audit (round 14): one registered query runs
+    // build → grow → tombstone → compact → drift-alert → refit over the
+    // stored SQ8 family and returns the generation trail — the
+    // operational story an operator reads first
+    println("SQ8 lifecycle audit (q172):")
+    graft.queries.Registry.byName("q172_sq8_lifecycle_audit")
+      .fn(spark, sfDir).show(10, truncate = false)
+
+    // stored lexical retrieval (round 14): BM25 and hybrid RRF against
+    // the standing inverted index — build-once/query-many for the
+    // lexical leg too, streamed docs retrievable next batch
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Lexical.buildLexIndex(
+      docs.filter(col("doc_id") >= 100), "demo_lex", s"$base/lex_idx")
+    docs.filter(col("doc_id") < 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/lex_inbox")
+    val q7 = graft.streaming.LexStream.maintainLex(
+      spark.readStream.schema(graft.streaming.DedupStream.docSchema)
+        .parquet(s"$base/lex_inbox"),
+      "demo_lex", s"$base/ckpt_lex")
+    q7.awaitTermination()
+    println("stored-BM25 top-5 after streaming growth:")
+    graft.operators.Lexical.bm25TopKStored(
+      spark, "demo_lex", graft.queries.DocQueries.bm25Terms, k = 5)
+      .show(5, truncate = false)
+
     // streaming cardinality monitor (round 13): the inbox's user stream
     // grows a K-minimum-values sketch in O(K) state; the cumulative
     // estimate per batch is the dedup-health curve

@@ -268,7 +268,7 @@ class OperatorsSpec extends AnyFunSuite {
     val ann = Similarity.annTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     assert(ann.size == 10)
     val recall = (ann intersect exact).size / 10.0
-    assert(recall >= 0.5, s"ANN recall too low: $recall") // 32 tables x 6 bits
+    assert(recall >= 0.7, s"ANN recall too low: $recall") // 32 tables x 6 bits x 3 probes (r14 multi-probe floor)
   }
 
   test("LSH near-dup pairs are a high-recall subset of brute-force pairs at the threshold") {
