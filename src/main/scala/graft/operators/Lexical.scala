@@ -140,7 +140,23 @@ object Lexical {
     */
   def bm25TopKStored(spark: SparkSession, tablePrefix: String,
       terms: Seq[String], k: Int = 20,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue): DataFrame =
+    bm25Contributions(spark, tablePrefix, terms, maxBatchId)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("c_micros")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_hit"), col("score_micros"))
+
+  /** The per-(doc, term) scored-postings core shared by the single-query
+    * top-k and the batched probe: surviving term-filtered postings with
+    * df, doclen and the effective corpus stats joined in and the one
+    * shared `bm25Micros` IEEE tree evaluated — (doc_id, token, tf,
+    * c_micros). The tombstone-emptiness fast path is probed once here
+    * for the whole plan.
+    */
+  private def bm25Contributions(spark: SparkSession, tablePrefix: String,
+      terms: Seq[String], maxBatchId: Long): DataFrame = {
     validated(spark, tablePrefix)
     val ts = spark.table(s"${tablePrefix}_tombstones")
       .filter(col("batch_id") < maxBatchId)
@@ -175,11 +191,39 @@ object Lexical {
       .join(dl, "doc_id")
       .crossJoin(broadcast(st))
       .withColumn("c_micros", expr(graft.queries.DocQueries.bm25Micros))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit"), sum(col("c_micros")).as("score_micros"))
+  }
+
+  /** BATCHED BM25 against the stored index — the retrieval shape a
+    * training/eval pipeline actually runs (one batch of queries per
+    * step, the q152/q158 pattern for the lexical leg): per query in a
+    * FIXED literal batch, the top-k docs. One postings scan filtered to
+    * the UNION of the batch's terms feeds every query; the per-(doc,
+    * term) contribution is computed ONCE (df and corpus stats are
+    * query-independent) and fanned out to queries by a broadcast
+    * (query_id, token) join; per-query ranking partitions by query_id
+    * over matched-posting survivors only. Exact int64 end to end, so
+    * the batch probe carries a full DuckDB oracle like q169.
+    */
+  def bm25BatchTopKStored(spark: SparkSession, tablePrefix: String,
+      queries: Seq[(Long, Seq[String])], k: Int = 5,
+      maxBatchId: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val perDocTerm = bm25Contributions(spark, tablePrefix, allTerms, maxBatchId)
+    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micros").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), col("n_hit"), col("score_micros"))
+    perDocTerm
+      .join(broadcast(qt), "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("c_micros")).as("score_micros"))
+      .withColumn("rk", row_number().over(byQuery).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_hit"),
+        col("score_micros"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** The lexical RRF leg from the stored index: (doc_id, rank_lex) over

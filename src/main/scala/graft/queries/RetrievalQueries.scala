@@ -106,6 +106,52 @@ object RetrievalQueries {
        |ORDER BY rrf_micros DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  /** q173's fixed query batch — a literal (the q131 single-query
+    * contract batched; a dynamic batch would broadcast a terms table,
+    * same plan shape). Terms drawn from the corpus vocabulary so every
+    * query has hits.
+    */
+  private val LexBatch: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "merge", "window"),
+    1L -> Seq("hash", "join", "filter"),
+    2L -> Seq("vector", "stream", "scan"))
+
+  private def lexBatchOracleSql: String = {
+    val allTerms = LexBatch.flatMap(_._2).distinct
+    val qtRows = LexBatch.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token IN (${allTerms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, token),
+       |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |qt(query_id, token) AS (VALUES $qtRows),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.token, ${DocQueries.bm25Micros} AS c_micros
+       |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+       |pq AS (
+       |  SELECT qt.query_id, sc.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(c_micros) AS BIGINT) AS score_micros
+       |  FROM sc JOIN qt USING (token)
+       |  GROUP BY qt.query_id, sc.doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id, n_hit, score_micros,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micros DESC, doc_id) AS rk
+       |  FROM pq)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, n_hit,
+       |  score_micros
+       |FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q145_hard_negatives",
@@ -374,5 +420,23 @@ object RetrievalQueries {
           s, StoredIndexes.lexTombstoned(s, d), DocQueries.bm25Terms),
       Some(DocQueries.bm25OracleSql(
         "(SELECT * FROM documents WHERE doc_id % 7 <> 0)")),
-      "stored BM25 probe WITH TOMBSTONES: drop decisions anti-joined before scoring, df/N/total-length all shrink exactly — bit-identical to a recompute over the surviving corpus, FULL DuckDB oracle (a first for a tombstoned stored probe)"))
+      "stored BM25 probe WITH TOMBSTONES: drop decisions anti-joined before scoring, df/N/total-length all shrink exactly — bit-identical to a recompute over the surviving corpus, FULL DuckDB oracle (a first for a tombstoned stored probe)"),
+
+    Q(
+      "q173_bm25_batch_stored",
+      (s, d) =>
+        // BATCHED lexical retrieval against the stored index — the
+        // q152/q158 training-batch shape for the BM25 leg: per query in
+        // a fixed 3-query batch, the top-5 docs. ONE postings scan
+        // filtered to the union of the batch's terms feeds every query
+        // (df and corpus stats are query-independent, computed once);
+        // queries fan out via a broadcast (query_id, token) literal
+        // join; per-query ranking partitions by query_id over matched
+        // postings only. At 100 TB a step's whole query batch costs the
+        // union of its terms' index slices — the corpus is never
+        // re-read per query. FULL ORACLE (exact int64 end to end).
+        graft.operators.Lexical.bm25BatchTopKStored(
+          s, StoredIndexes.lex(s, d), LexBatch),
+      Some(lexBatchOracleSql),
+      "batched BM25 against the STORED inverted index: 3-query literal batch, one union-of-terms postings scan, per-(doc,term) contributions computed once and fanned out by a broadcast query-terms join, per-query top-5 — FULL DuckDB oracle"))
 }

@@ -97,6 +97,59 @@ class LexIndexSpec extends AnyFunSuite {
     dropAll("lx")
   }
 
+  test("probe plan: the term filter reaches the postings scan pushed; the doclen join holds no corpus-side exchange; batch probe equals per-query probes") {
+    val base = Files.createTempDirectory("lex_plan")
+    Lexical.buildLexIndex(docs, "lxp", s"$base/idx")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Lexical.bm25TopKStored(spark, "lxp", terms)
+        .queryExecution.executedPlan
+      def scans(p: SparkPlan,
+          anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+        p match {
+          case s: FileSourceScanExec if s.relation.bucketSpec.isDefined =>
+            Seq((s, anc))
+          case other => other.children.flatMap(c => scans(c, other :: anc))
+        }
+      val found = scans(plan, Nil)
+      // the term filter is PUSHED to the postings scan — at 100 TB the
+      // probe reads |terms| inverted-index slices, never the corpus
+      val postingsScan = found.map(_._1)
+        .find(_.output.exists(_.name == "token")).get
+      assert(postingsScan.metadata.getOrElse("PushedFilters", "")
+        .contains("In(token"), postingsScan.metadata.toString)
+      // the doc_id-bucketed doclen scan flows into its join with no
+      // exchange above it (the StoredIndexSpec walk)
+      val doclenScan = found
+        .find { case (s, _) => s.output.exists(_.name == "dl") }.get
+      val toJoin = doclenScan._2.takeWhile(
+        !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(!toJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"corpus-side exchange above the doclen scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // the batched probe is per-query identical to k separate probes
+    // (df/stats are query-independent — the single-scan fan-out cannot
+    // change a score)
+    val batch = Seq(0L -> Seq("spark", "merge"), 1L -> terms)
+    val got = Lexical.bm25BatchTopKStored(spark, "lxp", batch, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val expected = batch.flatMap { case (qid, ts) =>
+      Lexical.bm25TopKStored(spark, "lxp", ts, k = 5).collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(got.nonEmpty && got == expected,
+      s"batch probe != per-query probes:\n$got\n$expected")
+    dropAll("lxp")
+  }
+
   test("tombstoned deletion shrinks df/N/total-length exactly (rebuild identity); compaction folds partitions, keeps answers, fences replays") {
     val base = Files.createTempDirectory("lex_ts")
     Lexical.buildLexIndex(docs.filter(col("doc_id") >= 100), "lxt", s"$base/idx")

@@ -50,7 +50,8 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q168_sq8_topk_batch_stored" -> "non-equi (self-exclusion) codes-vs-anchor join against the structurally bounded <=16-row quantized anchor batch (the q159 stored-probe shape; corpus side is the stored code table)",
     "q169_bm25_topk_stored" -> "cross-join of the 1-row effective corpus-stats frame (q131's shape over the stored per-batch stat increments)",
     "q170_rrf_hybrid_stored" -> "cross-joins of the 1-row effective-stats / query-vector frames (q146's shape with the stored lexical leg)",
-    "q171_bm25_stored_tombstoned" -> "cross-join of the 1-row effective-stats frame (stored increments minus the tombstoned docs' O(|deletions|) doclen aggregate)")
+    "q171_bm25_stored_tombstoned" -> "cross-join of the 1-row effective-stats frame (stored increments minus the tombstoned docs' O(|deletions|) doclen aggregate)",
+    "q173_bm25_batch_stored" -> "cross-join of the 1-row effective-stats frame (q169's shape; the query batch itself joins equi on token, broadcast literal)")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
