@@ -204,46 +204,69 @@ object AnnStream {
   val deleteSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType)))
 
+  /** Inbox parquet schema for DOCUMENT deletion decisions — the same
+    * stream face for the doc_id-keyed indexes (the stored BM25 inverted
+    * index, the dedup corpus index).
+    */
+  val deleteDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType)))
+
   /** Streaming scan of a deletion-decision inbox (one parquet slice per
     * decision batch) — [[readEmb]]'s twin for the tombstone maintainer.
     */
   def readDeletes(spark: SparkSession, inbox: String,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
-    val r = spark.readStream.schema(deleteSchema)
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    readDeletesAs(spark, inbox, deleteSchema, maxFilesPerTrigger)
+
+  /** [[readDeletes]] for document-drop decisions (doc_id slices). */
+  def readDocDeletes(spark: SparkSession, inbox: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    readDeletesAs(spark, inbox, deleteDocSchema, maxFilesPerTrigger)
+
+  private def readDeletesAs(spark: SparkSession, inbox: String,
+      schema: StructType, maxFilesPerTrigger: Int): DataFrame = {
+    val r = spark.readStream.schema(schema)
     (if (maxFilesPerTrigger > 0)
        r.option("maxFilesPerTrigger", maxFilesPerTrigger)
      else r).parquet(inbox)
   }
 
   /** One micro-batch of deletion propagation: tombstone the batch's
-    * vec_ids in EVERY listed index (one corpus usually backs several
+    * ids in EVERY listed index (one corpus usually backs several
     * standing indexes — a dedup decision must reach all of them), under
     * the same append-if-absent batch_id discipline as the data slices
     * (IndexOps.tombstone probes per index, so a crash mid-list replays
-    * into exactly the indexes still missing the batch).
+    * into exactly the indexes still missing the batch). `keyCol` is the
+    * id column the listed indexes are keyed by — "vec_id" for the
+    * embedding families, "doc_id" for the lexical/dedup indexes; one
+    * decision stream should only ever carry one key kind (mixed-key
+    * fan-out is two streams).
     */
   def tombstoneBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      tablePrefixes: Seq[String]): Unit = {
-    val ids = batch.select(col("vec_id")).filter(col("vec_id").isNotNull)
+      tablePrefixes: Seq[String], keyCol: String = "vec_id"): Unit = {
+    val ids = batch.select(col(keyCol)).filter(col(keyCol).isNotNull)
     tablePrefixes.foreach(p =>
-      graft.operators.IndexOps.tombstone(spark, p, ids, batchId))
+      graft.operators.IndexOps.tombstone(spark, p, ids, batchId, keyCol))
   }
 
   /** The streaming deletion maintainer (r12 verdict #1's streaming half):
     * AvailableNow over a deletion-decision stream, idempotent
     * batch_id-keyed tombstone appends into every listed index via
-    * [[tombstoneBatch]]. A vector dropped by a decision in batch N is
+    * [[tombstoneBatch]]. A row dropped by a decision in batch N is
     * unretrievable from every probe issued after batch N lands —
-    * StoredTombstoneSpec pins it.
+    * StoredTombstoneSpec pins the embedding families; LexIndexSpec pins
+    * the doc-keyed pair (stored BM25 + dedup corpus index) fed by ONE
+    * decision stream.
     */
   def maintainTombstones(deletes: DataFrame, tablePrefixes: Seq[String],
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, keyCol: String = "vec_id"): StreamingQuery = {
     StreamIngest.applyStateStoreDefaults(deletes.sparkSession)
     deletes.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        tombstoneBatch(batch.sparkSession, batch.toDF(), batchId, tablePrefixes)
+        tombstoneBatch(batch.sparkSession, batch.toDF(), batchId,
+          tablePrefixes, keyCol)
       }
       .start()
   }

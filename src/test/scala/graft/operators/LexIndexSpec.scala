@@ -150,6 +150,39 @@ class LexIndexSpec extends AnyFunSuite {
     dropAll("lxp")
   }
 
+  test("ONE streamed deletion decision reaches both doc-keyed indexes: the BM25 probe drops the doc AND the dedup screen stops suppressing its duplicates") {
+    val base = Files.createTempDirectory("lex_del")
+    Lexical.buildLexIndex(docs, "lxd", s"$base/lex")
+    graft.streaming.DedupStream.seedCorpusIndex(docs, "dcd", s"$base/dedup")
+    // the victim: a doc the standing BM25 index actually RETRIEVES now
+    val victim = Lexical.bm25TopKStored(spark, "lxd", terms, k = 1)
+      .collect()(0).getLong(0)
+    val victimText = docs.filter(col("doc_id") === victim)
+      .collect()(0).getString(1)
+    import spark.implicits._
+    stageSlice(Seq(victim).toDF("doc_id"), base.resolve("del_inbox"), "dec0.parquet")
+    graft.streaming.AnnStream.maintainTombstones(
+      graft.streaming.AnnStream.readDocDeletes(spark, s"$base/del_inbox"),
+      Seq("lxd", "dcd"), s"$base/ckpt", keyCol = "doc_id").awaitTermination()
+    // lexical index: the victim is unretrievable, answers = rebuild
+    val after = sortedRows(Lexical.bm25TopKStored(spark, "lxd", terms))
+    assert(!after.exists(_.startsWith(s"[$victim,")))
+    assert(after == rebuilt(docs.filter(col("doc_id") =!= victim), "deld"))
+    // dedup index: the victim's text no longer matches the exact arm —
+    // screened as batch 1 (the N -> N+1 visibility contract: a decision
+    // recorded under delete-batch 0 is fenced for same-id batch 0 and
+    // visible from batch 1 on, AnnStreamSpec's semantics)
+    val probeDir = s"$base/dec"
+    graft.streaming.DedupStream.screenBatchStored(spark,
+      Seq((777777L, victimText)).toDF("doc_id", "text"), 1L, "dcd", probeDir)
+    val d = spark.read.parquet(s"$probeDir/batch_id=1").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("exact_dup_of")),
+      s"deleted doc still suppresses its duplicate: $d")
+    dropAll("lxd")
+    Seq("postings", "sizes", "exact", "tombstones", "meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS dcd_$t"))
+  }
+
   test("tombstoned deletion shrinks df/N/total-length exactly (rebuild identity); compaction folds partitions, keeps answers, fences replays") {
     val base = Files.createTempDirectory("lex_ts")
     Lexical.buildLexIndex(docs.filter(col("doc_id") >= 100), "lxt", s"$base/idx")
