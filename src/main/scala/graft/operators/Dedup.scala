@@ -254,30 +254,40 @@ object Dedup {
     * probed ONCE for all three tables; an index without a tombstone
     * table at all (the batch-built layout, rebuilt wholesale instead of
     * tombstoned) is the identity. `maxBatchId` is the streaming replay
-    * fence (Long.MaxValue = read everything, the batch-layout case
-    * where no batch_id column exists).
+    * fence for the DATA tables (Long.MaxValue = read everything, the
+    * batch-layout case where no batch_id column exists);
+    * `tsMaxBatchId` is the SEPARATE fence for the tombstone table,
+    * because tombstone batch_ids come from the independently-numbered
+    * DELETE stream ([[graft.operators.IndexOps.tombstone]]) — filtering
+    * them by the data stream's id would be an apples-to-oranges
+    * comparison dressed up as precision (advisor r14). The default
+    * (Long.MaxValue) applies EVERY known deletion, which is the honest
+    * semantics under the documented operational cadence: deletions run
+    * between replay windows, so by the time a crash replay re-screens a
+    * batch, any deletion it newly observes is one the operator ordered
+    * before the replay — the replayed decisions converge to the
+    * post-deletion state, the same end state a fresh screen would
+    * compute.
     */
   private[graft] def storedCorpusFrames(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String,
-      maxBatchId: Long = Long.MaxValue): (DataFrame, DataFrame, DataFrame) = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): (DataFrame, DataFrame, DataFrame) = {
     def sliced(t: String): DataFrame = {
       val df = spark.table(s"${tablePrefix}_$t")
       if (maxBatchId == Long.MaxValue) df
       else df.filter(col("batch_id") < maxBatchId)
     }
     val tsTable = s"${tablePrefix}_tombstones"
-    val deleted = spark.catalog.tableExists(tsTable) && {
-      val ts = if (maxBatchId == Long.MaxValue) spark.table(tsTable)
-        else spark.table(tsTable).filter(col("batch_id") < maxBatchId)
-      !ts.limit(1).isEmpty
+    def tsSliced: DataFrame = {
+      val ts = spark.table(tsTable)
+      if (tsMaxBatchId == Long.MaxValue) ts
+      else ts.filter(col("batch_id") < tsMaxBatchId)
     }
+    val deleted = spark.catalog.tableExists(tsTable) && !tsSliced.limit(1).isEmpty
     def surv(df: DataFrame, c: String): DataFrame =
       if (!deleted) df
-      else {
-        val ts = if (maxBatchId == Long.MaxValue) spark.table(tsTable)
-          else spark.table(tsTable).filter(col("batch_id") < maxBatchId)
-        df.join(ts.select(col("doc_id").as(c)), Seq(c), "left_anti")
-      }
+      else df.join(tsSliced.select(col("doc_id").as(c)), Seq(c), "left_anti")
     (surv(sliced("postings"), "doc_id"),
       surv(sliced("sizes"), "doc_id"),
       surv(sliced("exact"), "corp_id"))

@@ -236,8 +236,24 @@ object IndexOps {
       tables: Seq[String], historyTables: Seq[String] = Nil): Unit = {
     val sets = tables.map(t => t -> batchIdsOf(spark, s"${tablePrefix}_$t"))
     val all = sets.map(_._2).foldLeft(Set.empty[Long])(_ union _)
+    // CROSS-TABLE SWAP-CRASH TOLERANCE (advisor r14): a crash in the
+    // SECOND table's [[swapIn]] rename window leaves the first table
+    // already folded to the pending generation ({gen} exactly, where
+    // gen is necessarily the union max — compaction folds INTO the
+    // highest live batch id) while recoverSwap restored the second to
+    // its full pre-fold batch set. That state is data-intact and the
+    // re-run is deterministic (re-folding {gen} -> {gen} is the
+    // identity on the already-compacted table), so a table sitting at
+    // exactly {union-max} is exempt from the missing-batch check
+    // instead of blocking automated recovery with a misleading "drain
+    // the stream" message. The exemption cannot mask a half-landed
+    // MAINTENANCE batch: a streamed append lands one NEW partition on
+    // top of the existing set, so a table with history can never
+    // collapse to a single batch id except through the fold itself.
+    val pendingGen = if (all.isEmpty) SeedBatchId else all.max
     val missing = sets.flatMap { case (t, s) =>
-      (all diff s).toSeq.sorted.map(b => s"$t missing batch $b")
+      if (s == Set(pendingGen)) Nil
+      else (all diff s).toSeq.sorted.map(b => s"$t missing batch $b")
     }
     val fence = compactedThrough(spark, tablePrefix)
     val required = all.filter(b => b != SeedBatchId && b > fence)

@@ -54,11 +54,17 @@ object Lexical {
     * batch build, the streaming grow (`streaming.LexStream`) and the
     * compaction rewrite. The token array is staged ONCE per doc (the
     * q74 rule) and feeds both the length projection and the postings
-    * explode.
+    * explode. Malformed rows (NULL doc_id/text) are dropped HERE
+    * (advisor r14) so the batch build and the streaming grow share one
+    * contract — a null text previously produced a null split/dl in the
+    * batch-built index that silently skewed doclen/stats away from the
+    * oracle's surviving-corpus recompute.
     */
   private[graft] def lexIndexSlices(docs: DataFrame,
       batchId: Long): (DataFrame, DataFrame, DataFrame) = {
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("__t"))
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
     val doclen = base
       .select(col("doc_id"), size(col("__t")).cast("long").as("dl"))
     val postings = base

@@ -174,12 +174,17 @@ object DedupStream {
     * missing ones), so a crash at any point converges to the same
     * state — decisions are rewritten idempotently, each index table's
     * partition lands exactly once. DELETION CAVEAT: tombstones arrive on
-    * an independently-numbered stream, so a deletion landing inside
-    * another batch's crash-replay window can change that replay's
-    * decisions after its index slice was already appended — run
-    * deletions (like compactions) between replay windows, the same
+    * an independently-numbered stream, so the screen applies EVERY
+    * deletion known at run time (no batchId fence on the tombstone
+    * table — fencing it by the DATA stream's id would compare two
+    * unrelated counters, advisor r14; `storedCorpusFrames` keeps the
+    * two fences as separate parameters). Consequence: a deletion
+    * landing inside another batch's crash-replay window can change that
+    * replay's decisions after its index slice was already appended —
+    * run deletions (like compactions) between replay windows, the same
     * operational cadence rule [[graft.operators.IndexOps]] documents for
-    * generation rewrites.
+    * generation rewrites; under that cadence the replayed decisions
+    * converge to exactly the state a fresh screen would compute.
     */
   def screenBatchStored(spark: SparkSession, batch: DataFrame, batchId: Long,
       tablePrefix: String, decisionsDir: String,

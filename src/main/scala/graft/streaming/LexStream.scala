@@ -18,12 +18,25 @@ import graft.operators.Lexical
 object LexStream {
 
   /** One micro-batch of lexical-index maintenance. Malformed rows (NULL
-    * id/text) are dropped — the DedupStream contract.
+    * id/text) are dropped — the DedupStream contract (the filter itself
+    * lives in [[Lexical.lexIndexSlices]], shared with the batch build).
+    *
+    * An EMPTY filtered batch appends NOTHING (advisor r14): the stats
+    * slice is an agg without groupBy, so it would land a 1-row n_docs=0
+    * partition while the empty postings/doclen appends create no
+    * partition at all — and `stats` sits in compaction's exact
+    * batch-alignment set, so that asymmetry would block
+    * `compactLexIndex` with a "postings missing batch N" no replay can
+    * heal (the replay re-appends nothing). A 0-row batch contributes
+    * nothing to any probe; ABSENCE is the consistent representation
+    * across all three tables. The emptiness probe is one limit-1 job on
+    * the already-filtered micro-batch.
     */
   def indexBatchLex(spark: SparkSession, batch: DataFrame, batchId: Long,
       tablePrefix: String): Unit = {
     val b = batch.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    if (b.limit(1).isEmpty) return
     val (postings, doclen, stats) = Lexical.lexIndexSlices(b, batchId)
     AnnStream.appendAbsent(spark, tablePrefix, batchId,
       Map("postings" -> postings, "doclen" -> doclen, "stats" -> stats))

@@ -223,4 +223,57 @@ class LexIndexSpec extends AnyFunSuite {
       rebuilt(survivors.union(fresh), "survfresh"))
     dropAll("lxt")
   }
+
+  test("advisor r14: empty batches append nothing, malformed rows share one contract across build paths, cross-table swap crashes recover automatically") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("lex_r14")
+    // MALFORMED-ROW CONTRACT: a NULL-text row in the BATCH build is
+    // dropped exactly as the streaming path drops it — the index over
+    // (docs + null rows) is bit-identical to the index over docs
+    val polluted = docs.union(
+      Seq((Some(8888L), Option.empty[String]), (Option.empty[Long], Some("orphan text")))
+        .toDF("doc_id", "text"))
+    Lexical.buildLexIndex(polluted, "lxc", s"$base/idx")
+    assert(sortedRows(Lexical.bm25TopKStored(spark, "lxc", terms)) ==
+      rebuilt(docs, "clean"),
+      "null rows in the batch build skewed the index")
+    assert(spark.table("lxc_doclen")
+      .filter(col("doc_id") === 8888L || col("doc_id").isNull).count() == 0)
+
+    // EMPTY MICRO-BATCH: every row malformed -> NO table gets a slice
+    // (the old behavior landed a 1-row n_docs=0 stats partition with no
+    // postings/doclen sibling, permanently blocking compaction)
+    val allNull = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), lit(null).cast("string").as("text"))
+    LexStream.indexBatchLex(spark, allNull, 0L, "lxc")
+    Seq("postings", "doclen", "stats").foreach(t =>
+      assert(!IndexOps.batchIdsOf(spark, s"lxc_$t").contains(0L),
+        s"empty batch landed a $t slice"))
+
+    // CROSS-TABLE SWAP CRASH: grow + tombstone, then simulate a crash
+    // AFTER postings folded to the pending generation but BEFORE doclen
+    // was compacted (the second table's rename window, with recoverSwap
+    // having restored it) — the re-run must proceed, not refuse with a
+    // misleading "drain the maintenance stream"
+    LexStream.indexBatchLex(spark, docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text")), 0L, "lxc")
+    val drops = Seq(7001L, 7002L).toDF("doc_id")
+    Lexical.tombstoneDocs(spark, "lxc", drops, batchId = 0L)
+    val gen = IndexOps.maxBatchId(spark, "lxc_postings")
+    IndexOps.compactTable(spark, "lxc_postings", s"$base/idx/postings",
+      Seq("batch_id" -> "BIGINT"), "token", nBuckets = 8, gen,
+      Some(spark.table("lxc_tombstones")), dropOn = "doc_id")
+    assert(IndexOps.batchIdsOf(spark, "lxc_postings") == Set(gen) &&
+      IndexOps.batchIdsOf(spark, "lxc_doclen").size > 1,
+      "crash staging did not produce the half-compacted state")
+    Lexical.compactLexIndex(spark, "lxc", s"$base/idx") // must not throw
+    val survivors = docs.union(docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text")))
+      .join(drops, Seq("doc_id"), "left_anti")
+    assert(sortedRows(Lexical.bm25TopKStored(spark, "lxc", terms)) ==
+      rebuilt(survivors, "crashsurv"),
+      "post-recovery compaction diverged from the rebuild")
+    assert(IndexOps.batchIdsOf(spark, "lxc_doclen") == Set(gen))
+    dropAll("lxc")
+  }
 }
