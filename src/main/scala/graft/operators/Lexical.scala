@@ -214,22 +214,55 @@ object Lexical {
       queries: Seq[(Long, Seq[String])], k: Int = 5,
       maxBatchId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val allTerms = queries.flatMap(_._2).distinct
-    val perDocTerm = bm25Contributions(spark, tablePrefix, allTerms, maxBatchId)
-    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "token")
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micros").desc, col("doc_id"))
-    perDocTerm
-      .join(broadcast(qt), "token")
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_hit"), sum(col("c_micros")).as("score_micros"))
+    bm25BatchScores(spark, tablePrefix, queries, maxBatchId)
       .withColumn("rk", row_number().over(byQuery).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("n_hit"),
         col("score_micros"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The batched lexical RRF legs from the stored index — (query_id,
+    * doc_id, rank_lex) with rank_lex <= `depth` per query: the
+    * [[bm25RanksStored]] shape fanned out over a fixed query batch by
+    * the one shared scored-postings core. Exact int64 scores + the
+    * deterministic (score desc, doc_id) tie-break keep every rank
+    * SQL-replayable, so a per-query fusion over this leg carries a full
+    * oracle.
+    */
+  def bm25BatchRanksStored(spark: SparkSession, tablePrefix: String,
+      queries: Seq[(Long, Seq[String])], depth: Int,
+      maxBatchId: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+    bm25BatchScores(spark, tablePrefix, queries, maxBatchId)
+      .withColumn("rank_lex", row_number().over(byQuery).cast("long"))
+      .filter(col("rank_lex") <= depth)
+      .select(col("query_id"), col("doc_id"), col("rank_lex"))
+  }
+
+  /** Per-(query, doc) aggregated BM25 scores for a fixed literal query
+    * batch — the shared core of the batched top-k and the batched RRF
+    * leg: ONE postings scan filtered to the UNION of the batch's terms,
+    * per-(doc, term) contributions computed once (df and corpus stats
+    * are query-independent), fanned out by a broadcast (query_id, token)
+    * literal join, aggregated per (query_id, doc_id).
+    */
+  private def bm25BatchScores(spark: SparkSession, tablePrefix: String,
+      queries: Seq[(Long, Seq[String])],
+      maxBatchId: Long): DataFrame = {
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val perDocTerm = bm25Contributions(spark, tablePrefix, allTerms, maxBatchId)
+    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    perDocTerm
+      .join(broadcast(qt), "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("c_micros")).as("score_micros"))
   }
 
   /** The lexical RRF leg from the stored index: (doc_id, rank_lex) over

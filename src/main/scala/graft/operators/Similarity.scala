@@ -496,6 +496,84 @@ object Similarity {
     annTopKBatchFrom(corpusBuckets, vecs, anchors, batchSize, k, tables, bits, nShards)
   }
 
+  /** The EXACT dense retrieval leg from the STORED vector table (r15:
+    * the last recompute leg in hybrid retrieval): q146/q170's dense RRF
+    * leg recomputes exact cosine top-`depth` from the corpus parquet on
+    * EVERY invocation, while the LSH index already stores the full
+    * vectors (`<prefix>_vecs`, its exact-re-rank side). Serving the leg
+    * from that standing bucketed table keeps the answer BIT-IDENTICAL —
+    * the stored `v` IS `asDouble(embedding)` round-tripped through
+    * parquet (exact), the cosine is the same IEEE tree, and rank/tie
+    * rules are unchanged — so a fusion over this leg carries q146's
+    * full DuckDB oracle verbatim (the q169/q170 precedent, applied to
+    * the dense side). Returns (doc_id, rank_dense) over the top
+    * `depth`; deletions and the streaming replay fence apply exactly as
+    * in [[annTopKBatchStored]]. SCALE: one stored-table scan scored
+    * against the broadcast 1-row query vector, a TakeOrdered cut to
+    * `depth`, and ranking on the constant-size cut — no corpus
+    * re-projection, no LSH recompute, zero corpus-side exchange.
+    */
+  def denseRanksStored(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, queryVecId: Long = 0L, depth: Int = 100,
+      maxBatchId: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    annIndexMeta(spark, tablePrefix) // format/layout validation only
+    val vecs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
+      maxBatchId).select(col("vec_id"), col("v"))
+    // 1-row query-vector lookup; .limit(1) makes the broadcast bound
+    // structural (the q145 fence) without changing the result
+    val qv = vecs.filter(col("vec_id") === queryVecId).limit(1)
+      .select(col("v").as("qv"))
+    vecs.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos_raw", cosine(col("v"), col("qv")))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(depth)
+      .withColumn("rank_dense",
+        row_number().over(Window.orderBy(col("cos_raw").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+  }
+
+  /** BATCHED [[denseRanksStored]] — the dense ranks of a fixed training
+    * batch of query vectors (vec_id < batchSize, the q152/q158 anchor
+    * fence), (query_id, doc_id, rank_dense) with rank_dense <= `depth`
+    * per query. Exact (same IEEE cosine over the stored vectors), so a
+    * per-query fusion over it stays fully SQL-replayable. SCALE: one
+    * stored-table scan against the broadcast anchor batch, then the
+    * two-stage per-query cut of [[annTopKBatchFrom]] — a partial
+    * row_number partitioned on (query, shard = vec_id mod nShards)
+    * bounds reducer fan-out at batch·shards, and the global per-query
+    * rank runs over the <= batch·shards·depth survivors (every global
+    * top-depth row survives its shard cut, so the two-stage form is
+    * exactly the single-window answer).
+    */
+  def denseRanksBatchStored(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, batchSize: Int = 3, depth: Int = 100,
+      nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    annIndexMeta(spark, tablePrefix)
+    val vecs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
+      maxBatchId).select(col("vec_id"), col("v"))
+    val anchors = vecs.filter(col("vec_id") < batchSize).limit(batchSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val shards = Par.resolveShards(spark, nShards, batchSize)
+    val byQueryShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    vecs.join(broadcast(anchors), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", cosine(col("v"), col("qv")))
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)))
+      .withColumn("rk1", row_number().over(byQueryShard))
+      .filter(col("rk1") <= depth)
+      .withColumn("rank_dense", row_number().over(byQuery).cast("long"))
+      .filter(col("rank_dense") <= depth)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_dense"))
+  }
+
   /** Scoped checkpoint-block release (r12 verdict #7): the frames
     * [[nearDupPairsLsh]] / [[hardNegativesLsh]] / [[annTopKBatch]] return
     * read localCheckpoint blocks whose release is the CONSUMER's

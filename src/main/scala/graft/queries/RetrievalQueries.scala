@@ -106,6 +106,28 @@ object RetrievalQueries {
        |ORDER BY rrf_micros DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  /** The PER-QUERY RRF fusion tail for batched hybrid retrieval
+    * (q175): full-outer on (query_id, doc_id) over the two <= depth
+    * per-query legs, exact integer micros, per-query top-10 with ties
+    * on doc_id. The fusion frame is bounded at 2·|batch|·FuseDepth rows
+    * whatever the corpus size.
+    */
+  private def rrfFuseBatch(lex: org.apache.spark.sql.DataFrame,
+      dense: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("rank_lex"), col("rank_dense"),
+        (coalesce(expr(s"1000000 DIV ($RrfK + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_dense)"), lit(0L)))
+          .as("rrf_micros"))
+      .withColumn("rk", row_number().over(byQuery).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rank_lex"),
+        col("rank_dense"), col("rrf_micros"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** q173's fixed query batch — a literal (the q131 single-query
     * contract batched; a dynamic batch would broadcast a terms table,
     * same plan shape). Terms drawn from the corpus vocabulary so every
@@ -149,6 +171,77 @@ object RetrievalQueries {
        |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, n_hit,
        |  score_micros
        |FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** q175's full oracle: the lexBatch scoring CTEs cut at rank <=
+    * FuseDepth per query, the dense leg replayed per query embedding
+    * (vec_id 0..|batch|-1, self excluded), full-outer fusion on
+    * (query_id, doc_id), exact integer micros, per-query top-10.
+    */
+  private def rrfBatchOracleSql: String = {
+    val allTerms = LexBatch.flatMap(_._2).distinct
+    val qtRows = LexBatch.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token IN (${allTerms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, token),
+       |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |qt(query_id, token) AS (VALUES $qtRows),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.token, ${DocQueries.bm25Micros} AS c_micros
+       |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+       |pq AS (
+       |  SELECT CAST(qt.query_id AS BIGINT) AS query_id, sc.doc_id,
+       |    CAST(sum(c_micros) AS BIGINT) AS score_micros
+       |  FROM sc JOIN qt USING (token)
+       |  GROUP BY qt.query_id, sc.doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, rank_lex FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_micros DESC, doc_id) AS rank_lex
+       |    FROM pq)
+       |  WHERE rank_lex <= $FuseDepth),
+       |qv AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < ${LexBatch.size}),
+       |dn AS (
+       |  SELECT qv.query_id, e.vec_id,
+       |    list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.qv)
+       |      / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])))
+       |         * sqrt(list_inner_product(qv.qv, qv.qv))) AS cos_raw
+       |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+       |dense AS (
+       |  SELECT query_id, doc_id, rank_dense FROM (
+       |    SELECT query_id, vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_raw DESC, vec_id) AS rank_dense
+       |    FROM dn)
+       |  WHERE rank_dense <= $FuseDepth),
+       |f AS (
+       |  SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+       |    COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+       |    rank_lex, rank_dense,
+       |    COALESCE(1000000 // ($RrfK + rank_lex), 0)
+       |      + COALESCE(1000000 // ($RrfK + rank_dense), 0) AS rrf_micros
+       |  FROM lex FULL OUTER JOIN dense
+       |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id, rank_lex, rank_dense, rrf_micros,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_micros DESC, doc_id) AS rk
+       |  FROM f)
+       |SELECT query_id, rk, doc_id, rank_lex, rank_dense, rrf_micros
+       |FROM r WHERE rk <= 10
        |ORDER BY query_id, rk""".stripMargin
   }
 
@@ -438,5 +531,50 @@ object RetrievalQueries {
         graft.operators.Lexical.bm25BatchTopKStored(
           s, StoredIndexes.lex(s, d), LexBatch),
       Some(lexBatchOracleSql),
-      "batched BM25 against the STORED inverted index: 3-query literal batch, one union-of-terms postings scan, per-(doc,term) contributions computed once and fanned out by a broadcast query-terms join, per-query top-5 — FULL DuckDB oracle"))
+      "batched BM25 against the STORED inverted index: 3-query literal batch, one union-of-terms postings scan, per-(doc,term) contributions computed once and fanned out by a broadcast query-terms join, per-query top-5 — FULL DuckDB oracle"),
+
+    Q(
+      "q174_rrf_hybrid_both_stored",
+      (s, d) =>
+        // Hybrid retrieval with BOTH legs served from standing indexes
+        // (r14 verdict #1 — the last recompute leg closed): the lexical
+        // ranks come from the stored BM25 postings (q169's probe, exact
+        // integers) and the dense ranks from the stored ANN index's
+        // vector table (Similarity.denseRanksStored — the exact-re-rank
+        // vectors q158 already stores, scored with the SAME IEEE cosine
+        // tree as q146's recompute, parquet round-tripping the doubles
+        // bit-exactly). Each leg is bit-identical to its recompute, so
+        // the fusion CARRIES q146's FULL ORACLE VERBATIM — the q169/q170
+        // precedent completed: per query batch a production hybrid
+        // pipeline now re-derives NOTHING corpus-wide.
+        rrfFuse(
+          graft.operators.Lexical.bm25RanksStored(
+            s, StoredIndexes.lex(s, d), DocQueries.bm25Terms, FuseDepth),
+          graft.operators.Similarity.denseRanksStored(
+            s, StoredIndexes.ann(s, d), 0L, FuseDepth)),
+      Some(rrfOracleSql),
+      "reciprocal-rank fusion with BOTH legs stored (build-once/query-many hybrid retrieval): lexical ranks from the stored BM25 postings, dense ranks from the stored ANN index's exact vector table — row-identical to q146, FULL DuckDB oracle; per-query cost is two probes, zero corpus re-derivation"),
+
+    Q(
+      "q175_rrf_hybrid_batch_stored",
+      (s, d) =>
+        // BATCHED fully-stored hybrid retrieval — the actual
+        // training/eval step shape (one batch of queries per step,
+        // q173's lexical batch fused with the stored dense batch): per
+        // query in the fixed 3-query batch (query embeddings = vec_id
+        // 0..2, terms = LexBatch), RRF-fuse the stored BM25 ranks with
+        // the stored exact dense ranks and keep the per-query top-10.
+        // ONE union-of-terms postings scan serves every lexical leg,
+        // ONE stored-vector scan against the broadcast anchor batch
+        // serves every dense leg, and the fusion joins two <=
+        // batch·FuseDepth frames. Exact integers end to end -> FULL
+        // ORACLE.
+        rrfFuseBatch(
+          graft.operators.Lexical.bm25BatchRanksStored(
+            s, StoredIndexes.lex(s, d), LexBatch, FuseDepth),
+          graft.operators.Similarity.denseRanksBatchStored(
+            s, StoredIndexes.ann(s, d), batchSize = LexBatch.size,
+            depth = FuseDepth)),
+      Some(rrfBatchOracleSql),
+      "batched fully-stored hybrid retrieval: per query in a fixed 3-query batch, RRF-fuse the stored-BM25 ranks (one union-of-terms postings scan) with the stored exact dense ranks (one vector-table scan vs the broadcast anchor batch), per-query top-10 — FULL DuckDB oracle"))
 }

@@ -104,6 +104,56 @@ class RetrievalSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("q174/q175 fully-stored hybrid: the probe plans never scan the corpus parquet; the batched dense leg equals per-query stored probes") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    // the fused probes must read ONLY index tables — the whole point of
+    // r14 verdict #1 is that neither leg re-derives corpus-wide state,
+    // so a scan rooted under the source testdata dir is a regression
+    def corpusScanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case s: FileSourceScanExec => Seq(s)
+          case o => o.children.flatMap(walk)
+        }
+        walk(df.queryExecution.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+          .filter(_.contains("testdata"))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+    val q174 = Registry.byName("q174_rrf_hybrid_both_stored").fn(spark, sf0001)
+    assert(corpusScanPaths(q174).isEmpty,
+      s"q174 probe scans the corpus: ${corpusScanPaths(q174)}")
+    assert(q174.count() == 20)
+    val q175 = Registry.byName("q175_rrf_hybrid_batch_stored").fn(spark, sf0001)
+    assert(corpusScanPaths(q175).isEmpty,
+      s"q175 probe scans the corpus: ${corpusScanPaths(q175)}")
+    // per-query output: every batch query produced a top-10 with dense
+    // ranks present (the dense leg always fills depth >= 10)
+    val rows175 = q175.collect()
+    assert(rows175.length == 30 &&
+      rows175.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+
+    // the batched stored dense leg is EXACT: identical to per-query
+    // stored probes (same cosine, same rank/tie rules, two-stage cut
+    // provably lossless)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dr_idx").toString
+    Similarity.buildAnnIndex(emb, "spec_dr", dir)
+    val batchLeg = Similarity.denseRanksBatchStored(spark, "spec_dr",
+      batchSize = 3, depth = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val perQuery = (0L until 3L).flatMap { qid =>
+      Similarity.denseRanksStored(spark, "spec_dr", qid, 50).collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batchLeg.nonEmpty && batchLeg == perQuery,
+      "batched stored dense leg != per-query stored probes")
+    Seq("spec_dr_buckets", "spec_dr_vecs", "spec_dr_tombstones", "spec_dr_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("q153 batched ANN: recall floor vs q152's exact per-anchor top-5; precision exact") {
     val embs = graft.Tables.embeddings(spark, sf0001).collect().map { r =>
       (r.getAs[Long]("vec_id"),

@@ -51,7 +51,9 @@ class ScaleGuardSpec extends AnyFunSuite {
     "q169_bm25_topk_stored" -> "cross-join of the 1-row effective corpus-stats frame (q131's shape over the stored per-batch stat increments)",
     "q170_rrf_hybrid_stored" -> "cross-joins of the 1-row effective-stats / query-vector frames (q146's shape with the stored lexical leg)",
     "q171_bm25_stored_tombstoned" -> "cross-join of the 1-row effective-stats frame (stored increments minus the tombstoned docs' O(|deletions|) doclen aggregate)",
-    "q173_bm25_batch_stored" -> "cross-join of the 1-row effective-stats frame (q169's shape; the query batch itself joins equi on token, broadcast literal)")
+    "q173_bm25_batch_stored" -> "cross-join of the 1-row effective-stats frame (q169's shape; the query batch itself joins equi on token, broadcast literal)",
+    "q174_rrf_hybrid_both_stored" -> "cross-joins of the 1-row effective-stats / stored-query-vector frames (q170's shape with the dense leg now also stored)",
+    "q175_rrf_hybrid_batch_stored" -> "cross-join of the 1-row effective-stats frame plus the non-equi (self-exclusion) stored-vector join against the structurally bounded <=3-row anchor batch (the q152/q158 fence)")
 
   /** TPC-H tables whose cardinality is CONSTANT in the scale factor —
     * the only relations a query may force-broadcast unconditionally.
