@@ -968,4 +968,84 @@ object Pq {
         round(col("score"), 6).as("score"),
         round(col("adc_score"), 6).as("adc_score"))
   }
+
+  /** BATCHED [[ivfPqTopKStored]] (r14 verdict #2 — the last index family
+    * without a batched stored probe): per-anchor top-k for a fixed
+    * training batch against the standing IVF-PQ index, with the UNION of
+    * the batch's probed lists served by ONE list-pruned codes scan. Per
+    * training step this is the cost model that makes IVF-PQ the
+    * billion-vector layout: the broadcast (anchor, probe_list) index —
+    * batch·nProbe tiny rows — joins the codes table EQUI on the
+    * partition column, so directory pruning drops every unprobed
+    * (batch_id, list_id) before a code row is read and each probed
+    * list's rows are scanned ONCE however many anchors probe it (the
+    * join fans them out). Scoring ships only the per-anchor LUTs
+    * (withAdcLut + the coarse table — 128+nLists doubles per anchor,
+    * broadcast), each code row pays 1+M array lookups per probing
+    * anchor, then the two-stage per-anchor cut ([[adcCandidatesFrom]]'s
+    * discipline: partial on (anchor, shard), global over the <=
+    * batch·shards·k·rerank survivors — identical rows to a single
+    * window) and the exact re-rank of the bounded candidate set against
+    * the stored vectors. Rows-only (data-dependent fits); PqSpec pins
+    * per-anchor row-identity with [[ivfPqTopKStored]] and RecallProbe
+    * floors it at sf0.1.
+    */
+  def ivfPqTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, batchSize: Int = 16, k: Int = 5,
+      nProbe: Int = 4, rerank: Int = 32, nShards: Int = -1,
+      maxBatchId: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, cbs) = ivfPqIndexMeta(spark, tablePrefix)
+    val coarseLit = typedlit(coarse)
+    val vs = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
+      maxBatchId).select(col("vec_id"), col("v"))
+    val codes = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_codes").filter(col("batch_id") < maxBatchId),
+      maxBatchId)
+      .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    val anchors = vs.filter(col("vec_id") < batchSize).limit(batchSize)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"))
+    // (anchor_id, probe_list): each anchor's nProbe nearest coarse lists
+    // — the same listScores tree as the single-query probe, so the
+    // probed set per anchor is identical (the row-identity contract)
+    val anchorLists = anchors
+      .select(col("anchor_id"),
+        explode(slice(listScores(col("qv"), coarse), 1, nProbe)).as("ls"))
+      .select(col("anchor_id"), (-col("ls.negc")).cast("int").as("probe_list"))
+    val luts = withAdcLut(anchors, col("qv"), cbs)
+      .withColumn("coarse_lut", array(coarse.indices.map(c =>
+        dot(col("qv"), element_at(coarseLit, c + 1))): _*))
+      .drop("qv")
+    val score: Column =
+      element_at(col("coarse_lut"), (col("list_id") + 1).cast("int")) + lutAdcSum
+    val shards = Par.resolveShards(spark, nShards, batchSize)
+    val byAnchorShard = Window.partitionBy(col("anchor_id"), col("shard"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val cand = codes
+      .join(broadcast(anchorLists), col("list_id") === col("probe_list"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .join(broadcast(luts), "anchor_id")
+      .withColumn("adc_score", score)
+      .drop("coarse_lut").drop(lutCols: _*)
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)))
+      .withColumn("rk1", row_number().over(byAnchorShard))
+      .filter(col("rk1") <= k * rerank)
+      .withColumn("rk", row_number().over(byAnchor))
+      .filter(col("rk") <= k * rerank)
+      .select(col("anchor_id"), col("vec_id"), col("list_id"), col("adc_score"))
+      .limit(batchSize * k * rerank) // no-op fence: rows already <= this
+    val byAnchorExact = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    vs.join(broadcast(cand), "vec_id")
+      .join(broadcast(anchors), "anchor_id")
+      .withColumn("score", dot(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(byAnchorExact).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("rk"), col("vec_id"), col("list_id"),
+        round(col("score"), 6).as("score"),
+        round(col("adc_score"), 6).as("adc_score"))
+  }
 }

@@ -166,6 +166,27 @@ object PqQueries {
       "IVF-PQ top-k against the STORED index (build-once/query-many): coarse + residual fits stored with the code rows partitioned by (batch_id, list_id) — probe prunes whole list directories, no fits, no encode pass; answers row-identical to q123 (PqSpec), rows-only"),
 
     Q(
+      "q177_ivfpq_topk_batch_stored",
+      (s, d) =>
+        // q160 batched (r14 verdict #2 — the training-loop shape for the
+        // last index family without it): per-anchor top-5 for a fixed
+        // 16-vector batch against the stored IVF-PQ index. The UNION of
+        // the batch's probed lists is served by ONE list-pruned codes
+        // scan (the broadcast (anchor, probe_list) index joins EQUI on
+        // the partition column — unprobed (batch_id, list_id)
+        // directories are never read, and a list probed by several
+        // anchors is scanned once); scoring ships per-anchor LUTs only,
+        // then the two-stage per-anchor cut + exact re-rank. Rows-only
+        // (data-dependent fits); PqSpec pins per-anchor row-identity
+        // with q160's single-query probe, RecallProbe floors it at
+        // sf0.1.
+        graft.operators.Pq.ivfPqTopKBatchStored(s, StoredIndexes.ivfPq(s, d),
+          nProbe = 6)
+          .orderBy(col("anchor_id"), col("rk")),
+      None,
+      "batched IVF-PQ retrieval against the STORED index: per-anchor (16-vector broadcast training batch) top-5, union of the batch's probed lists in ONE list-directory-pruned codes scan, per-anchor ADC LUTs broadcast, two-stage cut + exact re-rank — row-identical per anchor to q160's probe (PqSpec), rows-only"),
+
+    Q(
       "q168_sq8_topk_batch_stored",
       (s, d) =>
         // Batched top-5 against the STORED SQ8 index — the fourth index

@@ -152,6 +152,20 @@ object RecallProbe {
     }.sum / ivfQueries.size
     check("ivf_pq", ivfPqRecall, 0.5)
 
+    // batched STORED IVF-PQ (q177) vs the exact per-anchor IP top-5 —
+    // pair-level recall over the 16-anchor batch; the stored build fits
+    // the same coarse/residual codebooks as q123's recompute
+    val bdir = java.nio.file.Files.createTempDirectory("graft_rp_ivfpqb").toString
+    Pq.buildIvfPqIndex(emb, "rp_ivfpqb", bdir)
+    val gotIvfPqBatch = Pq.ivfPqTopKBatchStored(spark, "rp_ivfpqb",
+      batchSize = 16, k = 5, nProbe = 6)
+      .select(col("anchor_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    check("ivfpq_batch", exactIp5.count(gotIvfPqBatch).toDouble / exactIp5.size, 0.5)
+    Seq("rp_ivfpqb_codes", "rp_ivfpqb_vecs", "rp_ivfpqb_tombstones",
+      "rp_ivfpqb_monitor", "rp_ivfpqb_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
     // corpus-wide hard negatives (q150) vs the exact per-anchor top-3 —
     // pair-level recall, the RetrievalSpec floor re-asserted at scale
     // (adaptive bucket bits grow with n: exactly the dial whose cliff

@@ -205,6 +205,36 @@ class PqSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("batched stored IVF-PQ (q177): per-anchor row-identical to q160's single-query probe; shard count cannot change rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqb_idx").toString
+    Pq.buildIvfPqIndex(emb, "spec_ivfpqb", dir)
+    val batch = Pq.ivfPqTopKBatchStored(spark, "spec_ivfpqb",
+      batchSize = 16, k = 5, nProbe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(batch.nonEmpty)
+    // identity with 16 independent single-query stored probes: same
+    // listScores probe sets, same LUT trees, same tie rules — the ONE
+    // union-of-lists scan cannot change a row
+    val perQuery = (0L until 16L).flatMap { qid =>
+      Pq.ivfPqTopKStored(spark, "spec_ivfpqb", queryVecId = qid,
+        k = 5, nProbe = 6).collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getInt(1),
+          r.getDouble(2), r.getDouble(3)) }
+    }.toSet
+    assert(batch == perQuery, "batched stored probe != per-query stored probes")
+    // the two-stage cut is shard-count-invariant (the determinism sweep
+    // crosses CPU counts, so this must hold by construction)
+    val oneShard = Pq.ivfPqTopKBatchStored(spark, "spec_ivfpqb",
+      batchSize = 16, k = 5, nProbe = 6, nShards = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(oneShard == batch)
+    Seq("spec_ivfpqb_codes", "spec_ivfpqb_vecs", "spec_ivfpqb_tombstones",
+      "spec_ivfpqb_monitor", "spec_ivfpqb_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("IVF-PQ: probed subset only, and residual coding clears the recall floor") {
     import graft.functions.VectorFunctions._
     // the LEARNED coarse quantizer q123 ships (2 exact Lloyd iterations),
