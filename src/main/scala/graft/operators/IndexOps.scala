@@ -385,6 +385,68 @@ object IndexOps {
       .option("path", s"$path/meta").saveAsTable(metaTable)
   }
 
+  /** Default [[maintenancePolicy]] bars: compact when tombstones exceed
+    * 10% of live rows (the rewrite reclaims enough scan/anti-join work
+    * to pay for itself) or when more than 4 un-folded maintenance
+    * batches accumulate (probe file counts grow with batch count —
+    * IndexCompactionSpec's collapse measurement); both exact integers
+    * so the policy row stays SQL-replayable.
+    */
+  val TombstonePpmBar: Long = 100000L
+  val MaxBatchesBar: Long = 4L
+
+  /** MONITORS → DECISION (r14 verdict #3): turn the lifecycle's stored
+    * observability — staleness-monitor alerts, tombstone fraction,
+    * un-compacted batch count — into ONE maintenance decision per index
+    * family, instead of leaving the operator to eyeball q163/q172
+    * trails. Precedence: REFIT on any monitor alert newer than the
+    * compaction fence (a stale quantizer corrupts every future batch's
+    * codes — nothing else matters until the generation is refit; refit
+    * subsumes compaction, folding batches and consuming tombstones in
+    * the same rewrite), else COMPACT when the tombstone fraction or the
+    * batch count crosses its bar, else HEALTHY. Every statistic is an
+    * exact integer read from the standing tables (counts + the stored
+    * alert flags — bounded scalar reads, the IndexOps collect class),
+    * so the decision row carries a FULL DuckDB oracle (q176) — the
+    * thresholds are replayed by SQL over the same deterministic state.
+    * Returns one row: (family, n_batches, n_rows, n_tombstones,
+    * tombstone_ppm, n_alerts, decision, triggered_by).
+    */
+  def maintenancePolicy(spark: SparkSession, tablePrefix: String,
+      family: String, dataTable: String = "codes",
+      maxBatchesBar: Long = MaxBatchesBar,
+      tombstonePpmBar: Long = TombstonePpmBar): DataFrame = {
+    import spark.implicits._
+    val fence = compactedThrough(spark, tablePrefix)
+    val nBatches = batchIdsOf(spark, s"${tablePrefix}_$dataTable")
+      .count(b => b != SeedBatchId && b > fence).toLong
+    val nRows = spark.table(s"${tablePrefix}_$dataTable").count()
+    val nTombstones =
+      if (!spark.catalog.tableExists(s"${tablePrefix}_tombstones")) 0L
+      else spark.table(s"${tablePrefix}_tombstones").count()
+    val tombstonePpm = if (nRows > 0) nTombstones * 1000000L / nRows else 0L
+    val nAlerts =
+      if (!spark.catalog.tableExists(s"${tablePrefix}_monitor")) 0L
+      else {
+        val mon = spark.table(s"${tablePrefix}_monitor")
+          .filter(col("batch_id") > fence)
+        // PQ-family monitors carry (alert, tail_alert); SQ8 carries
+        // alert only — sum whichever flags the family records
+        val alertCols = Seq("alert", "tail_alert").filter(mon.columns.contains)
+        mon.agg(coalesce(sum(alertCols.map(col).reduce(_ + _)), lit(0L)))
+          .collect()(0).getLong(0)
+      }
+    val (decision, trigger) =
+      if (nAlerts > 0) ("refit", "monitor_alert")
+      else if (tombstonePpm > tombstonePpmBar) ("compact", "tombstone_ppm")
+      else if (nBatches > maxBatchesBar) ("compact", "batch_count")
+      else ("healthy", "none")
+    Seq((family, nBatches, nRows, nTombstones, tombstonePpm, nAlerts,
+      decision, trigger))
+      .toDF("family", "n_batches", "n_rows", "n_tombstones",
+        "tombstone_ppm", "n_alerts", "decision", "triggered_by")
+  }
+
   // --- Hadoop-FS directory primitives (cluster seam: the same calls
   // run against HDFS/object-store URIs; local paths resolve to the
   // local FS) ---------------------------------------------------------

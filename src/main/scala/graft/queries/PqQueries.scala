@@ -259,6 +259,82 @@ object PqQueries {
       "full IVF-PQ with exact re-rank: LEARNED coarse inverted lists (2 exact Lloyd iterations) + residual PQ codes, query probes 6 of 16 lists, ADC-scores codes only, then re-ranks the candidate set exactly — recall bounded by list coverage (nProbe), not code resolution; floors in PqSpec + RecallProbe"),
 
     Q(
+      "q176_maintenance_policy",
+      (s, d) =>
+        // MONITORS -> DECISION (r14 verdict #3): the lifecycle stores
+        // alerts (q163's MSE, the tail/clamp coverage statistics),
+        // tombstone counts and batch partitions, and compaction/refit
+        // exist as callable operators — but nothing turned the telemetry
+        // into a DECISION. IndexOps.maintenancePolicy emits one row per
+        // index family: refit on any post-fence monitor alert (a stale
+        // quantizer corrupts every future batch — precedence over
+        // everything), else compact on tombstone fraction or batch
+        // count, else healthy. Here over a deterministic SQ8 state
+        // (StoredIndexes.sq8Policy: build on vec_id>=100, in-range
+        // batch 0, +2.0-shifted batch 1 that clamps 100% of its
+        // coordinates with >=1.0 margin at every scale, vec_id%9==3
+        // tombstoned ~11%): BOTH the alert and the tombstone bar are
+        // live, and the FULL ORACLE replays the fit, both clamp ppms,
+        // the counts and the threshold precedence from raw rows — the
+        // q168 replay discipline extended to the decision layer.
+        graft.operators.IndexOps.maintenancePolicy(
+          s, StoredIndexes.sq8Policy(s, d), family = "sq8"),
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+             |    i -> struct_pack(dim := i, x := v[i]))) AS s
+             |  FROM v),
+             |f AS (
+             |  SELECT vec_id, struct_extract(s, 'dim') AS dim,
+             |         struct_extract(s, 'x') AS x
+             |  FROM e),
+             |d AS (
+             |  SELECT dim, min(x) AS mn, max(x) AS mx FROM f
+             |  WHERE vec_id >= 100 GROUP BY dim),
+             |c0 AS (
+             |  SELECT CAST(sum(CASE WHEN f.x < d.mn OR f.x > d.mx
+             |                       THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+             |           // count(*) AS ppm
+             |  FROM f JOIN d ON f.dim = d.dim WHERE f.vec_id < 50),
+             |c1 AS (
+             |  SELECT CAST(sum(CASE WHEN f.x + 2.0 < d.mn OR f.x + 2.0 > d.mx
+             |                       THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+             |           // count(*) AS ppm
+             |  FROM f JOIN d ON f.dim = d.dim
+             |  WHERE f.vec_id >= 50 AND f.vec_id < 100),
+             |stats AS (
+             |  SELECT CAST(2 AS BIGINT) AS n_batches,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+             |     WHERE vec_id >= 100)
+             |      + (SELECT count(*) FROM embeddings WHERE vec_id < 50)
+             |      + (SELECT count(*) FROM embeddings
+             |         WHERE vec_id >= 50 AND vec_id < 100) AS n_rows,
+             |    (SELECT CAST(count(DISTINCT vec_id) AS BIGINT)
+             |     FROM embeddings WHERE vec_id % 9 = 3) AS n_tombstones,
+             |    (SELECT CAST((CASE WHEN c0.ppm > 100000 THEN 1 ELSE 0 END)
+             |       + (CASE WHEN c1.ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             |     FROM c0, c1) AS n_alerts),
+             |pol AS (
+             |  SELECT 'sq8' AS family, n_batches, n_rows, n_tombstones,
+             |    CAST(n_tombstones * 1000000 AS BIGINT) // n_rows
+             |      AS tombstone_ppm,
+             |    n_alerts
+             |  FROM stats)
+             |SELECT family, n_batches, n_rows, n_tombstones, tombstone_ppm,
+             |  n_alerts,
+             |  CASE WHEN n_alerts > 0 THEN 'refit'
+             |       WHEN tombstone_ppm > 100000 THEN 'compact'
+             |       WHEN n_batches > 4 THEN 'compact'
+             |       ELSE 'healthy' END AS decision,
+             |  CASE WHEN n_alerts > 0 THEN 'monitor_alert'
+             |       WHEN tombstone_ppm > 100000 THEN 'tombstone_ppm'
+             |       WHEN n_batches > 4 THEN 'batch_count'
+             |       ELSE 'none' END AS triggered_by
+             |FROM pol""".stripMargin),
+      "maintenance-policy operator (monitors -> decisions): one row per index family — refit on any post-fence staleness alert, else compact on tombstone fraction / batch count, else healthy; over a deterministic SQ8 drift+deletion state, FULL DuckDB oracle replaying the fit, the clamp ppms, the counts and the threshold precedence"),
+
+    Q(
       "q172_sq8_lifecycle_audit",
       (s, d) => {
         // END-TO-END stored-index LIFECYCLE in one registered query

@@ -131,4 +131,35 @@ private[queries] object StoredIndexes {
         docs.filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")),
         batchId = 0L)
     }
+
+  /** q176's deterministic maintenance state: an SQ8 index (the
+    * deterministic min/max fit — the q168/q172 rationale) built over
+    * vec_id >= 100, grown by an in-range batch 0 (vec_id < 50) and a
+    * DRIFTED batch 1 (vec_id in [50,100), every coordinate +2.0f — the
+    * whole batch clamps against the frozen range with >= 1.0 margin at
+    * every test scale, so the monitor alert is scale-independent and
+    * immune to float-vs-double shift rounding), then vec_id ≡ 3 (mod 9)
+    * tombstoned as deletion batch 0 (~11% > the 10% compact bar, so two
+    * triggers are live and the policy's refit-over-compact precedence
+    * is what the oracle checks). Every statistic the policy reads is an
+    * exact integer function of `embeddings`, which is what lets q176
+    * carry a FULL DuckDB oracle.
+    */
+  def sq8Policy(s: SparkSession, dir: String): String =
+    memo(s, dir, "pol") { (prefix, path) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Sq8.buildSq8Index(
+        emb.filter(col("vec_id") >= 100), prefix, path)
+      graft.streaming.AnnStream.indexBatchSq8(
+        s, emb.filter(col("vec_id") < 50), 0L, prefix)
+      graft.streaming.AnnStream.indexBatchSq8(
+        s, emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+          .select(col("vec_id"),
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              x => x + lit(2.0f)).as("embedding")),
+        1L, prefix)
+      IndexOps.tombstone(s, prefix,
+        emb.filter(pmod(col("vec_id"), lit(9)) === 3).select(col("vec_id")),
+        batchId = 0L)
+    }
 }

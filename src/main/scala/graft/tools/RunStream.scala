@@ -93,6 +93,17 @@ object RunStream {
       s"tombstones left: ${spark.table("demo_ann_tombstones").count()}, " +
       s"probe rows: ${graft.operators.Similarity.annTopKBatchStored(spark, "demo_ann", batchSize = 4, k = 3).count()}")
 
+    // maintenance policy (round 15): the monitors the lifecycle stores
+    // become a DECISION — after the tombstoned deletion above, the
+    // LSH family's own policy row says whether to compact/refit NOW;
+    // an operator runs this before choosing a rewrite, not after
+    // eyeballing trails (LSH has no quantizer monitor, so its signals
+    // are the tombstone fraction and the batch count)
+    println("maintenance policy (q176's operator) over the demo ANN index:")
+    graft.operators.IndexOps.maintenancePolicy(
+      spark, "demo_ann", family = "ann_lsh", dataTable = "buckets")
+      .show(truncate = false)
+
     // full lifecycle audit (round 14): one registered query runs
     // build → grow → tombstone → compact → drift-alert → refit over the
     // stored SQ8 family and returns the generation trail — the

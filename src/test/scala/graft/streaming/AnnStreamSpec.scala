@@ -296,6 +296,57 @@ class AnnStreamSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("maintenance policy: the decision flips exactly when each signal lands and clears when its rewrite consumes it (q176's operator)") {
+    import graft.operators.{IndexOps, Sq8}
+    val base = Files.createTempDirectory("pol_sq8")
+    Sq8.buildSq8Index(emb.filter(col("vec_id") >= 100), "pol_sq8", s"$base/idx")
+    def policy() = IndexOps.maintenancePolicy(spark, "pol_sq8", "sq8").collect()(0)
+    def dt(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("decision"), r.getAs[String]("triggered_by"))
+    assert(dt(policy()) == (("healthy", "none")))
+    // in-range growth below every bar: still healthy
+    AnnStream.indexBatchSq8(spark,
+      emb.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")),
+      0L, "pol_sq8")
+    assert(dt(policy()) == (("healthy", "none")))
+    // deletions past the 10% bar: COMPACT, attributed to the fraction
+    IndexOps.tombstone(spark, "pol_sq8",
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id")), 0L)
+    val p1 = policy()
+    assert(dt(p1) == (("compact", "tombstone_ppm")) &&
+      p1.getAs[Long]("tombstone_ppm") > IndexOps.TombstonePpmBar, p1.toString)
+    // the generation rewrite consumes the signal
+    Sq8.compactSq8Index(spark, "pol_sq8", s"$base/idx")
+    assert(dt(policy()) == (("healthy", "none")))
+    // a drifted batch lands its monitor alert: REFIT — and it outranks a
+    // simultaneous above-bar deletion set (precedence, not coincidence)
+    AnnStream.indexBatchSq8(spark, emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(2.0f)).as("embedding")),
+      1L, "pol_sq8")
+    IndexOps.tombstone(spark, "pol_sq8",
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id")), 1L)
+    val p2 = policy()
+    assert(dt(p2) == (("refit", "monitor_alert")) &&
+      p2.getAs[Long]("n_alerts") == 1L &&
+      p2.getAs[Long]("tombstone_ppm") > IndexOps.TombstonePpmBar, p2.toString)
+    // the refit generation consumes the alert (the fence advances past
+    // every monitor row) AND the tombstones
+    Sq8.refitSq8Index(spark, "pol_sq8", s"$base/idx")
+    assert(dt(policy()) == (("healthy", "none")))
+    // batch-count bar: five un-folded in-range batches tip it
+    (2 to 6).foreach { b =>
+      AnnStream.indexBatchSq8(spark, emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + b * 100000L).as("vec_id"), col("embedding")),
+        b.toLong, "pol_sq8")
+    }
+    val p3 = policy()
+    assert(dt(p3) == (("compact", "batch_count")) &&
+      p3.getAs[Long]("n_batches") == 5L, p3.toString)
+    Seq("codes", "vecs", "tombstones", "monitor", "meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS pol_sq8_$t"))
+  }
+
   test("half-landed MONITOR row blocks compaction: a crash after vecs but before the monitor append must not be folded past (advisor r13)") {
     val base = Files.createTempDirectory("hm_pq")
     Pq.buildPqIndex(emb.filter(col("vec_id") >= 100), "hm_pq",
