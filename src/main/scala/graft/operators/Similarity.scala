@@ -241,7 +241,7 @@ object Similarity {
     * aggregates — amortized over every query against the index.
     */
   def ivfTopK(emb: DataFrame, queryVecId: Long, kResults: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 8, lloydIters: Int = 2): DataFrame = {
     val cs = Clustering.fitCentroids(emb, nCentroids, 64, lloydIters, seed = 7L)
     // true nearest-centroid: argmin ||v−c||² ≡ argmax (⟨v,c⟩ − ||c||²/2).
     // The half-norm term was a no-op for the old unit-norm seeded

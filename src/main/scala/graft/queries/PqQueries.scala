@@ -160,7 +160,7 @@ object PqQueries {
         // pins row-for-row equality with q123's recompute path, the
         // zero-corpus-exchange plan, and catalog-wipe reattach.
         graft.operators.Pq.ivfPqTopKStored(s, StoredIndexes.ivfPq(s, d),
-          queryVecId = 0L, k = 10, nProbe = 6)
+          queryVecId = 0L, k = 10, nProbe = 8)
           .orderBy(col("score").desc, col("vec_id")),
       None,
       "IVF-PQ top-k against the STORED index (build-once/query-many): coarse + residual fits stored with the code rows partitioned by (batch_id, list_id) — probe prunes whole list directories, no fits, no encode pass; answers row-identical to q123 (PqSpec), rows-only"),
@@ -181,7 +181,7 @@ object PqQueries {
         // with q160's single-query probe, RecallProbe floors it at
         // sf0.1.
         graft.operators.Pq.ivfPqTopKBatchStored(s, StoredIndexes.ivfPq(s, d),
-          nProbe = 6)
+          nProbe = 8)
           .orderBy(col("anchor_id"), col("rk")),
       None,
       "batched IVF-PQ retrieval against the STORED index: per-anchor (16-vector broadcast training batch) top-5, union of the batch's probed lists in ONE list-directory-pruned codes scan, per-anchor ADC LUTs broadcast, two-stage cut + exact re-rank — row-identical per anchor to q160's probe (PqSpec), rows-only"),
@@ -248,15 +248,20 @@ object PqQueries {
         // fit below. Measured at sf0.1 (IvfProbe, 20-query mean):
         // learning lifts nProbe=4 recall 0.50→0.58 and worst-query
         // recall 0.10→0.40; the corpus is near-isotropic, so list
-        // coverage (nProbe, here 6/16 → ~0.70 mean) stays the dominant
-        // recall dial — exactly the real-IVF trade.
+        // coverage stays the dominant recall dial — exactly the real-IVF
+        // trade. r15 (verdict #4): nProbe 6→8 of 16 lists, measured
+        // coverage 0.715→0.805 at sf0.1 (IvfProbe) and ivf_pq recall
+        // 0.62→0.70; the stored twins (q160/q177) absorb the extra two
+        // lists via (batch_id, list_id) directory pruning, the recompute
+        // pays ~33% more ADC rows — the priced recall-vs-time re-pin,
+        // the r12 precedent.
         val coarse = graft.operators.Clustering.fitCentroids(
           emb, k = 16, dim = 64, iters = 2, seed = 7L)
         val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
-        Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 6)
+        Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 8)
       },
       None,
-      "full IVF-PQ with exact re-rank: LEARNED coarse inverted lists (2 exact Lloyd iterations) + residual PQ codes, query probes 6 of 16 lists, ADC-scores codes only, then re-ranks the candidate set exactly — recall bounded by list coverage (nProbe), not code resolution; floors in PqSpec + RecallProbe"),
+      "full IVF-PQ with exact re-rank: LEARNED coarse inverted lists (2 exact Lloyd iterations) + residual PQ codes, query probes 8 of 16 lists, ADC-scores codes only, then re-ranks the candidate set exactly — recall bounded by list coverage (nProbe), not code resolution; floors in PqSpec + RecallProbe"),
 
     Q(
       "q176_maintenance_policy",

@@ -72,14 +72,18 @@ object RecallProbe {
     // IVF floors are a MEAN over 5 query ids: single-query recall on a
     // 10-element set is a coin-flip-grade sample (the r10 floors of
     // 0.20/0.30 existed to absorb that variance); the mean tightens the
-    // claim to what the operator actually delivers — learned lists +
-    // probe 6/16 ≈ 0.6–0.7 on this near-isotropic corpus (IvfProbe).
+    // claim to what the operator actually delivers. r15: probe 8/16
+    // lists (was 6 — IvfProbe measured coverage 0.64 -> 0.80 at sf0.1,
+    // the r14 verdict #4 raise; recall IS list coverage for IVF, and
+    // the stored layouts absorb the extra lists via directory pruning),
+    // floors raised 0.60 -> 0.70 (ivf, measured 0.800) and
+    // 0.50 -> 0.60 (ivf_pq 0.700 / ivfpq_batch 0.750).
     val ivfQueries = Seq(0L, 1L, 2L, 3L, 4L)
     val ivfRecall = ivfQueries.map { qid =>
       val got = Similarity.ivfTopK(emb, qid, 10).collect().map(_.getLong(0)).toSet
       (got intersect exactTop10(qid)).size / 10.0
     }.sum / ivfQueries.size
-    check("ivf", ivfRecall, 0.6)
+    check("ivf", ivfRecall, 0.7)
 
     // near-dup pair recall vs brute force at the cosine threshold. The
     // baseline must be ALL pairs ≥ threshold: the first probe run used
@@ -146,11 +150,11 @@ object RecallProbe {
     val coarse = Clustering.fitCentroids(emb, 16, 64, iters = 2, seed = 7L)
     val rcbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
     val ivfPqRecall = ivfQueries.map { qid =>
-      val got = Pq.ivfPqTopK(emb, coarse, rcbs, queryVecId = qid, k = 10, nProbe = 6)
+      val got = Pq.ivfPqTopK(emb, coarse, rcbs, queryVecId = qid, k = 10, nProbe = 8)
         .collect().map(_.getLong(0)).toSet
       (got intersect exactIpTop10(qid)).size / 10.0
     }.sum / ivfQueries.size
-    check("ivf_pq", ivfPqRecall, 0.5)
+    check("ivf_pq", ivfPqRecall, 0.6)
 
     // batched STORED IVF-PQ (q177) vs the exact per-anchor IP top-5 —
     // pair-level recall over the 16-anchor batch; the stored build fits
@@ -158,10 +162,10 @@ object RecallProbe {
     val bdir = java.nio.file.Files.createTempDirectory("graft_rp_ivfpqb").toString
     Pq.buildIvfPqIndex(emb, "rp_ivfpqb", bdir)
     val gotIvfPqBatch = Pq.ivfPqTopKBatchStored(spark, "rp_ivfpqb",
-      batchSize = 16, k = 5, nProbe = 6)
+      batchSize = 16, k = 5, nProbe = 8)
       .select(col("anchor_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    check("ivfpq_batch", exactIp5.count(gotIvfPqBatch).toDouble / exactIp5.size, 0.5)
+    check("ivfpq_batch", exactIp5.count(gotIvfPqBatch).toDouble / exactIp5.size, 0.6)
     Seq("rp_ivfpqb_codes", "rp_ivfpqb_vecs", "rp_ivfpqb_tombstones",
       "rp_ivfpqb_monitor", "rp_ivfpqb_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
