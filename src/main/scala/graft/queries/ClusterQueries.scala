@@ -194,5 +194,46 @@ object ClusterQueries {
              |    ORDER BY length(d.text) DESC, c.doc_id) = 1 AS BIGINT) AS keep
              |FROM comp c JOIN documents d ON c.doc_id = d.doc_id
              |ORDER BY c.doc_id""".stripMargin),
-      "union-of-signals dedup decisions: text-Jaccard ∪ semantic-cosine edges → one component set; keep = longest text (production policy), ties to lowest doc_id"))
+      "union-of-signals dedup decisions: text-Jaccard ∪ semantic-cosine edges → one component set; keep = longest text (production policy), ties to lowest doc_id"),
+
+    Q(
+      "q178_semantic_dedup_stored",
+      (s, d) =>
+        // INCREMENTAL semantic dedup against the STORED cluster index
+        // (r14 verdict #5 — the q86/q88 family joins build-once/
+        // query-many): the standing index froze the seeded centroids
+        // and holds the cluster-bucketed members (vec_id >= 100); the
+        // screen decides the incoming vec_id < 100 batch by assigning
+        // it (batch-only projection, frozen centroid literals) and
+        // exact-cosining against ITS clusters' members — the corpus is
+        // never re-assigned or re-paired against itself. FULL ORACLE:
+        // assignment is q84's replayed tree, the cosine is q86's, the
+        // winner is an integer min — DuckDB recomputes the decisions
+        // from raw rows.
+        graft.operators.SemDedup.screenSem(s,
+          incoming = embeddings(s, d).filter(col("vec_id") < 100),
+          tablePrefix = StoredIndexes.sem(s, d))
+          .orderBy(col("vec_id")),
+      Some(s"""$assignCte,
+             |corp AS (
+             |  SELECT a.vec_id AS corp_id, a.cluster_id, v.v AS cv
+             |  FROM asg a JOIN v ON v.vec_id = a.vec_id
+             |  WHERE a.vec_id >= 100),
+             |inc AS (
+             |  SELECT a.vec_id, a.cluster_id, v.v
+             |  FROM asg a JOIN v ON v.vec_id = a.vec_id
+             |  WHERE a.vec_id < 100),
+             |near AS (
+             |  SELECT inc.vec_id, min(corp.corp_id) AS sem_dup_of
+             |  FROM inc JOIN corp ON inc.cluster_id = corp.cluster_id
+             |  WHERE list_inner_product(inc.v, corp.cv)
+             |        / (sqrt(list_inner_product(inc.v, inc.v))
+             |           * sqrt(list_inner_product(corp.cv, corp.cv))) >= 0.35
+             |  GROUP BY inc.vec_id)
+             |SELECT inc.vec_id, CAST(inc.cluster_id AS BIGINT) AS cluster_id,
+             |  near.sem_dup_of,
+             |  CAST(near.sem_dup_of IS NULL AS BIGINT) AS keep
+             |FROM inc LEFT JOIN near ON inc.vec_id = near.vec_id
+             |ORDER BY inc.vec_id""".stripMargin),
+      "incremental semantic dedup against the STORED cluster index (frozen seeded centroids, cluster-bucketed members): the incoming batch assigns itself and exact-cosines only its clusters' members — O(batch·k + batch·cluster-mates), corpus never re-assigned; FULL DuckDB oracle"))
 }

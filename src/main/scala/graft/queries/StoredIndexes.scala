@@ -132,6 +132,20 @@ private[queries] object StoredIndexes {
         batchId = 0L)
     }
 
+  /** Standing semantic-dedup cluster index (q178): frozen seeded
+    * centroids + the cluster-bucketed members table, built over the
+    * vec_id >= 100 slice so the registered screen has a deterministic
+    * out-of-index incoming batch (vec_id < 100) to decide on — the
+    * read-only q176 pattern: the screen itself appends nothing, so the
+    * memoized state stays a pure function of `embeddings` and the query
+    * carries a full oracle.
+    */
+  def sem(s: SparkSession, dir: String): String =
+    memo(s, dir, "sem") { (prefix, path) =>
+      graft.operators.SemDedup.buildSemIndex(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 100), prefix, path)
+    }
+
   /** q176's deterministic maintenance state: an SQ8 index (the
     * deterministic min/max fit — the q168/q172 rationale) built over
     * vec_id >= 100, grown by an in-range batch 0 (vec_id < 50) and a
