@@ -186,18 +186,22 @@ object SemDedup {
     * clusters' members EQUI on the bucket column (zero corpus-side
     * exchange — the batch side shuffles, |batch| rows); deletions
     * anti-join before any match, so a dropped doc stops suppressing new
-    * duplicates of itself; `maxBatchId` is the streaming replay fence.
-    * Winner = the LOWEST surviving same-cluster corpus id at
-    * cos >= `minCos` (exact cosine over stored doubles — bit-identical
-    * to the recompute over the raw corpus).
+    * duplicates of itself; `maxBatchId` is the streaming replay fence
+    * for the MEMBERS table only — tombstones are applied UNFENCED,
+    * because the delete stream numbers its batches independently of the
+    * screen stream (the r14-advisor rule `Dedup.storedCorpusFrames`
+    * applies with separate fences; the deletions-between-replay-windows
+    * cadence makes replays converge). Winner = the LOWEST surviving
+    * same-cluster corpus id at cos >= `minCos` (exact cosine over
+    * stored doubles — bit-identical to the recompute over the raw
+    * corpus).
     */
   def screenSem(spark: SparkSession, incoming: DataFrame, tablePrefix: String,
       minCos: Double = 0.35,
       maxBatchId: Long = Long.MaxValue): DataFrame = {
     val (cs, _) = semIndexMeta(spark, tablePrefix)
     val members = IndexOps.survivors(spark, tablePrefix,
-      spark.table(s"${tablePrefix}_members").filter(col("batch_id") < maxBatchId),
-      maxBatchId)
+      spark.table(s"${tablePrefix}_members").filter(col("batch_id") < maxBatchId))
       .select(col("vec_id").as("corp_id"), col("cluster_id"),
         col("v").as("cv"), col("nrm").as("cnrm"))
     val inc = assigned(

@@ -66,13 +66,18 @@ class SemDedupStreamSpec extends AnyFunSuite {
 
     // DELETION: drop a doc that currently suppresses duplicates — its
     // exact copy under a fresh id must re-derive from the SURVIVING
-    // corpus (and in particular never match the tombstoned victim)
+    // corpus (and in particular never match the tombstoned victim).
+    // The DELETE-stream batch id (7) is deliberately HIGHER than the
+    // screen's data-batch id (2): the two streams number independently,
+    // so the screen must apply the deletion UNFENCED — a data-batch-id
+    // fence on the tombstone table would hide it (the r14-advisor
+    // apples-to-oranges comparison, pinned here for the semantic arm)
     val victim = decisionsOf(decisions, 1L)
       .filter(col("sem_dup_of").isNotNull)
       .orderBy(col("vec_id")).limit(1)
       .collect()(0).getAs[Long]("sem_dup_of")
     SemDedup.tombstoneVecs(spark, "sds",
-      spark.range(victim, victim + 1).select(col("id").as("vec_id")), 0L)
+      spark.range(victim, victim + 1).select(col("id").as("vec_id")), 7L)
     import spark.implicits._
     val copyOfVictim = emb.filter(col("vec_id") === victim)
       .select(lit(900001L).as("vec_id"), col("embedding"))
