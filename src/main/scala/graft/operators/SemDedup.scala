@@ -45,6 +45,10 @@ object SemDedup {
   /** Stored-layout version (the DecontamStream discipline). */
   val SemIndexFormat = 1
 
+  /** Assignment-rule tags recorded in meta per generation. */
+  val RuleDot = "dot"
+  val RuleL2 = "l2"
+
   /** Per-vector assignment distance ||v − c_assigned||² in exact int64
     * micros: ss − 2·⟨v,c⟩ + ⟨c,c⟩ against the ALREADY-ASSIGNED centroid
     * (q86's argmax-dot pick — not re-derived under a different rule),
@@ -64,13 +68,20 @@ object SemDedup {
   }
 
   /** (vec_id, v, nrm, cluster_id) of a raw (vec_id, embedding) frame
-    * under the frozen centroids — q86's assignment
-    * ([[Clustering.assign]]'s argmax-dot tree) plus the norm staged once
-    * (cosines below reuse it; recomputing it per pair is the n-vs-n²
-    * fold q33 fixed).
+    * under the frozen centroids, plus the norm staged once (cosines
+    * below reuse it; recomputing it per pair is the n-vs-n² fold q33
+    * fixed). `rule` is the generation's assignment rule recorded in
+    * meta: "dot" = q86's argmax-dot tree (seeded UNIT-NORM centroids,
+    * where argmax-dot ≡ argmin-L2 — the build generation, what q178's
+    * oracle replays); "l2" = the exact half-norm rule
+    * ([[Clustering.assignL2]]) REQUIRED for learned centroids with
+    * data-dependent norms (a refit generation — raw argmax-dot would
+    * bias assignment toward long centroids, the round-11 IVF lesson).
     */
-  private def assigned(emb: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
-    Clustering.assign(emb, cs)
+  private def assigned(emb: DataFrame, cs: Seq[Seq[Double]],
+      rule: String): DataFrame =
+    (if (rule == RuleL2) Clustering.assignL2(emb, cs)
+     else Clustering.assign(emb, cs))
       .withColumn("nrm", l2Norm(col("v")))
       .select(col("vec_id"), col("cluster_id"), col("v"), col("nrm"))
 
@@ -81,9 +92,10 @@ object SemDedup {
     * shared entry like `Lexical.lexIndexSlices`).
     */
   private[graft] def memberSlice(emb: DataFrame, batchId: Long,
-      cs: Seq[Seq[Double]]): DataFrame =
+      cs: Seq[Seq[Double]], rule: String = RuleDot): DataFrame =
     assigned(
-      emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull), cs)
+      emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+      cs, rule)
       .withColumn("batch_id", lit(batchId))
 
   /** The monitor row for one maintenance batch (IndexOps.MonitorSchema —
@@ -94,9 +106,11 @@ object SemDedup {
     * operator consuming them, [[IndexOps.maintenancePolicy]], is shared).
     */
   private[graft] def monitorSlice(emb: DataFrame, batchId: Long,
-      cs: Seq[Seq[Double]], buildMse: Long): DataFrame =
+      cs: Seq[Seq[Double]], buildMse: Long,
+      rule: String = RuleDot): DataFrame =
     assigned(
-      emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull), cs)
+      emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+      cs, rule)
       .select(assignErrMicros(col("v"), col("cluster_id"), cs).as("fx"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("fx")).as("sum_fx"),
         sum(when(col("fx") > lit(Pq.TailFactor * buildMse), 1L).otherwise(0L))
@@ -136,29 +150,46 @@ object SemDedup {
       IndexOps.MonitorSchema)
     Bucketing.writeBucketedPartitioned(empty, s"${tablePrefix}_monitor",
       s"$path/monitor", "batch_id", "mse_micros", nBuckets = 1)
-    val buildMse = memberSlice(emb, 0L, cs)
+    val buildMse = buildMseOf(members, cs)
+    writeMeta(spark, tablePrefix, path, k, dim, cs, buildMse, RuleDot,
+      IndexOps.NeverCompacted, IndexOps.NeverCompacted)
+  }
+
+  /** Mean assignment distance of an assigned member frame against its
+    * generation's centroids (the build / refit staleness baseline) — a
+    * 1-row scalar read.
+    */
+  private def buildMseOf(members: DataFrame, cs: Seq[Seq[Double]]): Long =
+    members
       .select(assignErrMicros(col("v"), col("cluster_id"), cs).as("fx"))
       .agg(count(lit(1)).as("n"), sum(col("fx")).as("sfx"))
       .select(when(col("n") > 0, expr("sfx div n")).otherwise(lit(0L)))
       .collect()(0).getLong(0)
-    Seq((SemIndexFormat, k, dim, cs, buildMse, IndexOps.NeverCompacted,
-        IndexOps.NeverCompacted))
-      .toDF("format", "k", "dim", "centroids", "mse_micros",
+
+  private def writeMeta(spark: SparkSession, tablePrefix: String,
+      path: String, k: Int, dim: Int, cs: Seq[Seq[Double]], buildMse: Long,
+      rule: String, gen: Long, tsGen: Long): Unit = {
+    import spark.implicits._
+    Seq((SemIndexFormat, k, dim, cs, buildMse, rule, gen, tsGen))
+      .toDF("format", "k", "dim", "centroids", "mse_micros", "rule",
         "compacted_through", "ts_compacted_through")
       .coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$path/meta").saveAsTable(s"${tablePrefix}_meta")
   }
 
-  /** Validated (centroids, build MSE) from the stored meta. */
+  /** Validated (centroids, build MSE, assignment rule) from the stored
+    * meta — the generation's whole frozen geometry.
+    */
   private[graft] def semIndexMeta(spark: SparkSession,
-      tablePrefix: String): (Seq[Seq[Double]], Long) = {
+      tablePrefix: String): (Seq[Seq[Double]], Long, String) = {
     val meta = spark.table(s"${tablePrefix}_meta").collect()
     require(meta.length == 1 &&
       meta(0).getAs[Int]("format") == SemIndexFormat,
       s"semantic-dedup index $tablePrefix format mismatch — rebuild with buildSemIndex")
     (meta(0).getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("centroids")
       .map(_.toSeq).toSeq,
-      meta(0).getAs[Long]("mse_micros"))
+      meta(0).getAs[Long]("mse_micros"),
+      meta(0).getAs[String]("rule"))
   }
 
   /** Re-register the stored index in a fresh session catalog from its
@@ -199,13 +230,14 @@ object SemDedup {
   def screenSem(spark: SparkSession, incoming: DataFrame, tablePrefix: String,
       minCos: Double = 0.35,
       maxBatchId: Long = Long.MaxValue): DataFrame = {
-    val (cs, _) = semIndexMeta(spark, tablePrefix)
+    val (cs, _, rule) = semIndexMeta(spark, tablePrefix)
     val members = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_members").filter(col("batch_id") < maxBatchId))
       .select(col("vec_id").as("corp_id"), col("cluster_id"),
         col("v").as("cv"), col("nrm").as("cnrm"))
     val inc = assigned(
-      incoming.filter(col("vec_id").isNotNull && col("embedding").isNotNull), cs)
+      incoming.filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+      cs, rule)
     val near = inc.join(members, "cluster_id")
       .filter(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")) >= minCos)
       .groupBy(col("vec_id")).agg(min(col("corp_id")).as("sem_dup_of"))
@@ -217,16 +249,18 @@ object SemDedup {
 
   /** The RECOMPUTE twin of [[screenSem]] over raw frames — the equality
     * contract's other side (SemDedupStreamSpec): assign BOTH sides from
-    * the same centroids, join on cluster, exact cosine, lowest-id
-    * winner. This is also the one-shot batch operator for a user
-    * without a standing index (q86's pair generator reshaped into
-    * incoming-vs-corpus decisions).
+    * the same centroids under the same `rule`, join on cluster, exact
+    * cosine, lowest-id winner. This is also the one-shot batch operator
+    * for a user without a standing index (q86's pair generator reshaped
+    * into incoming-vs-corpus decisions).
     */
   def incrementalSemanticDedup(incoming: DataFrame, corpus: DataFrame,
-      cs: Seq[Seq[Double]], minCos: Double = 0.35): DataFrame = {
+      cs: Seq[Seq[Double]], minCos: Double = 0.35,
+      rule: String = RuleDot): DataFrame = {
     val inc = assigned(
-      incoming.filter(col("vec_id").isNotNull && col("embedding").isNotNull), cs)
-    val corp = assigned(corpus, cs)
+      incoming.filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+      cs, rule)
+    val corp = assigned(corpus, cs, rule)
       .select(col("vec_id").as("corp_id"), col("cluster_id"),
         col("v").as("cv"), col("nrm").as("cnrm"))
     val near = inc.join(corp, "cluster_id")
@@ -243,6 +277,21 @@ object SemDedup {
       ids: DataFrame, batchId: Long): Unit =
     IndexOps.tombstone(spark, tablePrefix, ids, batchId)
 
+  /** The generation id a rewrite folds into: the highest batch id over
+    * the members table AND the monitor history. The monitor is the
+    * COMPLETE per-batch record — an all-duplicates batch legitimately
+    * lands an EMPTY members slice (no partition; absence is the
+    * consistent representation, the LexStream rule) while its monitor
+    * row still carries a live drift alert — so a generation computed
+    * from members alone would leave that alert above the fence forever
+    * (the policy would demand a refit no rewrite could satisfy).
+    */
+  private def generationOf(spark: SparkSession, tablePrefix: String): Long = {
+    val m = IndexOps.maxBatchId(spark, s"${tablePrefix}_members")
+    val hist = IndexOps.batchIdsOf(spark, s"${tablePrefix}_monitor")
+    if (hist.isEmpty) m else math.max(m, hist.max)
+  }
+
   /** Generation rewrite: members fold their batch partitions into ONE
     * with tombstoned vectors physically purged; tombstones are consumed
     * and both fences advance; the monitor is kept as history
@@ -252,7 +301,7 @@ object SemDedup {
       path: String, nBuckets: Int = 8): Unit = {
     IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("members"),
       historyTables = Seq("monitor"))
-    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_members")
+    val gen = generationOf(spark, tablePrefix)
     val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
     IndexOps.compactTable(spark, s"${tablePrefix}_members", s"$path/members",
       Seq("batch_id" -> "BIGINT"), "cluster_id", nBuckets, gen,
@@ -260,5 +309,48 @@ object SemDedup {
     IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones", nBuckets,
       overwrite = true)
     IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
+  }
+
+  /** REFIT GENERATION — the staleness monitor's consumer for this
+    * family ([[IndexOps.maintenancePolicy]]'s "refit" decision now has
+    * an operator behind it for all six index families): when
+    * assignment-distance drift alerts that the frozen centroids no
+    * longer describe the corpus, fit NEW centroids over the surviving
+    * members (`Clustering.fitCentroids` — exact deterministic Lloyd
+    * from the seeded start), re-assign every survivor, and swap the
+    * members table in as ONE generation with a fresh build-MSE
+    * baseline, consumed tombstones and advanced fences (the
+    * `Pq.refitPqIndex` shape). The refit generation records rule = "l2"
+    * in meta: learned centroids are data-dependent MEANS with non-unit
+    * norms, so assignment MUST use the exact half-norm rule
+    * ([[Clustering.assignL2]] — the round-11 IVF lesson); the build
+    * generation's seeded centroids are unit-norm, where the recorded
+    * "dot" rule is the q86-family tree its oracle replays. Probes and
+    * monitors read the rule back from meta, so the two generations
+    * cannot be screened under the wrong tree.
+    */
+  def refitSemIndex(spark: SparkSession, tablePrefix: String, path: String,
+      iters: Int = 2, seed: Long = 7L, nBuckets: Int = 8): Unit = {
+    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("members"),
+      historyTables = Seq("monitor"))
+    val gen = generationOf(spark, tablePrefix)
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    val meta = spark.table(s"${tablePrefix}_meta").collect()(0)
+    val (k, dim) = (meta.getAs[Int]("k"), meta.getAs[Int]("dim"))
+    // survivors as a raw-shaped (vec_id, embedding) frame: the stored v
+    // IS asDouble(embedding) round-tripped, so the fit and the
+    // re-assignment see exactly the bits a from-raw rebuild would
+    val survivors = IndexOps.survivors(spark, tablePrefix,
+      spark.table(s"${tablePrefix}_members"))
+      .select(col("vec_id"), col("v").as("embedding"))
+    val cs2 = Clustering.fitCentroids(survivors, k, dim, iters, seed)
+    val reassigned = memberSlice(survivors, gen, cs2, RuleL2)
+    IndexOps.swapIn(spark, s"${tablePrefix}_members", s"$path/members",
+      reassigned, Seq("batch_id" -> "BIGINT"), "cluster_id", nBuckets)
+    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones", nBuckets,
+      overwrite = true)
+    val newMse = buildMseOf(spark.table(s"${tablePrefix}_members"), cs2)
+    writeMeta(spark, tablePrefix, path, k, dim, cs2, newMse, RuleL2,
+      gen, tsGen)
   }
 }

@@ -34,7 +34,7 @@ object SemDedupStream {
       maxBatchId = batchId)
     decisions.write.mode("overwrite")
       .parquet(s"$decisionsDir/batch_id=$batchId")
-    val (cs, buildMse) = SemDedup.semIndexMeta(spark, tablePrefix)
+    val (cs, buildMse, rule) = SemDedup.semIndexMeta(spark, tablePrefix)
     val absent = Seq("members", "monitor").filter { t =>
       spark.table(s"${tablePrefix}_$t")
         .filter(col("batch_id") === batchId).limit(1).count() == 0
@@ -47,8 +47,8 @@ object SemDedupStream {
       val kept = spark.read.parquet(s"$decisionsDir/batch_id=$batchId")
         .filter(col("keep") === 1L).select(col("vec_id"))
       val byName = Map(
-        "members" -> SemDedup.memberSlice(b.join(kept, "vec_id"), batchId, cs),
-        "monitor" -> SemDedup.monitorSlice(b, batchId, cs, buildMse))
+        "members" -> SemDedup.memberSlice(b.join(kept, "vec_id"), batchId, cs, rule),
+        "monitor" -> SemDedup.monitorSlice(b, batchId, cs, buildMse, rule))
       absent.foreach(t =>
         graft.sources.Bucketing.appendBucketedPartition(
           byName(t), s"${tablePrefix}_$t"))

@@ -153,6 +153,46 @@ class SemDedupStreamSpec extends AnyFunSuite {
       dataTable = "members").collect()(0)
     assert(pol.getAs[String]("decision") == "refit" &&
       pol.getAs[String]("triggered_by") == "monitor_alert", pol.toString)
+
+    // REFIT GENERATION — the decision's consumer: new centroids fitted
+    // over the surviving members (Lloyd, the L2 rule learned centroids
+    // require), members re-assigned as one generation, fresh baseline,
+    // fences advanced past every monitor row -> policy healthy again
+    SemDedup.refitSemIndex(spark, "sdd", s"$base/idx")
+    val polAfter = IndexOps.maintenancePolicy(spark, "sdd", "semdedup",
+      dataTable = "members").collect()(0)
+    assert(polAfter.getAs[String]("decision") == "healthy", polAfter.toString)
+    val (cs2, _, rule2) = SemDedup.semIndexMeta(spark, "sdd")
+    assert(rule2 == SemDedup.RuleL2 && cs2 != cs,
+      "refit must record learned centroids under the L2 rule")
+    // screening continues EXACTLY under the refit generation: the
+    // recompute twin fits the same centroids from the same surviving
+    // raw corpus (stored v is the bit-exact double cast) and assigns
+    // both sides under the L2 rule
+    def keptOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      batch.join(spark.read.parquet(decisions)
+        .filter(col("keep") === 1L).select(col("vec_id")), Seq("vec_id"))
+    val drifted1 = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+    val corpusNow = emb.filter(col("vec_id") >= 100)
+      .union(keptOf(emb.filter(col("vec_id") < 50)))
+      .union(keptOf(drifted1))
+    val csTwin = Clustering.fitCentroids(corpusNow, 16, 64, iters = 2, seed = 7L)
+    assert(csTwin == cs2, "refit centroids != fit over the raw survivors")
+    val batch2 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 80)
+      .select((col("vec_id") + 600000L).as("vec_id"), col("embedding"))
+    SemDedupStream.screenBatchSem(spark, batch2, 2L, "sdd", decisions)
+    val got2 = decisionsOf(decisions, 2L).collect().map(_.toString).sorted.toSeq
+    val exp2 = SemDedup.incrementalSemanticDedup(batch2, corpusNow, cs2,
+      rule = SemDedup.RuleL2).collect().map(_.toString).sorted.toSeq
+    assert(got2.nonEmpty && got2 == exp2,
+      "post-refit screen != recompute under the refit generation")
+    // an in-distribution batch is quiet against the refreshed baseline
+    val mon2 = spark.table("sdd_monitor").filter(col("batch_id") === 2L)
+      .collect()(0)
+    assert(mon2.getAs[Long]("alert") == 0L,
+      s"in-distribution batch alerted after refit: $mon2")
     dropAll("sdd")
   }
 }
