@@ -447,6 +447,212 @@ object IndexOps {
         "tombstone_ppm", "n_alerts", "decision", "triggered_by")
   }
 
+  /** One index table's physical layout — the data the generic lifecycle
+    * operators ([[compactIndex]], [[reattachIndex]]) consume instead of
+    * each family hand-wiring its own per-table calls (r15 verdict #5).
+    * `nBuckets = 0` means "the family call's bucket count" (history
+    * tables like the 1-bucket monitors override it); `dropOn = ""`
+    * means the family tombstone key names this table's own column;
+    * `schema` is declared for tables that may legitimately be empty
+    * (reattach cannot infer a schema from an empty directory).
+    */
+  final case class TableSpec(
+      name: String,
+      keyCol: String,
+      partCols: Seq[(String, String)] = Seq("batch_id" -> "BIGINT"),
+      nBuckets: Int = 0,
+      dropOn: String = "",
+      schema: Option[StructType] = None)
+
+  /** One stored-index family's lifecycle surface, as DATA (r15 verdict
+    * #5): what [[maintain]] needs to execute a [[maintenancePolicy]]
+    * decision, and what the generic [[compactIndex]]/[[reattachIndex]]
+    * need to run the mechanical halves of the lifecycle, without family
+    * `match`es scattered through ops code. `dataTable` is the table
+    * whose rows are one-per-indexed-item (so `tombstone_ppm` is an
+    * honest deletion fraction — for LSH that is `vecs`, not the
+    * tables-fold `buckets`); `dataTables` are the aligned batch tables
+    * a compaction folds; `historyTables` are per-batch observability
+    * kept as history (monitors). `compact`/`refit` are the family's own
+    * generation rewrites at their DEFAULT geometry (an index built with
+    * non-default buckets/lists is maintained through the family
+    * functions directly).
+    */
+  final case class FamilyDescriptor(
+      family: String,
+      dataTable: String,
+      keyCol: String,
+      compact: (SparkSession, String, String) => Unit,
+      refit: Option[(SparkSession, String, String) => Unit],
+      dataTables: Seq[TableSpec] = Nil,
+      historyTables: Seq[TableSpec] = Nil)
+
+  /** The registered families — every stored-index layout the engine
+    * ships, under one maintenance dispatch. Bodies are closures so
+    * referencing the map never runs family code. Families without a
+    * quantizer monitor (LSH's seeded planes, the lexical and shingle
+    * indexes — nothing fitted, nothing to go stale) have no refit
+    * operator; their policy can never decide "refit" (no `_monitor`
+    * table → `n_alerts` = 0). The lexical compaction and the whole
+    * dedup-corpus fold stay family code (stats re-derivation /
+    * superset alignment — the two documented special cases), so their
+    * `dataTables` drive [[reattachIndex]] only.
+    */
+  lazy val families: Map[String, FamilyDescriptor] = Map(
+    "ann_lsh" -> FamilyDescriptor("ann_lsh", "vecs", "vec_id",
+      (s, p, path) => Similarity.compactAnnIndex(s, p, path), None,
+      dataTables = Seq(TableSpec("buckets", "bucket", dropOn = "vec_id"),
+        TableSpec("vecs", "vec_id"))),
+    "pq" -> FamilyDescriptor("pq", "codes", "vec_id",
+      (s, p, path) => Pq.compactPqIndex(s, p, path),
+      Some((s, p, path) => { Pq.refitPqIndex(s, p, path); () }),
+      dataTables = Seq(TableSpec("codes", "vec_id"), TableSpec("vecs", "vec_id")),
+      historyTables = Seq(TableSpec("monitor", "mse_micros", nBuckets = 1,
+        schema = Some(MonitorSchema)))),
+    "ivf_pq" -> FamilyDescriptor("ivf_pq", "codes", "vec_id",
+      (s, p, path) => Pq.compactIvfPqIndex(s, p, path),
+      Some((s, p, path) => Pq.refitIvfPqIndex(s, p, path)),
+      dataTables = Seq(
+        TableSpec("codes", "vec_id",
+          partCols = Seq("batch_id" -> "BIGINT", "list_id" -> "INT")),
+        TableSpec("vecs", "vec_id")),
+      historyTables = Seq(TableSpec("monitor", "mse_micros", nBuckets = 1,
+        schema = Some(MonitorSchema)))),
+    "sq8" -> FamilyDescriptor("sq8", "codes", "vec_id",
+      (s, p, path) => Sq8.compactSq8Index(s, p, path),
+      Some((s, p, path) => Sq8.refitSq8Index(s, p, path)),
+      dataTables = Seq(TableSpec("codes", "vec_id"), TableSpec("vecs", "vec_id")),
+      historyTables = Seq(TableSpec("monitor", "clamp_ppm", nBuckets = 1,
+        schema = Some(Sq8.Sq8MonitorSchema)))),
+    "bm25" -> FamilyDescriptor("bm25", "doclen", "doc_id",
+      (s, p, path) => Lexical.compactLexIndex(s, p, path), None,
+      dataTables = Seq(TableSpec("postings", "token"),
+        TableSpec("doclen", "doc_id"),
+        TableSpec("stats", "n_docs", nBuckets = 1))),
+    "dedup_corpus" -> FamilyDescriptor("dedup_corpus", "exact", "doc_id",
+      (s, p, path) => Dedup.compactCorpusIndex(s, p, path), None),
+    "semdedup" -> FamilyDescriptor("semdedup", "members", "vec_id",
+      (s, p, path) => SemDedup.compactSemIndex(s, p, path),
+      Some((s, p, path) => SemDedup.refitSemIndex(s, p, path)),
+      dataTables = Seq(TableSpec("members", "cluster_id")),
+      historyTables = Seq(TableSpec("monitor", "mse_micros", nBuckets = 1,
+        schema = Some(MonitorSchema)))))
+
+  private def bucketsOf(t: TableSpec, familyBuckets: Int): Int =
+    if (t.nBuckets > 0) t.nBuckets else familyBuckets
+
+  /** GENERIC generation compaction (r15 verdict #5 — the mechanical
+    * half of five families' `compact*Index`, driven by the descriptor):
+    * aligned-batch guard, fold point = the max batch id across data AND
+    * history tables (for the monitor-history families this equals the
+    * data max — appends land data first — and for semdedup it is
+    * exactly `generationOf`'s fold: a monitor row may outlive its
+    * all-dropped members), tombstoned rows purged per table under each
+    * table's own `dropOn` column, tombstones reset, both fences
+    * advanced. The lexical index (stats re-derivation) and the dedup
+    * corpus (superset alignment, two-table fold point) keep their
+    * documented family implementations.
+    */
+  def compactIndex(spark: SparkSession, tablePrefix: String, family: String,
+      path: String, nBuckets: Int = 8): Unit = {
+    val d = families(family)
+    require(d.dataTables.nonEmpty, s"$family has no generic table layout")
+    requireAlignedBatches(spark, tablePrefix, d.dataTables.map(_.name),
+      d.historyTables.map(_.name))
+    val ids = (d.dataTables ++ d.historyTables)
+      .map(t => batchIdsOf(spark, s"${tablePrefix}_${t.name}"))
+      .foldLeft(Set.empty[Long])(_ union _)
+    require(ids.nonEmpty, s"$tablePrefix has no batch partitions")
+    val gen = ids.max
+    val tsGen = tombstoneGen(spark, tablePrefix)
+    val ts = spark.table(s"${tablePrefix}_tombstones")
+    d.dataTables.foreach { t =>
+      val dropOn = if (t.dropOn.isEmpty) d.keyCol else t.dropOn
+      val drops = if (dropOn == d.keyCol) ts
+        else ts.select(col(d.keyCol).as(dropOn))
+      compactTable(spark, s"${tablePrefix}_${t.name}", s"$path/${t.name}",
+        t.partCols, t.keyCol, bucketsOf(t, nBuckets), gen, Some(drops), dropOn)
+    }
+    initTombstones(spark, tablePrefix, s"$path/tombstones", nBuckets,
+      overwrite = true, keyCol = d.keyCol)
+    setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
+  }
+
+  /** GENERIC re-registration of a stored index in a fresh session
+    * catalog from its surviving files (the restart story), descriptor-
+    * driven: [[recoverSwap]] runs first for EVERY data table (a crash
+    * inside a swap window heals mechanically on reattach — now uniform
+    * across families, where previously only the lex/sem/dedup paths
+    * did it), data tables reattach with inferred schemas, tombstones
+    * and history tables with their declared ones (they may be empty),
+    * meta attaches plain.
+    */
+  def reattachIndex(spark: SparkSession, tablePrefix: String, family: String,
+      path: String, nBuckets: Int = 8): Unit = {
+    val d = families(family)
+    require(d.dataTables.nonEmpty, s"$family has no generic table layout")
+    d.dataTables.foreach(t =>
+      recoverSwap(spark, s"${tablePrefix}_${t.name}", s"$path/${t.name}"))
+    d.dataTables.foreach(t =>
+      Bucketing.reattachBy(spark, s"${tablePrefix}_${t.name}",
+        s"$path/${t.name}", t.partCols, t.keyCol, bucketsOf(t, nBuckets)))
+    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
+      s"$path/tombstones", tombstoneSchema(d.keyCol),
+      Seq("batch_id" -> "BIGINT"), d.keyCol, nBuckets)
+    d.historyTables.foreach(t =>
+      Bucketing.reattachBySchema(spark, s"${tablePrefix}_${t.name}",
+        s"$path/${t.name}", t.schema.get, t.partCols, t.keyCol,
+        bucketsOf(t, nBuckets)))
+    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
+  }
+
+  /** THE MAINTENANCE LOOP, closed (r15 verdict #1): read the family's
+    * [[maintenancePolicy]] decision, EXECUTE the decided rewrite (the
+    * family's refit on `monitor_alert` — a stale quantizer corrupts
+    * every future batch's codes, and the refit subsumes compaction;
+    * its compaction on `tombstone_ppm`/`batch_count`), then re-read the
+    * policy and REQUIRE it healthy — the signal the rewrite was ordered
+    * to consume must actually be consumed, or the operator is looping.
+    * Returns the two policy rows as one trail frame (`phase` =
+    * "decided" → "after"), so an ops run logs what was seen, what was
+    * done, and that it worked — fifteen rounds of lifecycle machinery
+    * behind one call: `IndexOps.maintain(spark, prefix, family, path)`.
+    * A "healthy" decision executes nothing and returns the same-valued
+    * trail. Safety inherits from the rewrites themselves: the
+    * half-landed-batch guard ([[requireAlignedBatches]]) still refuses
+    * to fold past a crash window, and swap crashes recover mechanically
+    * ([[recoverSwap]]) — `maintain` adds no new failure modes.
+    */
+  def maintain(spark: SparkSession, tablePrefix: String, family: String,
+      path: String, maxBatchesBar: Long = MaxBatchesBar,
+      tombstonePpmBar: Long = TombstonePpmBar): DataFrame = {
+    val d = families.getOrElse(family, throw new IllegalArgumentException(
+      s"unknown index family '$family' — registered: ${families.keys.toSeq.sorted.mkString(", ")}"))
+    def policy(): DataFrame = maintenancePolicy(spark, tablePrefix, family,
+      d.dataTable, maxBatchesBar, tombstonePpmBar)
+    val decided = policy() // literal frame: scalars were collected eagerly
+    val decision = decided.select(col("decision")).collect()(0).getString(0)
+    decision match {
+      case "refit" => d.refit.getOrElse(throw new IllegalStateException(
+        s"family '$family' has no refit operator yet its policy decided refit " +
+          "— a monitor table landed on a family that never fits parameters"))(
+        spark, tablePrefix, path)
+      case "compact" => d.compact(spark, tablePrefix, path)
+      case "healthy" => ()
+    }
+    val after = policy()
+    val afterDecision = after.select(col("decision")).collect()(0).getString(0)
+    require(afterDecision == "healthy",
+      s"$tablePrefix ($family): executed '$decision' but the follow-up " +
+        s"policy still decides '$afterDecision' — the rewrite did not " +
+        "consume its signal")
+    decided.withColumn("phase", lit("decided"))
+      .unionByName(after.withColumn("phase", lit("after")))
+      .select(col("phase"), col("family"), col("n_batches"), col("n_rows"),
+        col("n_tombstones"), col("tombstone_ppm"), col("n_alerts"),
+        col("decision"), col("triggered_by"))
+  }
+
   // --- Hadoop-FS directory primitives (cluster seam: the same calls
   // run against HDFS/object-store URIs; local paths resolve to the
   // local FS) ---------------------------------------------------------

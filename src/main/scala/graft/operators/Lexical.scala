@@ -106,20 +106,8 @@ object Lexical {
     * swap-crash check ([[IndexOps.recoverSwap]]) per table.
     */
   def reattachLexIndex(spark: SparkSession, tablePrefix: String,
-      path: String, nBuckets: Int = 8): Unit = {
-    Seq("postings", "doclen", "stats").foreach(t =>
-      IndexOps.recoverSwap(spark, s"${tablePrefix}_$t", s"$path/$t"))
-    Bucketing.reattach(spark, s"${tablePrefix}_postings", s"$path/postings",
-      "batch_id", "token", nBuckets)
-    Bucketing.reattach(spark, s"${tablePrefix}_doclen", s"$path/doclen",
-      "batch_id", "doc_id", nBuckets)
-    Bucketing.reattach(spark, s"${tablePrefix}_stats", s"$path/stats",
-      "batch_id", "n_docs", nBuckets = 1)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
-      s"$path/tombstones", IndexOps.tombstoneSchema("doc_id"),
-      Seq("batch_id" -> "BIGINT"), "doc_id", nBuckets)
-    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
-  }
+      path: String, nBuckets: Int = 8): Unit =
+    IndexOps.reattachIndex(spark, tablePrefix, "bm25", path, nBuckets)
 
   private def validated(spark: SparkSession, tablePrefix: String): Unit = {
     val meta = spark.table(s"${tablePrefix}_meta").collect()
@@ -142,12 +130,17 @@ object Lexical {
     * The tombstone-emptiness fast path is probed ONCE for the whole
     * plan (not per table as the generic IndexOps.survivors would): in
     * the common deletion-free state the probe runs the q131 join tree
-    * on stored slices with zero extra scans or jobs.
+    * on stored slices with zero extra scans or jobs. `tsMaxBatchId`
+    * fences the tombstone table by its OWN delete-stream numbering —
+    * independent of the data stream's `maxBatchId` (passing the data
+    * fence would silently skip known deletions); the default applies
+    * every recorded deletion.
     */
   def bm25TopKStored(spark: SparkSession, tablePrefix: String,
       terms: Seq[String], k: Int = 20,
-      maxBatchId: Long = Long.MaxValue): DataFrame =
-    bm25Contributions(spark, tablePrefix, terms, maxBatchId)
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame =
+    bm25Contributions(spark, tablePrefix, terms, maxBatchId, tsMaxBatchId)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(col("c_micros")).as("score_micros"))
       .orderBy(col("score_micros").desc, col("doc_id"))
@@ -162,10 +155,13 @@ object Lexical {
     * for the whole plan.
     */
   private def bm25Contributions(spark: SparkSession, tablePrefix: String,
-      terms: Seq[String], maxBatchId: Long): DataFrame = {
+      terms: Seq[String], maxBatchId: Long,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     validated(spark, tablePrefix)
+    // the delete stream numbers its batches independently of the data
+    // stream, so the tombstone table carries its OWN fence
     val ts = spark.table(s"${tablePrefix}_tombstones")
-      .filter(col("batch_id") < maxBatchId)
+      .filter(col("batch_id") < tsMaxBatchId)
     val deleted = !ts.limit(1).isEmpty
     def surv(df: DataFrame): DataFrame =
       if (!deleted) df
@@ -212,11 +208,12 @@ object Lexical {
     */
   def bm25BatchTopKStored(spark: SparkSession, tablePrefix: String,
       queries: Seq[(Long, Seq[String])], k: Int = 5,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micros").desc, col("doc_id"))
-    bm25BatchScores(spark, tablePrefix, queries, maxBatchId)
+    bm25BatchScores(spark, tablePrefix, queries, maxBatchId, tsMaxBatchId)
       .withColumn("rk", row_number().over(byQuery).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("n_hit"),
@@ -234,11 +231,12 @@ object Lexical {
     */
   def bm25BatchRanksStored(spark: SparkSession, tablePrefix: String,
       queries: Seq[(Long, Seq[String])], depth: Int,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micros").desc, col("doc_id"))
-    bm25BatchScores(spark, tablePrefix, queries, maxBatchId)
+    bm25BatchScores(spark, tablePrefix, queries, maxBatchId, tsMaxBatchId)
       .withColumn("rank_lex", row_number().over(byQuery).cast("long"))
       .filter(col("rank_lex") <= depth)
       .select(col("query_id"), col("doc_id"), col("rank_lex"))
@@ -253,10 +251,11 @@ object Lexical {
     */
   private def bm25BatchScores(spark: SparkSession, tablePrefix: String,
       queries: Seq[(Long, Seq[String])],
-      maxBatchId: Long): DataFrame = {
+      maxBatchId: Long, tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
-    val perDocTerm = bm25Contributions(spark, tablePrefix, allTerms, maxBatchId)
+    val perDocTerm = bm25Contributions(spark, tablePrefix, allTerms,
+      maxBatchId, tsMaxBatchId)
     val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "token")
     perDocTerm
@@ -271,12 +270,16 @@ object Lexical {
     */
   def bm25RanksStored(spark: SparkSession, tablePrefix: String,
       terms: Seq[String], depth: Int,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bm25TopKStored(spark, tablePrefix, terms, depth, maxBatchId)
+    // single-valued partition key (pmod ≡ 0; a foldable lit would be
+    // optimized away): the window runs on the <= depth-row cut (bounded
+    // by construction) — see Similarity.denseRanksStored
+    bm25TopKStored(spark, tablePrefix, terms, depth, maxBatchId, tsMaxBatchId)
       .withColumn("rank_lex",
-        row_number().over(
-          Window.orderBy(col("score_micros").desc, col("doc_id"))).cast("long"))
+        row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("score_micros").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rank_lex"))
   }
 

@@ -603,20 +603,8 @@ object Pq {
     * empty until the first deletion/stream batch).
     */
   def reattachPqIndex(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    import graft.sources.Bucketing
-    Bucketing.reattach(spark, s"${tablePrefix}_codes", s"$path/codes",
-      "batch_id", "vec_id", nBuckets)
-    Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      "batch_id", "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
-      s"$path/tombstones", IndexOps.TombstoneSchema,
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_monitor",
-      s"$path/monitor", IndexOps.MonitorSchema,
-      Seq("batch_id" -> "BIGINT"), "mse_micros", nBuckets = 1)
-    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
-  }
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit =
+    IndexOps.reattachIndex(spark, tablePrefix, "pq", path, nBuckets)
 
   /** REFIT GENERATION — the staleness monitor's consumer (r12 verdict
     * #3 closed end-to-end): when monitor rows alert that the frozen
@@ -711,20 +699,8 @@ object Pq {
     * per-batch OBSERVABILITY history, not index data: it is kept as-is.
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
-      historyTables = Seq("monitor"))
-    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
-    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
-    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
-    IndexOps.compactTable(spark, s"${tablePrefix}_codes", s"$path/codes",
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
-    IndexOps.compactTable(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
-    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
-      nBuckets, overwrite = true)
-    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
-  }
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit =
+    IndexOps.compactIndex(spark, tablePrefix, "pq", path, nBuckets)
 
   /** Validated codebooks from the stored meta: format + geometry must
     * match this module's constants (codes are 4-bit positions in THIS
@@ -760,11 +736,15 @@ object Pq {
     * per-batch cost is LUT scoring over the stored 8-byte code rows +
     * the bounded exact re-rank — no codebook fit, no encode pass, zero
     * corpus-side exchange (plan-pinned). `maxBatchId` prunes to
-    * batch_id < N (the streaming replay fence).
+    * batch_id < N (the streaming replay fence); `tsMaxBatchId` fences
+    * the tombstone table by its OWN delete-stream numbering (the two
+    * streams number independently — the default applies every recorded
+    * deletion).
     */
   def adcTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, batchSize: Int = 16, k: Int = 5, rerank: Int = 32,
-      nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
+      nShards: Int = -1, maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     val cbs = pqIndexCodebooks(spark, tablePrefix)
     // tombstones anti-join on BOTH vec_id-bucketed tables: the codes
     // side must filter BEFORE the per-anchor ADC cut (a tombstoned code
@@ -773,10 +753,10 @@ object Pq {
     // Bucket layouts match, so no corpus-side exchange is introduced.
     val vs = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
-      maxBatchId).select(col("vec_id"), col("v"))
+      tsMaxBatchId).select(col("vec_id"), col("v"))
     val codes = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_codes").filter(col("batch_id") < maxBatchId),
-      maxBatchId)
+      tsMaxBatchId)
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     val anchors = vs.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"), col("v").as("qv"))
@@ -837,41 +817,16 @@ object Pq {
     * (restart story).
     */
   def reattachIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    import graft.sources.Bucketing
-    Bucketing.reattachBy(spark, s"${tablePrefix}_codes", s"$path/codes",
-      Seq("batch_id" -> "BIGINT", "list_id" -> "INT"), "vec_id", nBuckets)
-    Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      "batch_id", "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
-      s"$path/tombstones", IndexOps.TombstoneSchema,
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_monitor",
-      s"$path/monitor", IndexOps.MonitorSchema,
-      Seq("batch_id" -> "BIGINT"), "mse_micros", nBuckets = 1)
-    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
-  }
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit =
+    IndexOps.reattachIndex(spark, tablePrefix, "ivf_pq", path, nBuckets)
 
   /** Generation rewrite of the stored IVF-PQ index — the codes table
     * keeps its (batch_id, list_id) directory layout (probes still prune
     * whole list directories), folded to one batch_id generation.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
-      historyTables = Seq("monitor"))
-    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
-    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
-    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
-    IndexOps.compactTable(spark, s"${tablePrefix}_codes", s"$path/codes",
-      Seq("batch_id" -> "BIGINT", "list_id" -> "INT"), "vec_id", nBuckets,
-      gen, drops)
-    IndexOps.compactTable(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
-    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
-      nBuckets, overwrite = true)
-    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
-  }
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit =
+    IndexOps.compactIndex(spark, tablePrefix, "ivf_pq", path, nBuckets)
 
   /** One increment's IVF-PQ index slices from a PREPARED (vec_id, v)
     * frame, stamped with `batchId`: coarse-assign against the FROZEN
@@ -915,17 +870,19 @@ object Pq {
   def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, queryVecId: Long = 0L, k: Int = 10,
       nProbe: Int = 4, rerank: Int = 32,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     val (coarse, cbs) = ivfPqIndexMeta(spark, tablePrefix)
     val coarseLit = typedlit(coarse)
     // tombstones anti-join on both vec_id-bucketed tables (the codes
-    // side BEFORE the ADC cut — see adcTopKBatchStored)
+    // side BEFORE the ADC cut — see adcTopKBatchStored); tsMaxBatchId
+    // is the tombstone table's OWN delete-stream fence
     val vs = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
-      maxBatchId).select(col("vec_id"), col("v"))
+      tsMaxBatchId).select(col("vec_id"), col("v"))
     val codes = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_codes").filter(col("batch_id") < maxBatchId),
-      maxBatchId)
+      tsMaxBatchId)
       .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     // the query vector is ONE bucketed point lookup collected to the
     // driver (r12 verdict #6: the old shape derived qv AND probeLists as
@@ -993,16 +950,17 @@ object Pq {
   def ivfPqTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, batchSize: Int = 16, k: Int = 5,
       nProbe: Int = 4, rerank: Int = 32, nShards: Int = -1,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (coarse, cbs) = ivfPqIndexMeta(spark, tablePrefix)
     val coarseLit = typedlit(coarse)
     val vs = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
-      maxBatchId).select(col("vec_id"), col("v"))
+      tsMaxBatchId).select(col("vec_id"), col("v"))
     val codes = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_codes").filter(col("batch_id") < maxBatchId),
-      maxBatchId)
+      tsMaxBatchId)
       .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     val anchors = vs.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"), col("v").as("qv"))

@@ -197,18 +197,8 @@ object SemDedup {
     * check per table.
     */
   def reattachSemIndex(spark: SparkSession, tablePrefix: String,
-      path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.recoverSwap(spark, s"${tablePrefix}_members", s"$path/members")
-    Bucketing.reattach(spark, s"${tablePrefix}_members", s"$path/members",
-      "batch_id", "cluster_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
-      s"$path/tombstones", IndexOps.TombstoneSchema,
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_monitor",
-      s"$path/monitor", IndexOps.MonitorSchema,
-      Seq("batch_id" -> "BIGINT"), "mse_micros", nBuckets = 1)
-    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
-  }
+      path: String, nBuckets: Int = 8): Unit =
+    IndexOps.reattachIndex(spark, tablePrefix, "semdedup", path, nBuckets)
 
   /** The screen: semantic-dedup DECISIONS for an incoming (vec_id,
     * embedding) batch against the STORED members — (vec_id, cluster_id,
@@ -298,18 +288,8 @@ object SemDedup {
     * ([[IndexOps.requireAlignedBatches]]'s historyTables contract).
     */
   def compactSemIndex(spark: SparkSession, tablePrefix: String,
-      path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("members"),
-      historyTables = Seq("monitor"))
-    val gen = generationOf(spark, tablePrefix)
-    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
-    IndexOps.compactTable(spark, s"${tablePrefix}_members", s"$path/members",
-      Seq("batch_id" -> "BIGINT"), "cluster_id", nBuckets, gen,
-      Some(spark.table(s"${tablePrefix}_tombstones")))
-    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones", nBuckets,
-      overwrite = true)
-    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
-  }
+      path: String, nBuckets: Int = 8): Unit =
+    IndexOps.compactIndex(spark, tablePrefix, "semdedup", path, nBuckets)
 
   /** REFIT GENERATION — the staleness monitor's consumer for this
     * family ([[IndexOps.maintenancePolicy]]'s "refit" decision now has

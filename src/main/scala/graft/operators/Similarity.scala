@@ -419,17 +419,8 @@ object Similarity {
     * to infer from.
     */
   def reattachAnnIndex(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    import graft.sources.Bucketing
-    Bucketing.reattach(spark, s"${tablePrefix}_buckets", s"$path/buckets",
-      "batch_id", "bucket", nBuckets)
-    Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      "batch_id", "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
-      s"$path/tombstones", IndexOps.TombstoneSchema,
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
-    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
-  }
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit =
+    IndexOps.reattachIndex(spark, tablePrefix, "ann_lsh", path, nBuckets)
 
   /** Generation rewrite of the stored ANN index (r12 verdict #2): fold
     * every batch partition into ONE, physically purging tombstoned rows,
@@ -440,19 +431,8 @@ object Similarity {
     * collapse.
     */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("buckets", "vecs"))
-    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_buckets")
-    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
-    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
-    IndexOps.compactTable(spark, s"${tablePrefix}_buckets", s"$path/buckets",
-      Seq("batch_id" -> "BIGINT"), "bucket", nBuckets, gen, drops)
-    IndexOps.compactTable(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
-    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
-      nBuckets, overwrite = true)
-    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
-  }
+      tablePrefix: String, path: String, nBuckets: Int = 8): Unit =
+    IndexOps.compactIndex(spark, tablePrefix, "ann_lsh", path, nBuckets)
 
   /** Validated (tables, bits) from the stored meta — every violation
     * throws (a silently-wrong geometry would probe wrong buckets).
@@ -473,11 +453,16 @@ object Similarity {
     * pins row equality), but the per-batch cost is the probe only — no
     * LSH recompute, no corpus projection/checkpoint, zero corpus-side
     * exchange (plan-pinned). `maxBatchId` prunes to batch_id < N
-    * (partition pruning — the streaming replay fence).
+    * (partition pruning — the streaming replay fence). `tsMaxBatchId`
+    * fences the TOMBSTONE table by its own DELETE-stream batch numbering
+    * (the two streams number independently — passing the data fence here
+    * would silently skip known deletions); the default applies every
+    * recorded deletion.
     */
   def annTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, batchSize: Int = 16, k: Int = 5,
-      nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
+      nShards: Int = -1, maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     val (tables, bits) = annIndexMeta(spark, tablePrefix)
     // tombstones anti-join on the vec_id-bucketed vector table ONLY: a
     // tombstoned candidate from the (bucket-keyed, unfiltered) postings
@@ -488,7 +473,7 @@ object Similarity {
     // matches the vecs bucket layout).
     val vecs = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
-      maxBatchId).select(col("vec_id"), col("v"))
+      tsMaxBatchId).select(col("vec_id"), col("v"))
     val corpusBuckets = spark.table(s"${tablePrefix}_buckets")
       .filter(col("batch_id") < maxBatchId)
       .select(col("vec_id"), col("table"), col("bucket"))
@@ -508,30 +493,50 @@ object Similarity {
     * full DuckDB oracle verbatim (the q169/q170 precedent, applied to
     * the dense side). Returns (doc_id, rank_dense) over the top
     * `depth`; deletions and the streaming replay fence apply exactly as
-    * in [[annTopKBatchStored]]. SCALE: one stored-table scan scored
-    * against the broadcast 1-row query vector, a TakeOrdered cut to
-    * `depth`, and ranking on the constant-size cut — no corpus
-    * re-projection, no LSH recompute, zero corpus-side exchange.
+    * in [[annTopKBatchStored]] (with `tsMaxBatchId` the tombstone
+    * table's OWN delete-stream fence). SCALE: one stored-table scan
+    * scored against the broadcast 1-row query vector, a TakeOrdered cut
+    * to `depth`, and ranking on the constant-size cut — no corpus
+    * re-projection, no LSH recompute, zero corpus-side exchange. An
+    * absent/tombstoned query vector throws (the ivfPqTopKStored error
+    * contract) — a silent empty frame would degrade a hybrid fusion to
+    * lexical-only without anyone noticing.
     */
   def denseRanksStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, queryVecId: Long = 0L, depth: Int = 100,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     annIndexMeta(spark, tablePrefix) // format/layout validation only
     val vecs = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
-      maxBatchId).select(col("vec_id"), col("v"))
-    // 1-row query-vector lookup; .limit(1) makes the broadcast bound
-    // structural (the q145 fence) without changing the result
-    val qv = vecs.filter(col("vec_id") === queryVecId).limit(1)
-      .select(col("v").as("qv"))
+      tsMaxBatchId).select(col("vec_id"), col("v"))
+    // 1-row bucketed point lookup collected to the driver — loud when
+    // the query vector is absent or tombstoned; parquet → driver →
+    // literal round-trips the doubles bit-exactly (the ivfPqTopKStored
+    // precedent), so the cosine tree below is unchanged
+    val qRows = vecs.filter(col("vec_id") === queryVecId)
+      .select(col("v")).limit(1).collect()
+    require(qRows.nonEmpty,
+      s"query vec_id=$queryVecId is absent from index $tablePrefix " +
+        "(never ingested, beyond maxBatchId, or tombstoned)")
+    import spark.implicits._
+    val qv = Seq(Tuple1(qRows(0).getSeq[Double](0).toSeq)).toDF("qv")
+    // rank partitioned on a single-valued key (pmod(vec_id, 1) ≡ 0):
+    // the window runs AFTER the limit(depth) cut so its one partition
+    // holds <= depth rows (bounded by construction) — the non-empty
+    // partition spec states that in the plan instead of tripping
+    // WindowExec's unpartitioned-window warning on every probe (r15
+    // verdict #7). A foldable constant (lit(0)) would NOT do: Spark 4's
+    // EliminateWindowPartitions folds it away and the warning returns.
     vecs.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qv))
       .withColumn("cos_raw", cosine(col("v"), col("qv")))
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(depth)
       .withColumn("rank_dense",
-        row_number().over(Window.orderBy(col("cos_raw").desc, col("vec_id")))
+        row_number().over(Window.partitionBy(pmod(col("vec_id"), lit(1)))
+          .orderBy(col("cos_raw").desc, col("vec_id")))
           .cast("long"))
       .select(col("vec_id").as("doc_id"), col("rank_dense"))
   }
@@ -551,12 +556,13 @@ object Similarity {
     */
   def denseRanksBatchStored(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, batchSize: Int = 3, depth: Int = 100,
-      nShards: Int = -1, maxBatchId: Long = Long.MaxValue): DataFrame = {
+      nShards: Int = -1, maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     annIndexMeta(spark, tablePrefix)
     val vecs = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
-      maxBatchId).select(col("vec_id"), col("v"))
+      tsMaxBatchId).select(col("vec_id"), col("v"))
     val anchors = vecs.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val shards = Par.resolveShards(spark, nShards, batchSize)

@@ -253,14 +253,17 @@ object Sq8 {
     */
   def sq8TopKBatchStored(spark: SparkSession, tablePrefix: String,
       batchSize: Int = 16, k: Int = 5,
-      maxBatchId: Long = Long.MaxValue): DataFrame = {
+      maxBatchId: Long = Long.MaxValue,
+      tsMaxBatchId: Long = Long.MaxValue): DataFrame = {
     val (mins, maxs) = sq8IndexStats(spark, tablePrefix)
+    // tsMaxBatchId fences the tombstone table by its OWN delete-stream
+    // numbering (independent of the data stream's maxBatchId)
     val vs = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_vecs").filter(col("batch_id") < maxBatchId),
-      maxBatchId)
+      tsMaxBatchId)
     val codes = IndexOps.survivors(spark, tablePrefix,
       spark.table(s"${tablePrefix}_codes").filter(col("batch_id") < maxBatchId),
-      maxBatchId).select(col("vec_id"), col("codes"))
+      tsMaxBatchId).select(col("vec_id"), col("codes"))
     val anchors = vs.filter(col("vec_id") < batchSize).limit(batchSize)
       .select(col("vec_id").as("anchor_id"),
         encodeExpr(col("v"), mins, maxs).as("qc"))
@@ -315,20 +318,8 @@ object Sq8 {
     * tombstones consumed, fences advanced (the compactPqIndex shape).
     */
   def compactSq8Index(spark: SparkSession, tablePrefix: String,
-      path: String, nBuckets: Int = 8): Unit = {
-    IndexOps.requireAlignedBatches(spark, tablePrefix, Seq("codes", "vecs"),
-      historyTables = Seq("monitor"))
-    val gen = IndexOps.maxBatchId(spark, s"${tablePrefix}_codes")
-    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
-    val drops = Some(spark.table(s"${tablePrefix}_tombstones"))
-    IndexOps.compactTable(spark, s"${tablePrefix}_codes", s"$path/codes",
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
-    IndexOps.compactTable(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets, gen, drops)
-    IndexOps.initTombstones(spark, tablePrefix, s"$path/tombstones",
-      nBuckets, overwrite = true)
-    IndexOps.setCompactedThrough(spark, tablePrefix, path, gen, tsGen)
-  }
+      path: String, nBuckets: Int = 8): Unit =
+    IndexOps.compactIndex(spark, tablePrefix, "sq8", path, nBuckets)
 
   /** REFIT generation — the staleness alert's consumer: refit the
     * per-dim stats on the CURRENT surviving corpus, re-encode, swap in
@@ -363,17 +354,6 @@ object Sq8 {
     * its surviving files (restart story).
     */
   def reattachSq8Index(spark: SparkSession, tablePrefix: String,
-      path: String, nBuckets: Int = 8): Unit = {
-    Bucketing.reattach(spark, s"${tablePrefix}_codes", s"$path/codes",
-      "batch_id", "vec_id", nBuckets)
-    Bucketing.reattach(spark, s"${tablePrefix}_vecs", s"$path/vecs",
-      "batch_id", "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_tombstones",
-      s"$path/tombstones", IndexOps.TombstoneSchema,
-      Seq("batch_id" -> "BIGINT"), "vec_id", nBuckets)
-    Bucketing.reattachBySchema(spark, s"${tablePrefix}_monitor",
-      s"$path/monitor", Sq8MonitorSchema,
-      Seq("batch_id" -> "BIGINT"), "clamp_ppm", nBuckets = 1)
-    Bucketing.attachPlain(spark, s"${tablePrefix}_meta", s"$path/meta")
-  }
+      path: String, nBuckets: Int = 8): Unit =
+    IndexOps.reattachIndex(spark, tablePrefix, "sq8", path, nBuckets)
 }

@@ -41,8 +41,11 @@ object RetrievalQueries {
       .withColumn("cos_raw", cosine(col("v"), col("qv")))
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(FuseDepth)
+      // single-valued partition key on the bounded post-limit cut —
+      // see Similarity.denseRanksStored (warning-free window)
       .withColumn("rank_dense",
-        row_number().over(Window.orderBy(col("cos_raw").desc, col("vec_id")))
+        row_number().over(Window.partitionBy(pmod(col("vec_id"), lit(1)))
+          .orderBy(col("cos_raw").desc, col("vec_id")))
           .cast("long"))
       .select(col("vec_id").as("doc_id"), col("rank_dense"))
   }
@@ -335,10 +338,15 @@ object RetrievalQueries {
           .withColumn("c_micros", expr(DocQueries.bm25Micros))
           .groupBy(col("doc_id"))
           .agg(sum(col("c_micros")).as("score_micros"))
+        // single-valued partition key on the post-limit cut (<=
+        // FuseDepth rows, bounded) — Similarity.denseRanksStored's
+        // warning-free window discipline; pmod ≡ 0 (a foldable lit
+        // would be optimized away and the warning would return)
         val lex = bm.orderBy(col("score_micros").desc, col("doc_id"))
           .limit(FuseDepth)
           .withColumn("rank_lex",
-            row_number().over(Window.orderBy(col("score_micros").desc, col("doc_id")))
+            row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+              .orderBy(col("score_micros").desc, col("doc_id")))
               .cast("long"))
           .select(col("doc_id"), col("rank_lex"))
         rrfFuse(lex, denseRanks(s, d))

@@ -75,6 +75,66 @@ object AnnStream {
     }
   }
 
+  /** Sidecar path recording the tombstone generation a decisions batch
+    * OBSERVED (advisor r15): the stored-screen paths apply tombstones
+    * unfenced, so a deletion landing inside a crash-replay window would
+    * make a recomputed decisions overwrite diverge from the
+    * already-landed index slices (children of the pre-deletion keeps).
+    * Recording the observed generation per batch makes that detectable:
+    * [[divergentReplay]] tells a replay it is seeing a DIFFERENT
+    * deletion set than the durable decisions did, and the screen keeps
+    * the durable decisions instead of overwriting (the batch stays
+    * internally consistent; the new deletions still apply at probe time
+    * through the tombstone anti-join). The sidecar lives in a SIBLING
+    * directory (`<decisionsDir>_tsgen`), not under the decisions root —
+    * consumers read the decisions root as one partitioned parquet tree.
+    */
+  private[streaming] def tsGenPath(decisionsDir: String, batchId: Long): String =
+    s"${decisionsDir}_tsgen/batch_id=$batchId"
+
+  /** The recorded observed-tombstone-generation for a decisions batch,
+    * None when the sidecar has never been written (first screen of the
+    * batch, or a pre-upgrade decisions dir — both recompute as before).
+    */
+  private[streaming] def recordedTsGen(spark: SparkSession,
+      decisionsDir: String, batchId: Long): Option[Long] = {
+    val p = tsGenPath(decisionsDir, batchId)
+    if (!graft.operators.IndexOps.dirExists(spark, p)) None
+    else Some(spark.read.parquet(p).select(col("ts_gen"))
+      .collect()(0).getLong(0))
+  }
+
+  /** Record the observed tombstone generation for a decisions batch —
+    * written AFTER the decisions commit, so a present sidecar implies
+    * committed decisions.
+    */
+  private[streaming] def recordTsGen(spark: SparkSession, decisionsDir: String,
+      batchId: Long, tsGen: Long): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(tsGen)).toDF("ts_gen")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tsGenPath(decisionsDir, batchId))
+  }
+
+  /** True when a replay of `batchId` observes a different deletion set
+    * than the batch's durable decisions recorded — the screen must keep
+    * those decisions (see [[tsGenPath]]). Loud: the divergence is
+    * reported once on stderr (it is a documented-cadence violation —
+    * deletions are supposed to run BETWEEN replay windows).
+    */
+  private[streaming] def divergentReplay(spark: SparkSession,
+      decisionsDir: String, batchId: Long, tsGen: Long,
+      tablePrefix: String): Boolean =
+    recordedTsGen(spark, decisionsDir, batchId) match {
+      case Some(rec) if rec != tsGen =>
+        System.err.println(s"[graft] $tablePrefix batch $batchId replay " +
+          s"observed tombstone generation $tsGen != recorded $rec — a " +
+          "deletion landed inside the replay window; keeping the durable " +
+          "decisions and filling only missing index slices")
+        true
+      case _ => false
+    }
+
   /** One micro-batch of LSH-index maintenance: bucket the batch's
     * vectors with the GEOMETRY RECORDED IN META (a drifting tables/bits
     * would silently corrupt the index — the parameters cannot be

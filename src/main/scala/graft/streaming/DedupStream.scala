@@ -198,18 +198,28 @@ object DedupStream {
     if (batchId <= IndexOps.compactedThrough(spark, tablePrefix)) return
     val b = batch.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull)
-    // corpus side under the replay fence AND the deletion set: a
-    // tombstoned doc neither matches exactly nor contributes postings —
-    // dropped docs stop suppressing new duplicates of themselves
-    val (postings, sizes, exact) =
-      Dedup.storedCorpusFrames(spark, tablePrefix, maxBatchId = batchId)
-    val decisions = Dedup.incrementalDedupFrom(b,
-      exact.select(col("h"), col("len"), col("corp_id")),
-      postings.select(col("doc_id"), col("sh")),
-      sizes.select(col("doc_id"), col("n_sh")),
-      threshold, n)
-    decisions.write.mode("overwrite")
-      .parquet(s"$decisionsDir/batch_id=$batchId")
+    // each decisions batch records the tombstone generation it observed
+    // (AnnStream.tsGenPath); a replay observing a DIFFERENT generation —
+    // a deletion landed inside the replay window — keeps the durable
+    // decisions (the landed slices are their children) instead of
+    // overwriting them with a post-deletion recompute
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    if (!AnnStream.divergentReplay(spark, decisionsDir, batchId, tsGen,
+        tablePrefix)) {
+      // corpus side under the replay fence AND the deletion set: a
+      // tombstoned doc neither matches exactly nor contributes postings —
+      // dropped docs stop suppressing new duplicates of themselves
+      val (postings, sizes, exact) =
+        Dedup.storedCorpusFrames(spark, tablePrefix, maxBatchId = batchId)
+      val decisions = Dedup.incrementalDedupFrom(b,
+        exact.select(col("h"), col("len"), col("corp_id")),
+        postings.select(col("doc_id"), col("sh")),
+        sizes.select(col("doc_id"), col("n_sh")),
+        threshold, n)
+      decisions.write.mode("overwrite")
+        .parquet(s"$decisionsDir/batch_id=$batchId")
+      AnnStream.recordTsGen(spark, decisionsDir, batchId, tsGen)
+    }
     // append-if-absent, probed PER TABLE: three appends are three commits,
     // and a crash between them (foreachBatch is at-least-once — exactly
     // the window this mode exists for) must not strand the index. A

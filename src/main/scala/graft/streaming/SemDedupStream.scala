@@ -30,10 +30,23 @@ object SemDedupStream {
     if (batchId <= IndexOps.compactedThrough(spark, tablePrefix)) return
     val b = batch.select(col("vec_id"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-    val decisions = SemDedup.screenSem(spark, b, tablePrefix, minCos,
-      maxBatchId = batchId)
-    decisions.write.mode("overwrite")
-      .parquet(s"$decisionsDir/batch_id=$batchId")
+    // an all-malformed micro-batch contributes NOTHING — no decisions
+    // file, no monitor row, no members partition (absence is the
+    // consistent representation across all tables; the indexBatchLex
+    // rule, mirrored here so the semantic arm can't land a lone
+    // n_vecs=0 monitor partition with no members slice)
+    if (b.limit(1).isEmpty) return
+    // record-and-detect the observed deletion set per decisions batch —
+    // the screenBatchStored rule, mirrored (see AnnStream.tsGenPath)
+    val tsGen = IndexOps.tombstoneGen(spark, tablePrefix)
+    if (!AnnStream.divergentReplay(spark, decisionsDir, batchId, tsGen,
+        tablePrefix)) {
+      val decisions = SemDedup.screenSem(spark, b, tablePrefix, minCos,
+        maxBatchId = batchId)
+      decisions.write.mode("overwrite")
+        .parquet(s"$decisionsDir/batch_id=$batchId")
+      AnnStream.recordTsGen(spark, decisionsDir, batchId, tsGen)
+    }
     val (cs, buildMse, rule) = SemDedup.semIndexMeta(spark, tablePrefix)
     val absent = Seq("members", "monitor").filter { t =>
       spark.table(s"${tablePrefix}_$t")

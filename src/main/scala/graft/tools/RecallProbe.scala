@@ -12,9 +12,14 @@ import graft.operators.{Clustering, Pq, Similarity}
   * on any breach — `tools/soak.sh` runs it so the round's SOAK artifact
   * carries the at-scale recall lines.
   *
-  * Floors are the committed test floors, deliberately identical to the
-  * small-scale ones: the claim under test is "recall does not cliff with
-  * scale", not "recall is this exact number".
+  * Floors started as the committed small-scale test floors ("recall
+  * does not cliff with scale"); r16 raised the four with the widest
+  * measured margin to measured-margin bars (r15 verdict #4 — a floor
+  * 0.375 below measurement guards nothing): ann_batch 0.50->0.75
+  * (measured 0.875), lsh_pairs 0.50->0.60 (0.708), adc_batch
+  * 0.50->0.60 (0.675), hard_neg 0.50->0.60 (0.709) — each ~0.1 under
+  * its r15 measurement, the r12 ann_lsh discipline (absorb sub-second
+  * geometry flap, catch a real regression).
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -67,7 +72,7 @@ object RecallProbe {
     val gotBatch = Similarity.annTopKBatch(emb)
       .select(col("anchor_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    check("ann_batch", exactBatch.count(gotBatch).toDouble / exactBatch.size, 0.5)
+    check("ann_batch", exactBatch.count(gotBatch).toDouble / exactBatch.size, 0.75)
 
     // IVF floors are a MEAN over 5 query ids: single-query recall on a
     // 10-element set is a coin-flip-grade sample (the r10 floors of
@@ -103,7 +108,7 @@ object RecallProbe {
     if (brute.isEmpty) println("RECALL lsh_pairs     SKIP: no brute pairs at threshold")
     else {
       if (!lsh.subsetOf(brute)) { fail += 1; println("RECALL lsh_pairs FALSE POSITIVES") }
-      check("lsh_pairs", (lsh intersect brute).size.toDouble / brute.size, 0.5)
+      check("lsh_pairs", (lsh intersect brute).size.toDouble / brute.size, 0.6)
     }
 
     // PQ-ADC approximates the inner product: baseline is exact IP top-10
@@ -143,7 +148,7 @@ object RecallProbe {
     val gotAdcBatch = Pq.adcTopKBatch(emb, cbs)
       .select(col("anchor_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    check("adc_batch", exactIp5.count(gotAdcBatch).toDouble / exactIp5.size, 0.5)
+    check("adc_batch", exactIp5.count(gotAdcBatch).toDouble / exactIp5.size, 0.6)
 
     // IVF-PQ: same 5-query mean as the ivf check (one coarse + codebook
     // fit, reused across queries — the real index/query split)
@@ -196,7 +201,30 @@ object RecallProbe {
       .select(col("anchor_id"), col("neg_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     if (exactTop3.isEmpty) println("RECALL hard_neg      SKIP: band empty")
-    else check("hard_neg", exactTop3.count(gotNeg).toDouble / exactTop3.size, 0.5)
+    else check("hard_neg", exactTop3.count(gotNeg).toDouble / exactTop3.size, 0.6)
+
+    // stored semantic-dedup screen PARITY at scale (r15 verdict #6 —
+    // the newest family held to the same standing bar as the 9 recall
+    // floors): screen-vs-recompute is an exact-identity contract
+    // (frozen centroids, exact cosine), so the bar is row-identity
+    // (floor 1.0), not an approximation floor; SemDedupStreamSpec pins
+    // it at sf0.001, this line re-asserts it at the soak scale.
+    val semSlice = emb.select(col("vec_id"), col("embedding"))
+    val semCorpus = semSlice.filter(col("vec_id") >= 100)
+    val semIncoming = semSlice.filter(col("vec_id") < 100)
+    val semDir = java.nio.file.Files.createTempDirectory("graft_rp_sem").toString
+    graft.operators.SemDedup.buildSemIndex(semCorpus, "rp_sem", semDir)
+    val screened = graft.operators.SemDedup.screenSem(spark, semIncoming, "rp_sem")
+      .collect().map(_.toString).sorted.toSeq
+    val recomputed = graft.operators.SemDedup.incrementalSemanticDedup(
+      semIncoming, semCorpus, Clustering.centroids(16, 64))
+      .collect().map(_.toString).sorted.toSeq
+    check("semdedup_screen",
+      if (screened.nonEmpty && screened == recomputed) 1.0
+      else screened.toSet.intersect(recomputed.toSet).size.toDouble /
+        math.max(recomputed.size, 1), 1.0)
+    Seq("rp_sem_members", "rp_sem_tombstones", "rp_sem_monitor", "rp_sem_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
 
     spark.stop()
     if (fail > 0) sys.exit(1)

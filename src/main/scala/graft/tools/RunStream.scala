@@ -86,23 +86,20 @@ object RunStream {
       spark, "demo_ann", batchSize = 4, k = 3)
     println(s"tombstoned vec_id=$victim still retrievable: " +
       afterDelete.filter(col("vec_id") === victim).count())
+    // the maintenance loop, closed (round 16): ONE call reads the
+    // policy decision the stored monitors imply, executes the decided
+    // rewrite, and verifies the follow-up policy is healthy —
+    // IndexOps.maintain is what an operator actually schedules. The
+    // demo's single deletion is far below the production 10% bar, so
+    // the demo lowers the bar to make the decision "compact" here.
     val filesBefore = spark.table("demo_ann_buckets").inputFiles.length
-    graft.operators.Similarity.compactAnnIndex(spark, "demo_ann", s"$base/ann_idx")
+    println("maintenance (q176's policy + its executor) over the demo ANN index:")
+    graft.operators.IndexOps.maintain(spark, "demo_ann", "ann_lsh",
+      s"$base/ann_idx", tombstonePpmBar = 0L).show(truncate = false)
     val filesAfter = spark.table("demo_ann_buckets").inputFiles.length
-    println(s"compaction: postings files $filesBefore -> $filesAfter, " +
+    println(s"compaction via maintain: postings files $filesBefore -> $filesAfter, " +
       s"tombstones left: ${spark.table("demo_ann_tombstones").count()}, " +
       s"probe rows: ${graft.operators.Similarity.annTopKBatchStored(spark, "demo_ann", batchSize = 4, k = 3).count()}")
-
-    // maintenance policy (round 15): the monitors the lifecycle stores
-    // become a DECISION — after the tombstoned deletion above, the
-    // LSH family's own policy row says whether to compact/refit NOW;
-    // an operator runs this before choosing a rewrite, not after
-    // eyeballing trails (LSH has no quantizer monitor, so its signals
-    // are the tombstone fraction and the batch count)
-    println("maintenance policy (q176's operator) over the demo ANN index:")
-    graft.operators.IndexOps.maintenancePolicy(
-      spark, "demo_ann", family = "ann_lsh", dataTable = "buckets")
-      .show(truncate = false)
 
     // full lifecycle audit (round 14): one registered query runs
     // build → grow → tombstone → compact → drift-alert → refit over the

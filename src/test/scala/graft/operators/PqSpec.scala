@@ -184,32 +184,36 @@ class PqSpec extends AnyFunSuite {
     // q123's recompute path, same fits (deterministic)
     val coarse = Clustering.fitCentroids(emb, 16, 64, iters = 2, seed = 7L)
     val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
-    val recomputed = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 6)
+    val recomputed = Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 8)
       .collect().map(_.toString).sorted.toSeq
     val stored = Pq.ivfPqTopKStored(spark, "spec_ivfpq", queryVecId = 0L,
-      k = 10, nProbe = 6).collect().map(_.toString).sorted.toSeq
+      k = 10, nProbe = 8).collect().map(_.toString).sorted.toSeq
     assert(recomputed.nonEmpty && stored == recomputed)
     // stored meta round-trips both fits bit-exactly
     val (coarseBack, cbsBack) = Pq.ivfPqIndexMeta(spark, "spec_ivfpq")
     assert(coarseBack == coarse && cbsBack == cbs)
     graft.PlanAssert.assertZeroCorpusExchange(
-      Pq.ivfPqTopKStored(spark, "spec_ivfpq", queryVecId = 0L, k = 10, nProbe = 6),
+      Pq.ivfPqTopKStored(spark, "spec_ivfpq", queryVecId = 0L, k = 10, nProbe = 8),
       minBucketedScans = 2)
     Seq("spec_ivfpq_codes", "spec_ivfpq_vecs", "spec_ivfpq_meta")
       .foreach(t => spark.sql(s"DROP TABLE `$t`"))
     Pq.reattachIvfPqIndex(spark, "spec_ivfpq", dir)
     val reattached = Pq.ivfPqTopKStored(spark, "spec_ivfpq", queryVecId = 0L,
-      k = 10, nProbe = 6).collect().map(_.toString).sorted.toSeq
+      k = 10, nProbe = 8).collect().map(_.toString).sorted.toSeq
     assert(reattached == recomputed)
     Seq("spec_ivfpq_codes", "spec_ivfpq_vecs", "spec_ivfpq_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   test("batched stored IVF-PQ (q177): per-anchor row-identical to q160's single-query probe; shard count cannot change rows") {
+    // nProbe = 8 here and in the q160 test above — the SHIPPED
+    // q160/q177 setting (advisor r15: identity is structurally
+    // parameter-independent, but the pinned configuration must be the
+    // production one)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqb_idx").toString
     Pq.buildIvfPqIndex(emb, "spec_ivfpqb", dir)
     val batch = Pq.ivfPqTopKBatchStored(spark, "spec_ivfpqb",
-      batchSize = 16, k = 5, nProbe = 6).collect()
+      batchSize = 16, k = 5, nProbe = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
         r.getDouble(4), r.getDouble(5))).toSet
     assert(batch.nonEmpty)
@@ -218,7 +222,7 @@ class PqSpec extends AnyFunSuite {
     // union-of-lists scan cannot change a row
     val perQuery = (0L until 16L).flatMap { qid =>
       Pq.ivfPqTopKStored(spark, "spec_ivfpqb", queryVecId = qid,
-        k = 5, nProbe = 6).collect().zipWithIndex
+        k = 5, nProbe = 8).collect().zipWithIndex
         .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getInt(1),
           r.getDouble(2), r.getDouble(3)) }
     }.toSet
@@ -226,7 +230,7 @@ class PqSpec extends AnyFunSuite {
     // the two-stage cut is shard-count-invariant (the determinism sweep
     // crosses CPU counts, so this must hold by construction)
     val oneShard = Pq.ivfPqTopKBatchStored(spark, "spec_ivfpqb",
-      batchSize = 16, k = 5, nProbe = 6, nShards = 1).collect()
+      batchSize = 16, k = 5, nProbe = 8, nShards = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
         r.getDouble(4), r.getDouble(5))).toSet
     assert(oneShard == batch)

@@ -154,6 +154,31 @@ class RetrievalSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("denseRanksStored: an absent or tombstoned query vector is a loud error, not a silently lexical-only fusion (advisor r15)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dr_err").toString
+    Similarity.buildAnnIndex(emb, "spec_drerr", dir)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.denseRanksStored(spark, "spec_drerr", queryVecId = 999999999L)
+    }
+    assert(ex.getMessage.contains("absent"), ex.getMessage)
+    IndexOps.tombstone(spark, "spec_drerr", Seq(0L).toDF("vec_id"), 0L)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.denseRanksStored(spark, "spec_drerr", queryVecId = 0L)
+    }
+    assert(ex2.getMessage.contains("tombstoned"), ex2.getMessage)
+    // present, non-tombstoned queries rank as before — and the bounded
+    // post-limit window carries a partition spec, so the probe no
+    // longer trips WindowExec's unpartitioned-window warning
+    assert(Similarity.denseRanksStored(spark, "spec_drerr", queryVecId = 1L,
+      depth = 10).count() == 10)
+    Seq("spec_drerr_buckets", "spec_drerr_vecs", "spec_drerr_tombstones",
+      "spec_drerr_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("q153 batched ANN: recall floor vs q152's exact per-anchor top-5; precision exact") {
     val embs = graft.Tables.embeddings(spark, sf0001).collect().map { r =>
       (r.getAs[Long]("vec_id"),

@@ -140,4 +140,36 @@ class DedupLifecycleSpec extends AnyFunSuite {
       "post-restart screen != recompute")
     dropAll("dls")
   }
+
+  test("a deletion landing inside a replay window is detected: the replay keeps the durable decisions the landed slices are children of (advisor r15)") {
+    val base = Files.createTempDirectory("dvg")
+    val decisions = s"$base/decisions"
+    import spark.implicits._
+    DedupStream.seedCorpusIndex(docs.filter(col("doc_id") >= 100), "dvg",
+      s"$base/idx")
+    val victimText = "graftuniq2 one two three four five six seven eight"
+    DedupStream.screenBatchStored(spark,
+      Seq((9100L, victimText)).toDF("doc_id", "text"), 0L, "dvg", decisions)
+    // batch 1: a dup of the unique victim — suppressed; slices landed
+    val batch1 = Seq((9101L, victimText)).toDF("doc_id", "text")
+    DedupStream.screenBatchStored(spark, batch1, 1L, "dvg", decisions)
+    val before = sortedRows(decisionsOf(decisions, 1L))
+    assert(decisionsOf(decisions, 1L).collect()(0).getAs[Long]("keep") == 0L)
+    // the deletion lands INSIDE batch 1's replay window (a cadence
+    // violation — deletions are supposed to run between replay windows)
+    Dedup.tombstoneCorpusDocs(spark, "dvg", Seq(9100L).toDF("doc_id"), 0L)
+    // the replay observes a different tombstone generation than batch
+    // 1's sidecar recorded: without the guard it would overwrite the
+    // decisions with the post-deletion recompute (keep=1) while the
+    // already-landed index slices are children of keep=0
+    DedupStream.screenBatchStored(spark, batch1, 1L, "dvg", decisions)
+    assert(sortedRows(decisionsOf(decisions, 1L)) == before,
+      "replay overwrote durable decisions under a different deletion set")
+    // a FRESH batch (no recorded generation) sees the deletion normally
+    DedupStream.screenBatchStored(spark,
+      Seq((9102L, victimText)).toDF("doc_id", "text"), 2L, "dvg", decisions)
+    assert(decisionsOf(decisions, 2L).collect()(0).getAs[Long]("keep") == 1L,
+      "fresh batch after the deletion must be screened under the new set")
+    dropAll("dvg")
+  }
 }

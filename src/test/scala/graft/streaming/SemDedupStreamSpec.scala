@@ -195,4 +195,24 @@ class SemDedupStreamSpec extends AnyFunSuite {
       s"in-distribution batch alerted after refit: $mon2")
     dropAll("sdd")
   }
+
+  test("an all-malformed micro-batch contributes NOTHING: no decisions file, no monitor row, no members partition (absence is the consistent representation — advisor r15)") {
+    val base = Files.createTempDirectory("semempty")
+    val decisions = s"$base/dec"
+    SemDedup.buildSemIndex(emb.filter(col("vec_id") >= 100), "sde", s"$base/idx")
+    val bad = emb.filter(col("vec_id") < 5)
+      .select(lit(null).cast("long").as("vec_id"), col("embedding"))
+    SemDedupStream.screenBatchSem(spark, bad, 0L, "sde", decisions)
+    assert(!new java.io.File(s"$decisions/batch_id=0").exists(),
+      "empty-after-filter batch wrote a decisions file")
+    assert(spark.table("sde_monitor").count() == 0,
+      "empty-after-filter batch appended a monitor row")
+    assert(spark.table("sde_members").filter(col("batch_id") === 0L).count() == 0)
+    // a later real batch under the same id screens normally (the guard
+    // returned BEFORE any append, so nothing fences the id)
+    SemDedupStream.screenBatchSem(spark, emb.filter(col("vec_id") < 5),
+      0L, "sde", decisions)
+    assert(spark.table("sde_monitor").count() == 1)
+    dropAll("sde")
+  }
 }
