@@ -29,4 +29,18 @@ object VectorFunctions {
 
   /** Cosine similarity of two array<double> columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Per-subspace nearest-centroid codes as ONE expression — see
+    * [[CentroidCodes]]. `cbs` is (subspace → centroid → dims); a plain
+    * k-means assignment is the single-subspace case `Seq(cs)`.
+    */
+  def centroidCodes(v: Column, cbs: Seq[Seq[Seq[Double]]],
+      subtractHalfNorm: Boolean): Column =
+    org.apache.spark.sql.graft.bridge.toColumn(CentroidCodes(
+      org.apache.spark.sql.graft.bridge.toExpression(v), cbs, subtractHalfNorm))
+
+  /** Exact int64-micros PQ quantization error — see [[CentroidErrMicros]]. */
+  def centroidErrMicros(v: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graft.bridge.toColumn(CentroidErrMicros(
+      org.apache.spark.sql.graft.bridge.toExpression(v), cbs))
 }

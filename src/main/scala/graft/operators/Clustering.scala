@@ -57,17 +57,14 @@ object Clustering {
   /** [[assign]] over a prepared (vec_id, v) frame — the checkpointed-
     * corpus entry point of [[fitCentroids]].
     */
-  private def assignOn(prepared: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
-    val csLit = typedlit(cs)
-    // struct max: max score first, then max(-c) = lowest cluster id on ties
-    // (greatest() over the scored structs — same ordering as the previous
-    // sort_array-desc-take-1, without building + sorting a k-array per row)
-    val scored = (0 until cs.size).map { c =>
-      struct(dot(col("v"), element_at(csLit, c + 1)).as("s"), lit(-c).as("negc"))
-    }
-    val best = greatest(scored: _*)
-    prepared.withColumn("cluster_id", (-best.getField("negc")).cast("long"))
-  }
+  private def assignOn(prepared: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    // ONE CentroidCodes expression over the whole vector (single
+    // subspace, raw-dot rule) instead of k scored structs under a
+    // greatest() — same argmax, same lowest-id tie-break, same dot
+    // order; the q84–q88/q107 oracles hash-verify the bit-parity
+    // (r16 optimization, see CentroidCodes).
+    prepared.withColumn("cluster_id",
+      element_at(centroidCodes(col("v"), Seq(cs), subtractHalfNorm = false), 1))
 
   /** (score, −c) structs under the exact L2 rule — argmin_c ||v−c||² ≡
     * argmax_c (⟨v,c⟩ − ||c||²/2), the ||v||² term being c-independent —
@@ -98,8 +95,10 @@ object Clustering {
     assignL2On(vecsOf(emb), cs)
 
   private def assignL2On(prepared: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    // single-subspace CentroidCodes under the L2 rule — same argmax and
+    // tie-break as greatest(scoredL2), one expression node (r16)
     prepared.withColumn("cluster_id",
-      (-greatest(scoredL2(col("v"), cs): _*).getField("negc")).cast("long"))
+      element_at(centroidCodes(col("v"), Seq(cs), subtractHalfNorm = true), 1))
 
   /** Units of the fixed-point centroid-update sums: 2^-30. BINARY scaling,
     * not decimal: floor(x·2^30) of a bit-identical double is bit-identical

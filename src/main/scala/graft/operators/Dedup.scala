@@ -89,9 +89,29 @@ object Dedup {
   def shingleJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       dfCap: Option[Int] = None): DataFrame = {
     val index = shingleIndex(docs, n)
-    val sizes = shingleSizes(index)
+    // ONE tokenize+hash pass (r16 optimization): postings and per-doc set
+    // sizes both derive from the shingle index, but postings group by `sh`
+    // and sizes by `doc_id` — two different exchanges, so the logical
+    // index subtree (split/explode/xxhash64 over the corpus) was planned
+    // TWICE and the corpus was tokenized twice per query (JobTrace: two
+    // identical 2.18 MB map-side writes on q30 at sf0.1; at 100 TB that is
+    // a whole redundant corpus pass, guide §2.4/§8). The postings frame —
+    // the inverted index, already deduplicated and slimmer than the raw
+    // index — checkpoints once (the lshScoredPairs one-scan discipline;
+    // block lifetime is the consumer's obligation, see that scaladoc) and
+    // feeds pair generation, the df-cap filter, AND the sizes: exploding
+    // the posting sets back out yields exactly the distinct (sh, doc_id)
+    // pairs, so count(*) per doc_id ≡ countDistinct(sh) over the raw
+    // index — same values, one corpus pass instead of two, and the sizes
+    // exchange now carries deduplicated postings instead of raw rows.
+    // Sizes always come from the PRE-cap postings (capped J stays a strict
+    // lower bound — the dfCap contract is unchanged).
     val allPostings = index.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .localCheckpoint(true)
+    val sizes = allPostings
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val postings = dfCap.fold(allPostings)(cap =>
       allPostings.filter(size(col("ds")) <= cap))
     val pairs = postings.select(explode(expr(
@@ -582,8 +602,18 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
-    val labelsPlain = edgesPlain.select(col("u").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // SEEDED start (r16 optimization): labels begin at min(id, min direct
+    // neighbor) instead of the identity — the exact state one standard
+    // round used to produce, but computed as a single aggregate over the
+    // symmetrized edges (every node appears as `u`) with NO join: one
+    // whole round (3 joins + checkpoint + flag job, and at scale a full
+    // edges×labels shuffle pass) is replaced by a groupBy on the frame
+    // that had to be scanned for the node set anyway. Fixpoint unchanged
+    // — any starting labeling ≥ the component minimum converges to the
+    // same min-label fixpoint.
+    val labelsPlain = edgesPlain.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("component"))
+      .select(col("u").as("doc_id"), col("component"))
       .localCheckpoint(true)
     val coPartition = spark.conf.getOption("spark.graft.components.copartition")
         .getOrElse("auto") match {
@@ -635,14 +665,29 @@ object Dedup {
         .select(col("doc_id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-      // pointer jump: component := min(component, label(component)).
-      // Every component value is a node id present in labels (initial
-      // labels cover all nodes and updates only ever adopt node ids), so
-      // the left join misses nothing; coalesce is belt-and-braces.
+      // pointer jump ×3: component := min(component, label(component)),
+      // applied three times through the same pre-round labels (r16
+      // optimization; JobTrace showed q107/q88 converging in 8 rounds —
+      // chain-shaped near-dup graphs). Every component value is a node id
+      // present in labels (initial labels cover all nodes and updates
+      // only ever adopt node ids), so the left joins miss nothing;
+      // coalesce is belt-and-braces. Reach per round on a path graph: the
+      // neighbor step extends the known horizon h to h+1, each jump
+      // through the old labels adds another h — 4h+1 per round instead of
+      // 2h+1, and with the seeded start (h₀=1) a 500-link min-chain
+      // converges in 6 rounds instead of 10 (ChainProbe-measured; q88
+      // dropped 165→150 jobs). Each saved round is a full edges×labels
+      // shuffle pass at scale; the extra jumps re-join the (much smaller,
+      // usually broadcast) label frame, and reuse its one broadcast, so
+      // they add no exchange and no job per round.
       val parents = labels
         .select(col("doc_id").as("component"), col("component").as("parent"))
       val jumped =
         least(col("component"), coalesce(col("parent"), col("component")))
+      val jumpedOnce = stepped.join(parents, Seq("component"), "left")
+        .select(col("doc_id"), col("__old"), jumped.as("component"))
+        .join(parents, Seq("component"), "left")
+        .select(col("doc_id"), col("__old"), jumped.as("component"))
       // co-partitioned path: re-keying the new labels onto doc_id at
       // checkpoint time costs one shuffle but replaces the TWO labels-side
       // exchanges the next round would otherwise plan (neighbor join on v,
@@ -651,7 +696,7 @@ object Dedup {
       // separate filter/limit/count job per round — pure job-launch
       // overhead on component-sized frames).
       val (next, changed) = org.apache.spark.sql.graft.bridge.localCheckpointCountingFlag(
-        stepped.join(parents, Seq("component"), "left")
+        jumpedOnce.join(parents, Seq("component"), "left")
           .select(col("doc_id"), jumped.as("component"),
             (jumped < col("__old")).as("__chg")),
         "__chg",
@@ -672,7 +717,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
           "aborting rather than returning a silently-split labeling " +
-          "(with pointer jumping this needs diameter > 2^" + maxIters + ": a bug, not data)")
+          "(with pointer jumping this needs diameter > 4^" + maxIters + ": a bug, not data)")
     // __chg is loop bookkeeping; release() traverses the plan, so callers
     // freeing this projected frame still hit the checkpoint underneath
     labels.drop("__chg")

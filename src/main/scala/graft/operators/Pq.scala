@@ -56,22 +56,21 @@ object Pq {
     * (score, −code) struct sort.
     */
   def withCodes(df: DataFrame, vCol: Column, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
-    // one select for all M code columns (a foldLeft of withColumn re-ran
-    // analysis over the growing literal-heavy plan M times), and argmax
-    // via greatest() over the 16 scored structs — same (s, -c) ordering
-    // and tie-break as the previous sort_array formulation, without
-    // building + sorting a 16-element array per row per subspace
-    val codeCols = (0 until M).map { m =>
-      val cbLit = typedlit(cbs(m))
-      val sub = slice(vCol, m * DSUB + 1, DSUB)
-      val scored = (0 until KSUB).map { c =>
-        val halfNorm = lit(cbs(m)(c).map(x => x * x).sum / 2)
-        struct((dot(sub, element_at(cbLit, c + 1)) - halfNorm).as("s"),
-          lit(-c).as("negc"))
-      }
-      (-greatest(scored: _*).getField("negc")).cast("long").as(s"code_$m")
-    }
-    df.select(col("*") +: codeCols: _*)
+    // ONE CentroidCodes expression for all M subspaces (r16 optimization;
+    // see its scaladoc): the previous greatest()-over-scored-structs tree
+    // planned and codegen'd M·KSUB VecDot + struct nodes per encode —
+    // re-planned every fit iteration because the codebook literals
+    // change — and materialized KSUB struct values per row per subspace
+    // at runtime. Same argmax, same tie-break (lowest code on equal
+    // score), same double op order; q121/q163's DuckDB twins hash-verify
+    // the bit-parity. The codes array is staged through its own
+    // projection so the M extractions read one computed value (the q69
+    // staging discipline), then unpacked to the same code_0..code_{M-1}
+    // surface every consumer already reads.
+    val staged = df.select(col("*"),
+      centroidCodes(vCol, cbs, subtractHalfNorm = true).as("__pq_codes"))
+    staged.select(staged.columns.filterNot(_ == "__pq_codes").map(col) ++
+      (0 until M).map(m => element_at(col("__pq_codes"), m + 1).as(s"code_$m")): _*)
   }
 
   /** (vec_id, v, code_0..code_{M-1}) over the raw embeddings. */
@@ -164,7 +163,10 @@ object Pq {
     val coarseLit = typedlit(coarse)
     e.select(col("vec_id"), col("v"))
       .withColumn("list_id",
-        (-greatest(scoredLists(col("v"), coarse): _*).getField("negc")).cast("int"))
+        // single-subspace CentroidCodes under the L2 rule — same argmax
+        // and tie-break as greatest(scoredLists), one expression (r16)
+        element_at(centroidCodes(col("v"), Seq(coarse), subtractHalfNorm = true), 1)
+          .cast("int"))
       .withColumn("resid",
         zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, c) => x - c))
   }
@@ -485,18 +487,11 @@ object Pq {
     * codebook literals (q163's DuckDB twin).
     */
   private[graft] def quantErrMicros(vCol: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
-    (0 until M).map { m =>
-      val cbLit = typedlit(cbs(m))
-      val sub = slice(vCol, m * DSUB + 1, DSUB)
-      val scored = (0 until KSUB).map { c =>
-        val halfNorm = lit(cbs(m)(c).map(x => x * x).sum / 2)
-        struct((dot(sub, element_at(cbLit, c + 1)) - halfNorm).as("s"),
-          lit(-c).as("negc"))
-      }
-      val bestS = greatest(scored: _*).getField("s")
-      floor((dot(sub, sub) - lit(2.0) * bestS) * lit(1000000.0) + lit(0.5))
-        .cast("long")
-    }.reduce(_ + _)
+    // one CentroidErrMicros expression (r16; see its scaladoc) — the same
+    // argmax scan as the codes with the identical IEEE op order in the
+    // floor argument, replacing the M·KSUB-node literal tree; q163's
+    // DuckDB twin hash-verifies the bit-parity
+    centroidErrMicros(vCol, cbs)
 
   /** Corpus/batch quantization MSE vs `cbs` over a PREPARED (…, v) frame:
     * ONE row (n_vecs, mse_micros) with mse = Σ per-row err DIV n — all

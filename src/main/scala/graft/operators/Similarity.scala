@@ -256,7 +256,10 @@ object Similarity {
     // greatest() ≡ desc-sort-take-1 over the same structs (O(k), no
     // per-row array build+sort)
     def nearest(v: org.apache.spark.sql.Column) =
-      -greatest(scored(v): _*).getField("negc")
+      // single-subspace CentroidCodes under the L2 rule — same argmax and
+      // tie-break as greatest(scored), one expression node (r16)
+      graft.functions.VectorFunctions.centroidCodes(
+        v, Seq(cs), subtractHalfNorm = true).getItem(0)
     val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("list_id", nearest(col("v")))
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))

@@ -14,6 +14,9 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // A/B experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applied on top
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     // noop materialization, same as Bench: a count() would let Catalyst
