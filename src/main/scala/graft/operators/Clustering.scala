@@ -148,6 +148,19 @@ object Clustering {
     // discipline), released as soon as the centroids — driver data —
     // are folded
     val p = if (iters > 1) prepared.localCheckpoint(true) else prepared
+    val cs = fitCentroidsPrepared(p, k, dim, iters, seed)
+    if (iters > 1) Dedup.release(p) // centroids are folded; free the blocks
+    cs
+  }
+
+  /** The Lloyd loop over an ALREADY-materialized (…, v) frame — the
+    * shared-projection entry (r16, the Pq.fitOnPrepared twin): callers
+    * that checkpoint the corpus projection once for fit AND probe
+    * (Pq.ivfPqTopKFit, Similarity.ivfTopK) pass it here; the caller owns
+    * the block lifetime.
+    */
+  private[operators] def fitCentroidsPrepared(p: DataFrame, k: Int,
+      dim: Int, iters: Int, seed: Long): Seq[Seq[Double]] = {
     var cs = centroids(k, dim, seed)
     for (_ <- 1 to iters) {
       // L2-rule assignment (scoredL2), NOT assignOn's raw argmax-dot: the
@@ -169,7 +182,6 @@ object Clustering {
         }
       }
     }
-    if (iters > 1) Dedup.release(p) // centroids are folded; free the blocks
     cs
   }
 

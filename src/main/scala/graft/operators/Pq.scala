@@ -103,6 +103,19 @@ object Pq {
     // lshScoredPairs/nbScored discipline), and free the blocks as soon
     // as the codebooks — driver data — are folded
     val p = if (iters > 1) prepared.localCheckpoint(true) else prepared
+    val cbs = fitOnPrepared(p, iters, seed)
+    if (iters > 1) Dedup.release(p) // codebooks are folded; free the blocks
+    cbs
+  }
+
+  /** The fit loop over an ALREADY-materialized (…, v) frame — the shared-
+    * projection entry (r16): [[adcTopKFit]]/[[ivfPqTopKFit]] checkpoint
+    * the corpus projection ONCE and reuse it for the fit iterations AND
+    * the probe, so a recompute query pays one corpus scan instead of one
+    * per fit plus one per probe branch. Caller owns the block lifetime.
+    */
+  private[operators] def fitOnPrepared(p: DataFrame, iters: Int,
+      seed: Long): Seq[Seq[Seq[Double]]] = {
     var cbs = codebooks(seed)
     for (_ <- 1 to iters) {
       val enc = withCodes(p, col("v"), cbs)
@@ -131,7 +144,6 @@ object Pq {
         }
       }
     }
-    if (iters > 1) Dedup.release(p) // codebooks are folded; free the blocks
     cbs
   }
 
@@ -225,11 +237,30 @@ object Pq {
     * carries a real vector (broadcast, BNLJ — the q37/q63 pattern).
     */
   def adcTopK(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]], queryVecId: Long = 0L,
-      k: Int = 10, rerank: Int = 32): DataFrame = {
-    val enc = encode(emb, cbs).filter(col("vec_id") =!= queryVecId)
+      k: Int = 10, rerank: Int = 32): DataFrame =
+    adcTopKOn(vecs(emb), cbs, queryVecId, k, rerank)
+
+  /** Fit + probe over ONE checkpointed corpus projection (r16): the
+    * recompute query paid a separate corpus scan for every fit iteration
+    * source, the encode pass, the query-vector lookup and the exact
+    * re-rank — at 100 TB each is a full corpus pass the plan cannot
+    * dedupe (different keys / opaque branches). One eager checkpoint
+    * feeds them all (the lshScoredPairs block-lifetime contract: the
+    * harness sweep frees the blocks after materialization). Results are
+    * identical — same rows into the same fit and the same probe.
+    */
+  def adcTopKFit(emb: DataFrame, iters: Int = 2, queryVecId: Long = 0L,
+      k: Int = 10, rerank: Int = 32, seed: Long = 23L): DataFrame = {
+    val e = vecs(emb).localCheckpoint(true)
+    adcTopKOn(e, fitOnPrepared(e, iters, seed), queryVecId, k, rerank)
+  }
+
+  private def adcTopKOn(e: DataFrame, cbs: Seq[Seq[Seq[Double]]],
+      queryVecId: Long, k: Int, rerank: Int): DataFrame = {
+    val enc = withCodes(e, col("v"), cbs).filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
-    val qv = emb.filter(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding")).as("qv"))
+    val qv = e.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"))
     // per-query ADC lookup table on the 1-row query side (withAdcLut):
     // corpus rows pay M array lookups, not M·DSUB multiply-adds
     val approx = enc.join(broadcast(withAdcLut(qv, col("qv"), cbs)))
@@ -253,9 +284,9 @@ object Pq {
         .orderBy(col("adc_score").desc, col("vec_id"))
         .limit(k * rerank)
         .select(col("vec_id"), col("adc_score"))
-      emb.join(broadcast(cand), "vec_id")
+      e.join(broadcast(cand), "vec_id")
         .join(broadcast(qv))
-        .withColumn("score", dot(asDouble(col("embedding")), col("qv")))
+        .withColumn("score", dot(col("v"), col("qv")))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(k)
         .select(col("vec_id"), round(col("score"), 6).as("score"),
@@ -278,14 +309,28 @@ object Pq {
     */
   def adcTopKBatch(emb: DataFrame, cbs: Seq[Seq[Seq[Double]]],
       batchSize: Int = 16, k: Int = 5, rerank: Int = 32,
-      nShards: Int = -1): DataFrame = {
-    val anchors = emb.filter(col("vec_id") < batchSize).limit(batchSize)
-      .select(col("vec_id").as("anchor_id"), asDouble(col("embedding")).as("qv"))
-    val enc = encode(emb, cbs)
+      nShards: Int = -1): DataFrame =
+    adcTopKBatchOn(vecs(emb), cbs, batchSize, k, rerank, nShards)
+
+  /** [[adcTopKBatch]]'s fit-and-probe twin over ONE checkpointed corpus
+    * projection — see [[adcTopKFit]]; identical results, one corpus scan
+    * instead of one per fit source / encode / anchor slice / re-rank.
+    */
+  def adcTopKBatchFit(emb: DataFrame, iters: Int = 2, batchSize: Int = 16,
+      k: Int = 5, rerank: Int = 32, nShards: Int = -1,
+      seed: Long = 23L): DataFrame = {
+    val e = vecs(emb).localCheckpoint(true)
+    adcTopKBatchOn(e, fitOnPrepared(e, iters, seed), batchSize, k, rerank, nShards)
+  }
+
+  private def adcTopKBatchOn(e: DataFrame, cbs: Seq[Seq[Seq[Double]]],
+      batchSize: Int, k: Int, rerank: Int, nShards: Int): DataFrame = {
+    val anchors = e.filter(col("vec_id") < batchSize).limit(batchSize)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"))
+    val enc = withCodes(e, col("v"), cbs)
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     adcCandidatesFrom(enc, anchors, cbs, batchSize, k, rerank, nShards)
-      .transform(exactRerankBatch(
-        emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), anchors, k))
+      .transform(exactRerankBatch(e.select(col("vec_id"), col("v")), anchors, k))
   }
 
   /** The codes-only ADC candidate cut shared by [[adcTopKBatch]] and the
@@ -372,9 +417,31 @@ object Pq {
     */
   def ivfPqTopK(emb: DataFrame, coarse: Seq[Seq[Double]],
       cbs: Seq[Seq[Seq[Double]]], queryVecId: Long = 0L, k: Int = 10,
-      nProbe: Int = 4, rerank: Int = 32): DataFrame = {
+      nProbe: Int = 4, rerank: Int = 32): DataFrame =
+    ivfPqTopKOn(vecs(emb), coarse, cbs, queryVecId, k, nProbe, rerank)
+
+  /** The full IVF-PQ recompute (coarse Lloyd fit + residual codebook fit
+    * + probe) over ONE checkpointed corpus projection (r16) — the q123
+    * shape. Previously the query paid separate corpus scans for the
+    * coarse fit source, the residual fit source, the index encode, the
+    * query-vector branch, the probe-list branch and the exact re-rank
+    * (PlanDump: 7 scan stages); they now all read one eager checkpoint.
+    * Same fits (same rows in), same probe — row-identical results.
+    */
+  def ivfPqTopKFit(emb: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+      nProbe: Int = 4, rerank: Int = 32, lloydIters: Int = 2,
+      coarseSeed: Long = 7L, pqIters: Int = 2): DataFrame = {
+    val e = vecs(emb).localCheckpoint(true)
+    val coarse = Clustering.fitCentroidsPrepared(e, 16, 64, lloydIters, coarseSeed)
+    val cbs = fitOn(residualsOn(e, coarse), pqIters)
+    ivfPqTopKOn(e, coarse, cbs, queryVecId, k, nProbe, rerank)
+  }
+
+  private def ivfPqTopKOn(e: DataFrame, coarse: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Double]]], queryVecId: Long, k: Int,
+      nProbe: Int, rerank: Int): DataFrame = {
     val coarseLit = typedlit(coarse)
-    val base = coarseAssigned(emb, coarse)
+    val base = coarseAssignedOn(e, coarse)
     val index = withCodes(base, col("resid"), cbs)
       .select(col("vec_id") +: col("list_id") +: (0 until M).map(m => col(s"code_$m")): _*)
     val qv = base.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
@@ -408,9 +475,9 @@ object Pq {
         .orderBy(col("adc_score").desc, col("vec_id"))
         .limit(k * rerank)
         .select(col("vec_id"), col("list_id"), col("adc_score"))
-      emb.join(broadcast(cand), "vec_id")
+      e.join(broadcast(cand), "vec_id")
         .join(broadcast(qv))
-        .withColumn("score", dot(asDouble(col("embedding")), col("qv")))
+        .withColumn("score", dot(col("v"), col("qv")))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(k)
         .select(col("vec_id"), col("list_id"),

@@ -242,7 +242,17 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryVecId: Long, kResults: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 8, lloydIters: Int = 2): DataFrame = {
-    val cs = Clustering.fitCentroids(emb, nCentroids, 64, lloydIters, seed = 7L)
+    // ONE checkpointed corpus projection feeds the Lloyd fit, the list
+    // assignment, the query branch and the probe scoring (r16, the
+    // Pq.adcTopKFit discipline) — previously the fit source and the
+    // assignment/query/probe branches each re-scanned the parquet
+    // corpus. Same fit rows, same probe — row-identical results; block
+    // lifetime is the harness sweep's (lshScoredPairs contract).
+    val prepared = Par.fanOut(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .localCheckpoint(true)
+    val cs = Clustering.fitCentroidsPrepared(prepared, nCentroids, 64,
+      lloydIters, seed = 7L)
     // true nearest-centroid: argmin ||v−c||² ≡ argmax (⟨v,c⟩ − ||c||²/2).
     // The half-norm term was a no-op for the old unit-norm seeded
     // centroids but is REQUIRED for learned means, which have
@@ -260,8 +270,7 @@ object Similarity {
       // tie-break as greatest(scored), one expression node (r16)
       graft.functions.VectorFunctions.centroidCodes(
         v, Seq(cs), subtractHalfNorm = true).getItem(0)
-    val e = Par.fanOut(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
-      .withColumn("list_id", nearest(col("v")))
+    val e = prepared.withColumn("list_id", nearest(col("v")))
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     // the query's nProbe nearest lists, computed once from its vector
     val probeLists = e.filter(col("vec_id") === queryVecId)

@@ -107,10 +107,10 @@ object PqQueries {
 
     Q(
       "q122_pq_adc_topk",
-      (s, d) => {
-        val emb = embeddings(s, d)
-        Pq.adcTopK(emb, Pq.fit(emb, iters = 2), queryVecId = 0L, k = 10)
-      },
+      (s, d) =>
+        // fit + probe over ONE checkpointed corpus projection (r16,
+        // Pq.adcTopKFit) — same codebooks, same probe, row-identical
+        Pq.adcTopKFit(embeddings(s, d), iters = 2, queryVecId = 0L, k = 10),
       None,
       "PQ ADC top-10 with exact re-rank of the codes-only candidate set (k*32 survivors get one exact dot each — the Faiss refine shape; fixes the sf0.1 recall cliff pure ADC hit at 4-bit resolution); recall floor vs exact top-k in PqSpec + RecallProbe at sf0.1"),
 
@@ -124,8 +124,7 @@ object PqQueries {
         // fitted codebooks); PqSpec pins a pair-level recall floor vs
         // the exact per-anchor inner-product top-5 and RecallProbe
         // re-asserts it at sf0.1.
-        val emb = embeddings(s, d)
-        Pq.adcTopKBatch(emb, Pq.fit(emb, iters = 2))
+        Pq.adcTopKBatchFit(embeddings(s, d), iters = 2)
           .orderBy(col("anchor_id"), col("rk"))
       },
       None,
@@ -241,11 +240,10 @@ object PqQueries {
     Q(
       "q123_ivfpq_topk",
       (s, d) => {
-        val emb = embeddings(s, d)
         // LEARNED coarse quantizer (r10 verdict #1): 2 exact Lloyd
         // iterations over the corpus instead of raw seeded Gaussians —
         // same deterministic int64 machinery as the residual codebook
-        // fit below. Measured at sf0.1 (IvfProbe, 20-query mean):
+        // fit. Measured at sf0.1 (IvfProbe, 20-query mean):
         // learning lifts nProbe=4 recall 0.50→0.58 and worst-query
         // recall 0.10→0.40; the corpus is near-isotropic, so list
         // coverage stays the dominant recall dial — exactly the real-IVF
@@ -254,11 +252,11 @@ object PqQueries {
         // 0.62→0.70; the stored twins (q160/q177) absorb the extra two
         // lists via (batch_id, list_id) directory pruning, the recompute
         // pays ~33% more ADC rows — the priced recall-vs-time re-pin,
-        // the r12 precedent.
-        val coarse = graft.operators.Clustering.fitCentroids(
-          emb, k = 16, dim = 64, iters = 2, seed = 7L)
-        val cbs = Pq.fitOn(Pq.residuals(emb, coarse), iters = 2)
-        Pq.ivfPqTopK(emb, coarse, cbs, queryVecId = 0L, k = 10, nProbe = 8)
+        // the r12 precedent. r16: both fits and the probe share ONE
+        // checkpointed corpus projection (Pq.ivfPqTopKFit) — same fits,
+        // row-identical answer, 7 corpus scan stages down to 1.
+        Pq.ivfPqTopKFit(embeddings(s, d), queryVecId = 0L, k = 10,
+          nProbe = 8, lloydIters = 2, coarseSeed = 7L, pqIters = 2)
       },
       None,
       "full IVF-PQ with exact re-rank: LEARNED coarse inverted lists (2 exact Lloyd iterations) + residual PQ codes, query probes 8 of 16 lists, ADC-scores codes only, then re-ranks the candidate set exactly — recall bounded by list coverage (nProbe), not code resolution; floors in PqSpec + RecallProbe"),

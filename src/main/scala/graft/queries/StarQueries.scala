@@ -72,17 +72,30 @@ object StarQueries {
     Q(
       "q03_segment_revenue",
       (s, d) => {
+        // Aggregate BEFORE the shuffle join (r16, guide §2.3): the fact
+        // side pre-sums revenue per l_orderkey, so the join carries one
+        // slim aggregated row per order instead of every lineitem, and
+        // the per-segment countDistinct(o_orderkey) — a second
+        // (segment, orderkey)-keyed aggregation pass in the old plan —
+        // degenerates to a plain count over the now-unique orderkeys.
+        // Decimal sums are exact and associative, so the sum-of-presums
+        // is bit-identical to the direct sum (the oracle SQL is
+        // unchanged; the driver hash-checks equality); inner-join
+        // semantics are unchanged (pre-agg keeps exactly the orderkeys
+        // that had lineitems).
         val li = lineitem(s, d)
         val o  = orders(s, d)
         val c  = customer(s, d)
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val perOrder = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("rev"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-              .cast("double").as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+            sum(col("rev")).cast("double").as("revenue"),
+            count(col("o_orderkey")).as("n_orders"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment,
